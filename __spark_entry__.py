@@ -1,38 +1,90 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (plus the training-data-pipeline layer); the driver
+compares each Spark result against its DuckDB oracle at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: revenue by region —
+    the multi-join + aggregate shape at the heart of the analytics
+    layer (SURVEY.md §2.3/§2.4)."""
+    from indigent_defense_stats_spark.operators import relational
+
+    return relational.region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from indigent_defense_stats_spark.operators import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    try:
+        from indigent_defense_stats_spark.operators import textstats
+
+        out.update(textstats.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.operators import dedup
+
+        out.update(dedup.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.operators import similarity
+
+        out.update(similarity.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.operators import crawl_queries
+
+        out.update(crawl_queries.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from indigent_defense_stats_spark.operators import relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    try:
+        from indigent_defense_stats_spark.operators import textstats
+
+        out.update(textstats.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.operators import dedup
+
+        out.update(dedup.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.operators import similarity
+
+        out.update(similarity.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.operators import crawl_queries
+
+        out.update(crawl_queries.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

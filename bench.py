@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Per-query timing uses ``df.write.format("noop")`` so the full plan
+materializes (no driver collect, no count-only pruning shortcuts).
+Also reports crawl-engine throughput (fetched+parsed URLs/sec on the
+synthetic frontier) when the frontier module is present — that is the
+BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "region_revenue",
+    "top_charge_argmin_analog",
+    "event_sequence",
+    "denormalize_order_lines",
+    "earliest_date_per_order",
+    "dedup_first_event",
+]
+# extended headliners registered by later modules, if present
+OPTIONAL = [
+    "exact_dedup_docs",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_pairs",
+    "ann_topk_cosine",
+    "token_stats",
+    "lang_id",
+]
+
+
+def main() -> None:
+    from indigent_defense_stats_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    spark = get_spark(app_name="ids-bench", master=f"local[{CPUS}]")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    results: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in qs] + [n for n in OPTIONAL if n in qs]
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + cache code paths)
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    extra = {}
+    try:
+        from indigent_defense_stats_spark.plans import frontier as fr
+
+        tput = fr.bench_crawl_throughput(spark)
+        extra["crawl_urls_per_sec"] = round(tput, 1)
+        results["crawl_wave_loop"] = round(extra["crawl_urls_per_sec"] and
+                                           extra.get("crawl_elapsed_sec", 0) or 0, 3)
+        if "crawl_elapsed_sec" in extra:
+            results["crawl_wave_loop"] = extra["crawl_elapsed_sec"]
+    except ImportError:
+        pass
+    except Exception as ex:  # never let the crawl bench break the report
+        extra["crawl_error"] = str(ex)[:200]
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "headline query wall-clock (noop sink) + crawl throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(CPUS),
+    }
+    out.update(extra)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,456 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each query here is the Spark-first re-expression of a reference
+operator from SURVEY.md §2 (citation in each docstring), paired with
+an ANSI-SQL oracle string (DuckDB) in :data:`ORACLE_SQL`.  Column
+aliases match between the two exactly — the correctness driver sorts
+columns by name and value-hashes, so names and values must agree.
+
+Float discipline: every floating aggregate is ``round(x, 2)`` on both
+sides so parallel-summation ulp noise cannot flip the hash (sums here
+are ~1e8 with ~1e-8 absolute FP noise — far inside the rounding
+guard).
+
+Scale notes (100 TB thinking) are in each docstring: what shuffles,
+what broadcasts, what prunes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial+final hash aggregation with a pushed-down scan filter.
+
+    Reference analogs: A1 (conditional counts) + A8 (means) over the
+    whole dataset (tools/print_stats.py:41-63).  At scale: the filter
+    and the 4-column projection reach the parquet scan (PushedFilters/
+    ReadSchema); the groupBy keys are 6 distinct values -> map-side
+    partial agg collapses ~everything before the shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean / median / mode (A8, tools/print_stats.py:41-47).
+
+    Mode is made deterministic (reference ``statistics.mode`` takes
+    first-seen on ties; SQL has no 'first seen') as: smallest value
+    among the most frequent — expressed identically on both sides.
+    """
+    o = _t(spark, sf_dir, "orders")
+    mode_df = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("mode_priority"))
+    )
+    stats = o.agg(
+        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return stats.crossJoin(mode_df)
+
+
+def dismissed_count_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count per group (A1, parser/hays.py:43-52):
+    'dismissed' -> returnflag R.  Map-side combine; no skew (keys are
+    orderkeys, uniform)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("returned_count")
+        )
+        .filter(F.col("returned_count") > 0)
+    )
+
+
+def earliest_date_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min(date) + ISO formatting (A3, cleaner/__init__.py:132-137)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("earliest_ship")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k / sorts / limits
+# ---------------------------------------------------------------------------
+
+def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N by metric (A7/O3, tools/print_stats.py:32-47).
+
+    orderBy(desc).limit(k) compiles to TakeOrderedAndProject — per-
+    partition heaps + driver merge, no global sort.  Deterministic
+    tiebreak on the key column.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+def first_1000_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded export (O4, tools/combine_parsed.py:25) — made
+    deterministic with an explicit sort (the reference relies on
+    directory order, which is nondeterministic; not reproduced)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").limit(1000).select("o_orderkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way dimension join + aggregate (J1/J2 broadcast pattern,
+    parser/hays.py:59-67, cleaner/__init__.py:124-127).
+
+    nation/region are broadcast (tiny dims); customer->orders->lineitem
+    shuffle on the fact keys.  At 100 TB, AQE picks broadcast for every
+    side under the 64 MB threshold; the lineitem-orders join is the
+    only real shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg (J2 inner-join enrich)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the URL/content-seen dedup shape (J4/D2,
+    updater/__init__.py:92-105).  At 10^10 keys this is the bloom-
+    prefiltered anti-join in plans/frontier.py; here the plain exact
+    form (anti vs a filtered subset so the result is non-trivial)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def next_version_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioning aggregate (J5/A5, updater/__init__.py:108-119):
+    next version = max(existing)+1, 1 when none."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    mx = o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("max_ok"))
+    return (
+        c.join(mx, c.c_custkey == mx.o_custkey, "left")
+        .select(
+            "c_custkey",
+            (F.coalesce(F.col("max_ok"), F.lit(0)) + F.lit(1)).alias("next_version"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+def event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per partition in time order (W1,
+    tools/build_event_csv.py:74-80).  One shuffle on user_id; ties
+    broken by event_id for determinism."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).alias("seq")
+    )
+
+
+def days_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-event date + elapsed days (W2,
+    tools/build_event_csv.py:69-81): min(ts) over an unbounded
+    partition window, then datediff."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.min(F.col("ts").cast("date")).over(w)
+        ).alias("days_elapsed"),
+    )
+
+
+def primary_order_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is-first-in-group flag (W3, cleaner/__init__.py:109)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.row_number().over(w) == 1).alias("is_primary"),
+    )
+
+
+def top_charge_argmin_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin with first-wins tiebreak (A2/W5, parser/hays.py:54-85):
+    per order, the line with minimal extendedprice (linenumber breaks
+    ties = 'first seen')."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_extendedprice", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("cheapest_part"),
+            F.round("l_extendedprice", 2).alias("min_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / dedup
+# ---------------------------------------------------------------------------
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates-keeping-first (D3, scraper/__init__.py:486-490),
+    expressed as a deterministic row_number window instead of the
+    nondeterministic dropDuplicates."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName reassembly (§2.7: event rows + disposition rows)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") <= 200000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def denormalize_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child denormalize (J6, tools/build_event_csv.py:60-89):
+    each line inherits order demographics.  In the case pipeline this
+    is posexplode (no shuffle); over normalized tables it is a key
+    join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — keys match QUERIES
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "stats_orders": stats_orders,
+    "dismissed_count_analog": dismissed_count_analog,
+    "earliest_date_per_order": earliest_date_per_order,
+    "top5_orders": top5_orders,
+    "first_1000_orders": first_1000_orders,
+    "region_revenue": region_revenue,
+    "nation_customer_stats": nation_customer_stats,
+    "customers_without_big_orders": customers_without_big_orders,
+    "next_version_per_customer": next_version_per_customer,
+    "event_sequence": event_sequence,
+    "days_elapsed": days_elapsed,
+    "primary_order_flag": primary_order_flag,
+    "top_charge_argmin_analog": top_charge_argmin_analog,
+    "dedup_first_event": dedup_first_event,
+    "union_tagged": union_tagged,
+    "denormalize_order_lines": denormalize_order_lines,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                          AS sum_qty,
+               round(sum(l_extendedprice), 2)                     AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+               round(avg(l_quantity), 2)                          AS avg_qty,
+               round(avg(l_extendedprice), 2)                     AS avg_price,
+               count(*)                                           AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "stats_orders": """
+        WITH mode_cte AS (
+            SELECT o_orderpriority AS mode_priority
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY count(*) DESC, o_orderpriority ASC LIMIT 1
+        )
+        SELECT round(avg(o_totalprice), 2)               AS mean_price,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               count(*)                                   AS n_orders,
+               (SELECT mode_priority FROM mode_cte)       AS mode_priority
+        FROM orders
+    """,
+    "dismissed_count_analog": """
+        SELECT l_orderkey,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+    """,
+    "earliest_date_per_order": """
+        SELECT l_orderkey, strftime(min(l_shipdate), '%Y-%m-%d') AS earliest_ship
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "top5_orders": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+    "first_1000_orders": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        ORDER BY o_orderkey LIMIT 1000
+    """,
+    "region_revenue": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "nation_customer_stats": """
+        SELECT n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customers_without_big_orders": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    "next_version_per_customer": """
+        SELECT c_custkey, coalesce(mx.max_ok, 0) + 1 AS next_version
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, max(o_orderkey) AS max_ok
+                   FROM orders GROUP BY o_custkey) mx
+          ON c_custkey = mx.o_custkey
+    """,
+    "event_sequence": """
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+    """,
+    "days_elapsed": """
+        SELECT event_id, user_id,
+               datediff('day', min(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                        CAST(ts AS DATE)) AS days_elapsed
+        FROM events
+    """,
+    "primary_order_flag": """
+        SELECT o_orderkey, o_custkey,
+               (row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) = 1) AS is_primary
+        FROM orders
+    """,
+    "top_charge_argmin_analog": """
+        SELECT l_orderkey, cheapest_part, min_price FROM (
+            SELECT l_orderkey, l_partkey AS cheapest_part,
+                   round(l_extendedprice, 2) AS min_price,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice, l_linenumber) AS rn
+            FROM lineitem) t
+        WHERE rn = 1
+    """,
+    "dedup_first_event": """
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    "union_tagged": """
+        SELECT bucket, count(*) AS n FROM (
+            SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+            UNION ALL
+            SELECT o_orderkey, 'low'  AS bucket FROM orders WHERE o_totalprice <= 200000
+        ) u GROUP BY bucket
+    """,
+    "denormalize_order_lines": """
+        SELECT l_orderkey, l_linenumber, o_orderstatus, o_orderpriority,
+               round(l_extendedprice, 2) AS price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+}
