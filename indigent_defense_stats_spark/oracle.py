@@ -27,6 +27,7 @@ from datetime import date, timedelta
 
 from . import synth
 from .functions.hashing import xxh64_hexdigest
+from .functions.urls import canonicalize
 
 POLITENESS_MS = 200  # scraper/__init__.py:57, helpers.py:93
 
@@ -107,10 +108,22 @@ def crawl(
 
     def do_fetch(url: str, host: str, county: str, depth: int) -> dict:
         nonlocal ts
-        ts += POLITENESS_MS  # sleep *before* every request (helpers.py:93)
-        page = synth.fetch(url)
+        # retry loop with linear backoff, sleep *before* every attempt
+        # (helpers.py:88-125); max 5 attempts
+        for attempt in range(5):
+            ts += POLITENESS_MS * (attempt + 1)
+            page = synth.fetch(url, attempt)
+            if page.get("status") != 503:
+                break
         log.fetches.append(
-            {"url": url, "host": host, "county": county, "depth": depth, "ts_ms": ts}
+            {
+                "url": url,
+                "host": host,
+                "county": county,
+                "depth": depth,
+                "ts_ms": ts,
+                "attempts": attempt + 1,
+            }
         )
         return page
 
@@ -123,16 +136,17 @@ def crawl(
         if "PUBLICLOGIN#" in (row.get("notes") or ""):
             do_fetch(synth.login_url(i), host, county, 0)
         main = do_fetch(synth.root_url(i), host, county, 0)
-        surl = synth.search_url(i, row["version"])
+        surl = canonicalize(synth.search_url(i, row["version"]))
         search = do_fetch(surl, host, county, 1)
         jos = search["jo_list"]
         for d in range(n_days):
             day = start_date + timedelta(days=d)
-            for _, jo_id in jos:
-                rurl = synth.results_url(i, day, jo_id)
+            for jo_id in (j["id"] for j in jos):
+                rurl = canonicalize(synth.results_url(i, day, jo_id))
                 results = do_fetch(rurl, host, county, 2)
-                for cid in results["case_ids"]:
-                    curl = synth.case_url(i, cid)
+                for href in results["case_links"]:
+                    curl = canonicalize(synth.root_url(i) + href)
+                    cid = curl.rsplit("CaseID=", 1)[1]
                     page = do_fetch(curl, host, county, 3)
                     # overwrite semantics (scraper/__init__.py:459-462)
                     if cid not in log.documents:

@@ -1,0 +1,653 @@
+"""Distributed URL frontier + fetch scheduler (the north-rule core).
+
+Replaces the reference's strictly sequential nested crawl loop
+(/root/reference/src/orchestrator/__init__.py:31-36,
+/root/reference/src/scraper/__init__.py:568-588) with a wave-based
+DataFrame program:
+
+  seeds -> [wave: schedule (per-host politeness token bucket)
+            -> fetch (bounded retry, linear backoff)
+            -> expand (native column ops: version branch, date x
+               officer cross, link extraction + canonicalization)
+            -> robots filter
+            -> URL-seen dedup (partitioned bloom + exact anti-join)
+            -> checkpoint frontier/seen/documents/log/metrics]
+
+Ordering contract (BASELINE.json north_rule): every URL carries the
+priority tuple (prio, date_ord, jo_ord, link_ord) that encodes the
+reference's depth-first order (results page link_ord=-1 sorts before
+its case links, which sort before the next results page — O5).  Each
+host's fetches are strictly sequential inside one ``applyInPandas``
+group in that order with politeness spacing carried across waves
+(host clock in ``host_state``), so:
+
+- per-host fetch sequences sorted by priority == the reference's
+  (dedup'd) sequential order, in every mode;
+- with ``max_per_host_per_wave=1`` the *wall-clock* per-host order is
+  the reference order exactly (strict mode);
+- unrestricted waves trade wall-clock order (never cross-host
+  equality, which the reference doesn't define anyway) for full
+  fan-out throughput — cross-host parallelism is where N->4N scaling
+  comes from (the politeness budget caps each host at 5 req/s).
+
+Skew (one dominant county, SURVEY §4.3.1): the per-host group is the
+unavoidable politeness unit; everything downstream of fetch
+(expansion, dedup, parse) is re-spread via hash partitioning on
+canonical_url / doc_id, so a hot host does not produce a hot
+*processing* partition.
+
+Scale notes: the frontier/seen tables would be Iceberg, bucketed by
+``pmod(xxhash64(canonical_url), N)``; the per-wave full-state rewrite
+below becomes a MERGE on the bucket key.  Fetching real HTTP swaps
+``synth.fetch`` for a requests/aiohttp call inside the same per-host
+group — the only per-row Python in the engine, at the I/O boundary
+where each row *is* a network round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from datetime import date, timedelta
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import schemas, synth
+from ..functions.urls import canonicalize_col
+from ..sources.catalog import SnapshotTable
+from . import bloom
+
+POLITENESS_MS = 200  # scraper/__init__.py:57
+MAX_RETRIES = 5  # scraper/helpers.py:88
+
+FETCH_OUT = StructType(
+    schemas.FRONTIER.fields
+    + [
+        StructField("attempts", IntegerType(), False),
+        StructField("fetch_ts_ms", LongType(), False),
+        StructField("payload_json", StringType(), True),
+        StructField("spans_json", StringType(), True),
+    ]
+)
+
+HOST_STATE = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("clock_ms", LongType(), False),
+    ]
+)
+
+SEEN = StructType([StructField("canonical_url", StringType(), False)])
+
+_PRIO_COLS = ["prio", "date_ord", "jo_ord", "link_ord", "canonical_url"]
+
+
+def _fetch_host_group(politeness_ms: int, max_retries: int):
+    """Per-host sequential fetch with token-bucket spacing.
+
+    The row loop below is the network I/O boundary (each row is one
+    HTTP round trip in production) — the politeness semantics *are*
+    per-host sequential (helpers.py:93).  Everything around this
+    function is columnar.
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_PRIO_COLS).reset_index(drop=True)
+        clock = int(pdf["clock_ms"].iloc[0]) if pd.notna(pdf["clock_ms"].iloc[0]) else 0
+        attempts, ts, payloads, spans_out, statuses = [], [], [], [], []
+        for url in pdf["canonical_url"]:
+            page = {"status": 503}
+            n = 0
+            for attempt in range(max_retries):
+                clock += politeness_ms * (attempt + 1)  # backoff incl. first
+                page = synth.fetch(url, attempt)
+                n = attempt + 1
+                if page.get("status") != 503:
+                    break
+            ok = page.get("status") == 200
+            statuses.append("fetched" if ok else "failed")
+            attempts.append(n)
+            ts.append(clock)
+            spans = page.pop("spans", None)
+            payloads.append(json.dumps(page) if ok else None)
+            spans_out.append(json.dumps(spans) if spans is not None else None)
+        pdf = pdf.drop(columns=["clock_ms"])
+        pdf["status"] = statuses
+        pdf["attempts"] = attempts
+        pdf["fetch_ts_ms"] = ts
+        pdf["payload_json"] = payloads
+        pdf["spans_json"] = spans_out
+        return pdf
+
+    return run
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    fetched: int
+    failed: int
+    new_urls: int
+    documents: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        registry: list[dict],
+        start_date: date,
+        n_days: int,
+        politeness_ms: int = POLITENESS_MS,
+        max_retries: int = MAX_RETRIES,
+        n_buckets: int = 16,
+        bloom_bits: int = 1 << 20,
+        bloom_threshold: int = 10_000,
+        max_per_host_per_wave: int | None = None,
+        priority: str = "reference",  # 'reference' | 'recency'
+        robots_rules: dict[str, list[str]] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.registry = registry
+        self.start_date = start_date
+        self.n_days = n_days
+        self.politeness_ms = politeness_ms
+        self.max_retries = max_retries
+        self.n_buckets = n_buckets
+        self.bloom_bits = bloom_bits
+        self.bloom_threshold = bloom_threshold
+        self._seen_count = 0
+        self.max_per_host = max_per_host_per_wave
+        self.priority = priority
+        t = lambda name, schema, mode: SnapshotTable(  # noqa: E731
+            spark, os.path.join(base_dir, name), schema, mode
+        )
+        self.frontier_t = t("frontier", schemas.FRONTIER, "overwrite")
+        self.host_state_t = t("host_state", HOST_STATE, "overwrite")
+        self.seen_t = t("seen", SEEN, "append")
+        self.documents_t = t("documents", schemas.DOCUMENTS, "append")
+        self.log_t = t("fetch_log", None, "append")
+        self.metrics_t = t("metrics", None, "append")
+        # robots: compiled allow/deny prefix rules per host, broadcast
+        # as a tiny dimension (C3; absent in the reference)
+        hosts = {
+            synth.portal_host(int(r["county"].replace("county", "")))
+            for r in registry
+        }
+        rules = robots_rules or {h: synth.robots_txt(h) for h in hosts}
+        self.robots_df = spark.createDataFrame(
+            [(h, rules.get(h, [])) for h in sorted(hosts)],
+            "host string, deny array<string>",
+        )
+
+    # ------------------------------------------------------------------
+    def counties_df(self) -> DataFrame:
+        rows = [
+            (
+                r["county"],
+                ci,
+                r["portal"],
+                r["version"],
+                r.get("notes") or "",
+                synth.portal_host(int(r["county"].replace("county", ""))),
+                str(r.get("scrape", "")).lower(),
+            )
+            for ci, r in enumerate(self.registry)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "county string, county_ord int, portal string, version string,"
+            " notes string, host string, scrape string",
+        )
+
+    def seeds(self) -> DataFrame:
+        """Wave-0 frontier: login POST (when notes carry PUBLICLOGIN#,
+        scraper/__init__.py:254-263) + portal main page, per active
+        county (S1 filter, orchestrator/__init__.py:27)."""
+        c = self.counties_df().filter(F.col("scrape") == "yes")
+        main = c.select(
+            F.col("portal").alias("url"),
+            canonicalize_col(F.col("portal")).alias("canonical_url"),
+            "host",
+            "county",
+            "county_ord",
+            F.lit(1).alias("depth"),
+            F.lit(1).alias("prio"),
+            F.lit(-1).alias("date_ord"),
+            F.lit(-1).alias("jo_ord"),
+            F.lit(-1).alias("link_ord"),
+            F.lit(None).cast("date").alias("case_date"),
+            F.lit("pending").alias("status"),
+            F.lit(0).alias("wave"),
+        )
+        login = (
+            c.filter(F.col("notes").contains("PUBLICLOGIN#"))
+            .select(
+                F.concat("portal", F.lit("login.aspx")).alias("url"),
+                canonicalize_col(F.concat("portal", F.lit("login.aspx"))).alias(
+                    "canonical_url"
+                ),
+                "host",
+                "county",
+                "county_ord",
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("prio"),
+                F.lit(-1).alias("date_ord"),
+                F.lit(-1).alias("jo_ord"),
+                F.lit(-1).alias("link_ord"),
+                F.lit(None).cast("date").alias("case_date"),
+                F.lit("pending").alias("status"),
+                F.lit(0).alias("wave"),
+            )
+        )
+        return login.unionByName(main)
+
+    # ------------------------------------------------------------------
+    def _eligible(self, pending: DataFrame) -> DataFrame:
+        if self.max_per_host is None:
+            return pending
+        if self.priority == "recency":
+            order = [F.col("case_date").desc_nulls_last(), F.col("depth").asc()] + [
+                F.col(c) for c in _PRIO_COLS
+            ]
+        else:
+            order = [F.col(c) for c in _PRIO_COLS]
+        w = Window.partitionBy("host").orderBy(*order)
+        return (
+            pending.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.max_per_host)
+            .drop("__rn")
+        )
+
+    def _fetch(self, eligible: DataFrame, wave: int) -> DataFrame:
+        hs = self.spark.createDataFrame(
+            list(self._clocks.items()) or [("__none__", 0)], HOST_STATE
+        )
+        batch = eligible.join(F.broadcast(hs), "host", "left").withColumn(
+            "clock_ms", F.coalesce(F.col("clock_ms"), F.lit(0))
+        )
+        fetched = batch.groupBy("host").applyInPandas(
+            _fetch_host_group(self.politeness_ms, self.max_retries),
+            schema=FETCH_OUT,
+        )
+        return fetched.withColumn("wave", F.lit(wave)).withColumn(
+            "partition_id", F.spark_partition_id()
+        )
+
+    def _expand(self, fetched: DataFrame, wave: int) -> DataFrame:
+        """Discoveries -> candidate frontier rows (all native exprs)."""
+        c = self.counties_df().select("county", "version", "portal")
+        dates = [
+            (d, (self.start_date + timedelta(days=d)).strftime("%m/%d/%Y"))
+            for d in range(self.n_days)
+        ]
+        dates_df = self.spark.createDataFrame(dates, "date_ord int, date_str string")
+
+        base = fetched.filter(F.col("status") == "fetched")
+
+        # main page -> search URL (version branch, scraper:337-342)
+        main = (
+            base.filter(F.col("depth") == 1)
+            .join(F.broadcast(c), "county")
+            .withColumn(
+                "payload",
+                F.from_json("payload_json", "search_id INT"),
+            )
+            .select(
+                F.when(
+                    F.col("version").startswith("2017"),
+                    F.concat("portal", F.lit("Home/Dashboard/26")),
+                )
+                .otherwise(
+                    F.concat(
+                        "portal",
+                        F.lit("Search.aspx?ID="),
+                        F.col("payload.search_id").cast("string"),
+                    )
+                )
+                .alias("url"),
+                "host",
+                "county",
+                "county_ord",
+                F.lit(2).alias("depth"),
+                F.lit(2).alias("prio"),
+                F.lit(-1).alias("date_ord"),
+                F.lit(-1).alias("jo_ord"),
+                F.lit(-1).alias("link_ord"),
+                F.lit(None).cast("date").alias("case_date"),
+            )
+        )
+
+        # search page -> dates x officers results URLs (scraper:571-588)
+        jo_schema = "search_id INT, jo_list ARRAY<STRUCT<name STRING, id INT>>"
+        search = (
+            base.filter(F.col("depth") == 2)
+            .join(F.broadcast(c), "county")
+            .withColumn("payload", F.from_json("payload_json", jo_schema))
+            .select(
+                "host",
+                "county",
+                "county_ord",
+                "portal",
+                F.col("payload.search_id").alias("sid"),
+                F.posexplode("payload.jo_list").alias("jo_ord", "jo"),
+            )
+            .crossJoin(F.broadcast(dates_df))
+            .select(
+                F.concat(
+                    "portal",
+                    F.lit("Search.aspx?ID="),
+                    F.col("sid").cast("string"),
+                    F.lit("&DateFiled="),
+                    "date_str",
+                    F.lit("&JudicialOfficer="),
+                    F.col("jo.id").cast("string"),
+                ).alias("url"),
+                "host",
+                "county",
+                "county_ord",
+                F.lit(3).alias("depth"),
+                F.lit(3).alias("prio"),
+                "date_ord",
+                "jo_ord",
+                F.lit(-1).alias("link_ord"),
+                F.to_date("date_str", "MM/dd/yyyy").alias("case_date"),
+            )
+        )
+
+        # results page -> case links (DOM order), absolutize+canonicalize
+        results = (
+            base.filter(F.col("depth") == 3)
+            .join(F.broadcast(c), "county")
+            .withColumn(
+                "payload", F.from_json("payload_json", "case_links ARRAY<STRING>")
+            )
+            .select(
+                "host",
+                "county",
+                "county_ord",
+                "portal",
+                "date_ord",
+                "jo_ord",
+                "case_date",
+                F.posexplode("payload.case_links").alias("link_ord", "href"),
+            )
+            .select(
+                F.concat("portal", "href").alias("url"),
+                "host",
+                "county",
+                "county_ord",
+                F.lit(4).alias("depth"),
+                F.lit(3).alias("prio"),  # shares class 3 with results (O5)
+                "date_ord",
+                "jo_ord",
+                "link_ord",
+                "case_date",
+            )
+        )
+
+        cand = main.unionByName(search).unionByName(results)
+        return cand.withColumn("canonical_url", canonicalize_col(F.col("url"))).withColumn(
+            "status", F.lit("pending")
+        ).withColumn("wave", F.lit(wave + 1))
+
+    def _dedup(self, candidates: DataFrame) -> DataFrame:
+        """Within-batch first-discovery dedup + robots + bloom seen."""
+        w = Window.partitionBy("canonical_url").orderBy(
+            "county_ord", "prio", "date_ord", "jo_ord", "link_ord"
+        )
+        cand = (
+            candidates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # robots deny-prefix filter on the path (C3)
+        path = F.regexp_replace("canonical_url", "^[a-z]+://[^/]*", "")
+        cand = (
+            cand.join(F.broadcast(self.robots_df), "host", "left")
+            .withColumn("__path", path)
+            .filter(
+                F.col("deny").isNull()
+                | ~F.exists(
+                    "deny", lambda p: F.col("__path").startswith(p)
+                )
+            )
+            .drop("deny", "__path")
+        )
+        seen = self.seen_t.read()
+        if seen is None:
+            return cand
+        # Adaptive seen-filter: below the threshold a plain exact
+        # anti-join is cheaper than building+probing blooms (3 extra
+        # exchanges); above it — the 10^10-URL regime — the partitioned
+        # bloom pre-filter keeps the anti-join shuffle to bloom
+        # positives only (true dups + fp rate).
+        if self._seen_count <= self.bloom_threshold:
+            return cand.join(seen, "canonical_url", "left_anti")
+        return bloom.filter_new(
+            cand, seen, "canonical_url", self.n_buckets, self.bloom_bits
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, max_waves: int = 200, verbose: bool = False) -> list[WaveStats]:
+        stats: list[WaveStats] = []
+        t_last = time.time()
+
+        def mark(label: str) -> None:
+            nonlocal t_last
+            if verbose:
+                now = time.time()
+                print(f"    [{label}] {now - t_last:.2f}s", flush=True)
+                t_last = now
+        frontier = self.frontier_t.read()
+        if frontier is None:
+            seeds = self.seeds().cache()
+            self.frontier_t.write(seeds, {"wave": -1, "event": "seed"})
+            self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
+            frontier = self.frontier_t.read()
+        # resume: pending rows are tagged with the wave that enqueued
+        # them; continue numbering from there (fresh seed -> wave 0)
+        wave = frontier.agg(F.max("wave")).collect()[0][0] or 0
+        # politeness clocks: in-memory during the run, checkpointed per
+        # wave, reloaded on resume
+        self._clocks = {
+            r["host"]: r["clock_ms"]
+            for r in self.host_state_t.read_or_empty().collect()
+            if r["host"] != "__none__"
+        }
+        self._seen_count = self.seen_t.read_or_empty().count()
+        while wave < max_waves:
+            frontier = self.frontier_t.read()
+            pending = frontier.filter(F.col("status") == "pending")
+            if pending.isEmpty():
+                break
+            mark("read+isEmpty")
+            eligible = self._eligible(pending).cache()
+            fetched = self._fetch(eligible, wave).cache()
+            # ONE action materializes the cache and yields wave stats +
+            # per-host clocks (hosts are bounded — the registry — so a
+            # driver-side merge is fine even at 10^5 hosts)
+            summary = (
+                fetched.groupBy(
+                    "status", (F.col("depth") == 4).alias("is_case"), "host"
+                )
+                .agg(F.count(F.lit(1)).alias("n"), F.max("fetch_ts_ms").alias("clock"))
+                .collect()
+            )
+            n_fetched = sum(r["n"] for r in summary if r["status"] == "fetched")
+            n_failed = sum(r["n"] for r in summary if r["status"] == "failed")
+            n_docs = sum(
+                r["n"] for r in summary if r["status"] == "fetched" and r["is_case"]
+            )
+            clocks: dict[str, int] = {}
+            for r in summary:
+                clocks[r["host"]] = max(clocks.get(r["host"], 0), r["clock"])
+            mark("fetch")
+
+            candidates = self._expand(fetched, wave)
+            new_pending = self._dedup(candidates).cache()
+            n_new = new_pending.count()
+            mark("expand+dedup+counts")
+
+            # documents append (S6 sink): case pages -> span rows
+            docs = (
+                fetched.filter(
+                    (F.col("depth") == 4) & (F.col("status") == "fetched")
+                )
+                .select(
+                    F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias(
+                        "doc_id"
+                    ),
+                    "county",
+                    F.from_json(
+                        "spans_json",
+                        "ARRAY<STRUCT<kind STRING, text STRING,"
+                        " media_ref STRING, offset INT>>",
+                    ).alias("spans"),
+                )
+            )
+            mark("docs")
+            if n_docs:
+                self.documents_t.write(docs, {"wave": wave})
+
+            # frontier state transition: replace eligible rows with their
+            # fetched/failed versions, add the new pending rows
+            froncols = [f.name for f in schemas.FRONTIER.fields]
+            remaining = frontier.join(
+                eligible.select("canonical_url"), "canonical_url", "left_anti"
+            ).select(*froncols)
+            new_frontier = (
+                remaining.unionByName(fetched.select(*froncols))
+                .unionByName(new_pending.select(*froncols))
+            )
+            self.frontier_t.write(new_frontier, {"wave": wave})
+            mark("frontier write")
+            if n_new:
+                self.seen_t.write(
+                    new_pending.select("canonical_url"), {"wave": wave}
+                )
+                self._seen_count += n_new
+
+            # host clocks carry politeness budget across waves
+            # (merged driver-side from the wave summary collect)
+            for h, c in clocks.items():
+                self._clocks[h] = max(self._clocks.get(h, 0), c)
+            self.host_state_t.write(
+                self.spark.createDataFrame(
+                    list(self._clocks.items()) or [("__none__", 0)], HOST_STATE
+                ),
+                {"wave": wave},
+            )
+            mark("host_state")
+
+            # fetch log + per-partition lineage metrics (C6)
+            self.log_t.write(
+                fetched.select(
+                    "host",
+                    "canonical_url",
+                    "county",
+                    "county_ord",
+                    "depth",
+                    "prio",
+                    "date_ord",
+                    "jo_ord",
+                    "link_ord",
+                    "status",
+                    "attempts",
+                    "fetch_ts_ms",
+                    "wave",
+                    "partition_id",
+                ),
+                {"wave": wave},
+            )
+            lineage = (
+                fetched.groupBy("wave", "partition_id", "status")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("attempts").alias("attempts"))
+            )
+            self.metrics_t.write(lineage, {"wave": wave})
+            mark("log+metrics")
+
+            stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
+            eligible.unpersist()
+            fetched.unpersist()
+            new_pending.unpersist()
+            wave += 1
+        return stats
+
+    # ------------------------------------------------------------------
+    # equality-check accessors
+    def fetch_log(self) -> DataFrame:
+        return self.log_t.read_or_empty()
+
+    def priority_sorted_log(self) -> list[tuple[str, str]]:
+        """[(host, canonical_url)] in the reference's logical order."""
+        rows = (
+            self.fetch_log()
+            .orderBy("county_ord", "prio", "date_ord", "jo_ord", "link_ord")
+            .select("host", "canonical_url")
+            .collect()
+        )
+        return [(r["host"], r["canonical_url"]) for r in rows]
+
+    def wallclock_host_sequences(self) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for r in self.fetch_log().orderBy("fetch_ts_ms").collect():
+            out.setdefault(r["host"], []).append(r["canonical_url"])
+        return out
+
+    def seen_urls(self) -> set[str]:
+        return {
+            r["canonical_url"]
+            for r in self.seen_t.read_or_empty().distinct().collect()
+        }
+
+    def documents(self) -> DataFrame:
+        return self.documents_t.read_or_empty()
+
+
+def bench_crawl_throughput(
+    spark: SparkSession,
+    n_counties: int = 24,
+    n_days: int = 4,
+    base_dir: str | None = None,
+) -> float:
+    """Fetched+parsed URLs/sec on the synthetic frontier (the
+    BASELINE.json headline metric), full wave fan-out."""
+    import shutil
+    import tempfile
+
+    from ..operators.parse import parse_documents
+
+    d = base_dir or tempfile.mkdtemp(prefix="ids-crawl-bench-")
+    try:
+        eng = CrawlEngine(
+            spark,
+            d,
+            synth.make_registry(n_counties, n_scrape=n_counties),
+            date(2024, 7, 1),
+            n_days,
+        )
+        t0 = time.time()
+        stats = eng.run()
+        docs = eng.documents()
+        parsed = parse_documents(docs)
+        n_parsed = parsed.filter("parse_error IS NULL").count()
+        elapsed = time.time() - t0
+        n_fetched = sum(s.fetched + s.failed for s in stats)
+        return (n_fetched + n_parsed) / elapsed
+    finally:
+        if base_dir is None:
+            shutil.rmtree(d, ignore_errors=True)

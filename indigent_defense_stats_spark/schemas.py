@@ -73,22 +73,23 @@ COUNTIES = StructType(
 # ---------------------------------------------------------------------------
 FRONTIER = StructType(
     [
-        StructField("url", StringType(), False),
-        StructField("canonical_url", StringType(), False),
+        StructField("url", StringType(), False),  # as discovered
+        StructField("canonical_url", StringType(), False),  # dedup/fetch key
         StructField("host", StringType(), False),
         StructField("county", StringType(), False),
-        StructField("depth", IntegerType(), False),  # 0 search,1 results,2 case
-        StructField("case_date", DateType(), True),  # priority key
-        StructField("jo_id", StringType(), True),  # judicial officer
-        StructField("jo_ord", IntegerType(), True),
-        StructField("link_ord", IntegerType(), True),
-        StructField("county_ord", IntegerType(), True),
-        StructField("date_ord", IntegerType(), True),
-        StructField("status", StringType(), False),  # pending|fetched|parsed|failed
-        StructField("wave", IntegerType(), False),
-        StructField("attempt", IntegerType(), False),
-        StructField("fetch_ts_ms", LongType(), True),  # politeness schedule slot
-        StructField("partition_id", IntegerType(), True),  # lineage
+        StructField("county_ord", IntegerType(), False),
+        # depth: 0 login, 1 main, 2 search, 3 results, 4 case-detail
+        StructField("depth", IntegerType(), False),
+        # prio class: 0 login, 1 main, 2 search, 3 results+case (results
+        # carry link_ord=-1 so a page's cases sort between it and the
+        # next results page — the reference's DFS order, O5)
+        StructField("prio", IntegerType(), False),
+        StructField("date_ord", IntegerType(), False),
+        StructField("jo_ord", IntegerType(), False),
+        StructField("link_ord", IntegerType(), False),
+        StructField("case_date", DateType(), True),  # north_star recency prio
+        StructField("status", StringType(), False),  # pending|fetched|failed
+        StructField("wave", IntegerType(), False),  # wave enqueued
     ]
 )
 

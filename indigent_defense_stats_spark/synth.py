@@ -207,6 +207,39 @@ def cases_for(i: int, day_ord: int, jo_ord: int) -> list[str]:
     return picks
 
 
+def case_links(i: int, day_ord: int, jo_ord: int) -> list[str]:
+    """Relative case-detail hrefs in DOM order, with deterministic
+    tracking-param / fragment noise so URL canonicalization is
+    load-bearing (reference hrefs: scraper/hays.py:10-13)."""
+    links = []
+    for k, cid in enumerate(cases_for(i, day_ord, jo_ord)):
+        r = _rng("link", i, day_ord, jo_ord, k)
+        href = f"CaseDetail.aspx?CaseID={cid}"
+        if r.random() < 0.4:
+            href += "&ref=results"
+        if r.random() < 0.3:
+            href += f"#row{k}"
+        links.append(href)
+    return links
+
+
+def transient_failures(url: str) -> int:
+    """Deterministic number of failing attempts before success:
+    ~1/7 of URLs fail once then succeed (exercises the retry/backoff
+    budget, scraper/helpers.py:88-125)."""
+    from .functions.hashing import xxh64_int
+
+    return 1 if xxh64_int(url.encode("utf-8")) % 7 == 0 else 0
+
+
+def robots_txt(host: str) -> list[str]:
+    """Disallow prefixes for a host (north-rule robots compliance).
+    The default synthetic rules never match crawlable URLs, so
+    reference parity is preserved; the robots filter itself is
+    exercised by dedicated tests with contrived rules."""
+    return ["/admin", "/internal"]
+
+
 def _noisy(r: random.Random, s: str) -> str:
     """Inject the \xa0 / Â artifacts the reference scrubs (hays.py:22)."""
     roll = r.random()
@@ -416,16 +449,21 @@ def make_charge_dim() -> list[dict]:
 # fetch — the synthetic portal's single entry point
 # ---------------------------------------------------------------------------
 
-def fetch(url: str) -> dict:
+def fetch(url: str, attempt: int = 0) -> dict:
     """Deterministic synthetic fetch.  Stands in for the HTTP layer
     (scraper/helpers.py:80-126); both the Spark fetch UDF and the
     sequential oracle call this same function, so content equality is
     exact by construction and the comparison tests exercise ordering,
     dedup and parse — the engine's actual logic.
+
+    ``attempt`` models retries: URLs with pending
+    :func:`transient_failures` return 503 until enough attempts.
     """
     import re
     from datetime import datetime
 
+    if attempt < transient_failures(url):
+        return {"kind": "retry", "status": 503}
     m = re.match(r"http://portal-(\d+)\.example(/.*)", url)
     if not m:
         return {"kind": "error", "status": 404}
@@ -440,8 +478,9 @@ def fetch(url: str) -> dict:
         return {
             "kind": "search",
             "status": 200,
+            "search_id": search_id(i),
             "hidden": {"NodeID": f"{100+i}", "NodeDesc": f"All Courts {i}"},
-            "jo_list": jo_list(i),
+            "jo_list": [{"name": n, "id": j} for n, j in jo_list(i)],
         }
     if "DateFiled" in path:
         q = dict(p.split("=", 1) for p in path.split("?", 1)[1].split("&"))
@@ -455,9 +494,15 @@ def fetch(url: str) -> dict:
         return {
             "kind": "results",
             "status": 200,
-            "case_ids": cases_for(i, day_ord, jo_ord),
+            "case_links": case_links(i, day_ord, jo_ord),
         }
-    m2 = re.match(r"/CaseDetail\.aspx\?CaseID=(\d+)", path)
-    if m2:
-        return {"kind": "case", "status": 200, "spans": case_spans(i, m2.group(1))}
+    if path.startswith("/CaseDetail.aspx?"):
+        q = dict(
+            p.split("=", 1)
+            for p in path.split("?", 1)[1].split("&")
+            if "=" in p
+        )
+        cid = q.get("CaseID")
+        if cid and cid.isdigit():
+            return {"kind": "case", "status": 200, "spans": case_spans(i, cid)}
     return {"kind": "error", "status": 404}

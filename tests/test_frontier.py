@@ -1,0 +1,151 @@
+"""Crawl engine vs sequential oracle: ordering, seen-set, politeness,
+dedup, robots, resume — the BASELINE.json north_rule checks."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from indigent_defense_stats_spark import oracle, synth
+from indigent_defense_stats_spark.plans.frontier import CrawlEngine
+
+START = date(2024, 7, 1)
+
+
+@pytest.fixture(scope="module")
+def world():
+    reg = synth.make_registry(3, n_scrape=2)
+    return reg, oracle.crawl(reg, START, 2)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory, world):
+    reg, _ = world
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("crawl")),
+        reg,
+        START,
+        2,
+        n_buckets=4,
+        bloom_threshold=0,  # force the partitioned-bloom dedup path
+    )
+    eng.run()
+    return eng
+
+
+def test_url_seen_set_equality(engine, world):
+    _, log = world
+    assert {u for _, u in engine.priority_sorted_log()} == {
+        f["url"] for f in log.fetches
+    }
+    # engine seen table covers every fetched URL
+    assert {f["url"] for f in log.fetches} <= engine.seen_urls()
+
+
+def test_per_host_priority_order_equals_reference(engine, world):
+    _, log = world
+    ps = engine.priority_sorted_log()
+    for host in sorted({h for h, _ in ps}):
+        eng_seq = [u for h, u in ps if h == host]
+        assert eng_seq == log.host_sequence(host, dedup=True), host
+
+
+def test_each_url_fetched_exactly_once(engine):
+    rows = engine.fetch_log().collect()
+    urls = [r["canonical_url"] for r in rows]
+    assert len(urls) == len(set(urls))
+
+
+def test_politeness_budget_parity(engine, world):
+    """Per-host inter-fetch gaps (incl. retry backoff) must equal the
+    oracle's — same politeness budget, same backoff schedule."""
+    _, log = world
+    seqs = engine.wallclock_host_sequences()
+    eng_rows = {}
+    for r in engine.fetch_log().collect():
+        eng_rows.setdefault(r["host"], []).append(
+            (r["fetch_ts_ms"], r["canonical_url"], r["attempts"])
+        )
+    for host, rows in eng_rows.items():
+        rows.sort()
+        gaps = [rows[0][0]] + [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        # every gap respects the budget: >= 200ms * attempts triangular
+        for (ts, url, attempts), gap in zip(rows, gaps):
+            expect = sum(
+                oracle.POLITENESS_MS * (k + 1) for k in range(attempts)
+            )
+            assert gap >= expect, (host, url)
+    # retries actually happen in this world
+    assert any(r["attempts"] > 1 for r in engine.fetch_log().collect())
+
+
+def test_documents_span_equality(engine, world):
+    _, log = world
+    eng_docs = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in engine.documents().collect()
+    }
+    ora_docs = {
+        cid: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for cid, (county, spans) in log.documents.items()
+    }
+    assert eng_docs == ora_docs
+
+
+def test_strict_mode_wallclock_order(spark, tmp_path):
+    """max_per_host_per_wave=1 -> per-host wall-clock order IS the
+    reference sequential order (SURVEY O5 degeneration requirement)."""
+    reg = synth.make_registry(2, n_scrape=1)
+    log = oracle.crawl(reg, START, 1)
+    eng = CrawlEngine(
+        spark, str(tmp_path), reg, START, 1, n_buckets=2, max_per_host_per_wave=1
+    )
+    eng.run(max_waves=100)
+    seqs = eng.wallclock_host_sequences()
+    for host, seq in seqs.items():
+        assert seq == log.host_sequence(host, dedup=True), host
+
+
+def test_robots_filter(spark, tmp_path):
+    """Contrived deny rule suppresses case-detail fetches for one host."""
+    reg = synth.make_registry(2, n_scrape=2)
+    h0 = synth.portal_host(0)
+    h1 = synth.portal_host(1)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        reg,
+        START,
+        1,
+        n_buckets=2,
+        robots_rules={h0: ["/CaseDetail.aspx"], h1: []},
+    )
+    eng.run()
+    log = eng.fetch_log().collect()
+    case_hosts = {r["host"] for r in log if r["depth"] == 4}
+    assert h0 not in case_hosts
+    assert h1 in case_hosts
+
+
+def test_resume_mid_frontier(spark, tmp_path, world):
+    """Kill after 2 waves; a new engine resumes from the checkpoint and
+    finishes; no URL is ever fetched twice; final state equals the
+    uninterrupted run."""
+    reg, log = world
+    eng1 = CrawlEngine(spark, str(tmp_path), reg, START, 2, n_buckets=4)
+    eng1.run(max_waves=2)
+    mid_count = eng1.fetch_log().count()
+    assert mid_count > 0
+    eng2 = CrawlEngine(spark, str(tmp_path), reg, START, 2, n_buckets=4)
+    eng2.run()
+    urls = [r["canonical_url"] for r in eng2.fetch_log().collect()]
+    assert len(urls) == len(set(urls)), "re-fetch after resume"
+    assert set(urls) == {f["url"] for f in log.fetches}
+    ps = eng2.priority_sorted_log()
+    for host in sorted({h for h, _ in ps}):
+        assert [u for h, u in ps if h == host] == log.host_sequence(host), host
