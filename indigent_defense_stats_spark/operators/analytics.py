@@ -1,0 +1,103 @@
+"""Analytics exports over parsed case records.
+
+Mirrors /root/reference/src/tools/build_event_csv.py and
+print_stats.py as DataFrame programs:
+
+- :func:`events_flat` — case -> one row per event, inheriting case
+  demographics (J6 denormalize via posexplode: parent columns ride
+  along, NO join/shuffle), with event_id (W1), first_event_date +
+  days_elapsed (W2) computed from the in-array order — the reference
+  iterates ``other events and hearings`` in stored order
+  (build_event_csv.py:70-89)
+- :func:`charges_flat` — one row per charge (build_event_csv.py:92-107)
+- :func:`top5_by` — top-N cases by a count metric (print_stats.py:32-47)
+- :func:`case_stats` — mean/median/mode (print_stats.py:41-47)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def events_flat(records: DataFrame) -> DataFrame:
+    first_date = F.to_date(F.element_at(F.col("other_events"), 1)[0], "MM/dd/yyyy")
+    e = records.filter(
+        F.col("other_events").isNotNull() & (F.size("other_events") > 0)
+    ).select(
+        F.col("odyssey_id").alias("case_id"),
+        F.col("code").alias("case_number"),
+        F.col("defendant.appointed_or_retained").alias("attorney"),
+        F.col("defendant.sex").alias("gender"),
+        F.col("defendant.race").alias("race"),
+        F.col("defendant.defense_attorney").alias("defense_attorney"),
+        first_date.alias("first_event_date_d"),
+        F.posexplode("other_events").alias("pos", "ev"),
+    )
+    ev_date = F.to_date(F.col("ev")[0], "MM/dd/yyyy")
+    return e.select(
+        (F.col("pos") + 1).alias("event_id"),
+        F.date_format(ev_date, "yyyy-MM-dd").alias("event_date"),
+        F.date_format("first_event_date_d", "yyyy-MM-dd").alias("first_event_date"),
+        F.datediff(ev_date, F.col("first_event_date_d")).alias("days_elapsed"),
+        F.col("ev")[1].alias("event_name"),
+        "attorney",
+        "case_id",
+        "case_number",
+        "defense_attorney",
+        "race",
+        "gender",
+    )
+
+
+def charges_flat(records: DataFrame) -> DataFrame:
+    c = records.filter(F.col("charges").isNotNull()).select(
+        F.col("odyssey_id").alias("case_id"),
+        F.col("code").alias("case_number"),
+        F.posexplode("charges").alias("pos", "ch"),
+    )
+    dt = F.to_date(F.col("ch.date"), "MM/dd/yyyy")
+    return c.select(
+        (F.col("pos") + 1).alias("charge_id"),
+        F.coalesce(F.col("ch.charges"), F.lit("")).alias("charge_name"),
+        F.coalesce(F.col("ch.statute"), F.lit("")).alias("statute"),
+        F.coalesce(F.col("ch.level"), F.lit("")).alias("level"),
+        F.coalesce(F.date_format(dt, "yyyy-MM-dd"), F.lit("")).alias("charge_date"),
+        "case_id",
+        "case_number",
+    )
+
+
+def top5_by(records: DataFrame, metric: str) -> DataFrame:
+    """Top-5 cases by a nested-array count: metric in
+    {'dispositions','charges','events'} (print_stats.py:50-63)."""
+    col = {
+        "dispositions": F.size(F.coalesce("dispositions", F.array())),
+        "charges": F.size(F.coalesce("charges", F.array())),
+        "events": F.size(F.coalesce("other_events", F.array())),
+    }[metric]
+    return (
+        records.select("odyssey_id", col.alias("n"))
+        .orderBy(F.desc("n"), F.asc("odyssey_id"))
+        .limit(5)
+    )
+
+
+def case_stats(records: DataFrame) -> DataFrame:
+    """mean/median/mode of per-case charge counts (print_stats.py:41-47);
+    mode deterministic as smallest-most-frequent."""
+    counts = records.select(
+        "odyssey_id", F.size(F.coalesce("charges", F.array())).alias("n")
+    )
+    mode_df = (
+        counts.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("n"))
+        .limit(1)
+        .select(F.col("n").alias("mode_charges"))
+    )
+    return counts.agg(
+        F.round(F.avg("n"), 4).alias("mean_charges"),
+        F.expr("percentile(n, 0.5)").alias("median_charges"),
+        F.count(F.lit(1)).alias("n_cases"),
+    ).crossJoin(mode_df)

@@ -1,0 +1,75 @@
+"""Publish stage: content-hash dedup + versioned upsert.
+
+Mirrors /root/reference/src/updater/__init__.py:69-129 as a set-based
+MERGE instead of a per-file loop:
+
+- skip any incoming record whose ``html_hash`` already exists in the
+  target (hash anti-join, J4 — the content-seen filter);
+- surviving records get ``version = max(existing same case_number)+1``
+  (J5/A5), with within-batch ordering by html_hash so a batch carrying
+  several new versions of one case is deterministic;
+- ``id`` is the reference's concatenation (updater:118).
+
+On Iceberg this is a single ``MERGE INTO`` on (case_number, html_hash);
+here the target is a SnapshotTable and the merge is explicit.  The
+version window shuffles only the incoming batch (small); the target
+max-version aggregate prunes to the join keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..sources.catalog import SnapshotTable
+
+
+def publish(
+    cleaned: DataFrame,
+    target: SnapshotTable,
+    today: str,
+) -> DataFrame:
+    """Insert new versions of *cleaned* into *target*; returns the rows
+    inserted (with id + version).  ``today`` is MM-DD-YYYY, injected for
+    determinism (reference uses wall-clock, updater:117)."""
+    existing = target.read()
+    incoming = cleaned
+    # within-batch hash dedup as well (the reference would skip the
+    # second file with the same hash once the first inserted)
+    incoming = incoming.dropDuplicates(["html_hash"])
+    if existing is not None and not existing.isEmpty():
+        incoming = incoming.join(
+            existing.select("html_hash"), "html_hash", "left_anti"
+        )
+        base_versions = existing.groupBy("case_number").agg(
+            F.max("version").alias("base_version")
+        )
+    else:
+        base_versions = None
+
+    w = Window.partitionBy("case_number").orderBy("html_hash")
+    versioned = incoming.withColumn("batch_seq", F.row_number().over(w))
+    if base_versions is not None:
+        versioned = versioned.join(base_versions, "case_number", "left")
+    else:
+        versioned = versioned.withColumn("base_version", F.lit(None).cast("int"))
+    out = versioned.withColumn(
+        "version",
+        (F.coalesce(F.col("base_version"), F.lit(0)) + F.col("batch_seq")).cast(
+            "int"
+        ),
+    ).withColumn(
+        "id",
+        F.concat(
+            F.col("case_number"),
+            F.lit(":"),
+            F.col("county"),
+            F.lit(":"),
+            F.lit(today),
+            F.col("html_hash"),
+        ),
+    ).drop("batch_seq", "base_version")
+    if out.isEmpty():
+        return out
+    target.write(out, {"event": "publish"})
+    return out

@@ -412,13 +412,14 @@ def clean_case(case: dict, charge_dim: list[dict], parsing_date: str) -> dict:
     ]
     dfd = case.get("defendant") or {}
     atty = f'{dfd.get("defense_attorney")}:{dfd.get("defense_attorney_phone_number")}'
+    atty_hash = xxh64_hexdigest(atty) if dfd else ""
     return {
         "case_number": case["odyssey_id"],
         "parsing_date": parsing_date,
         "html_hash": case["html_hash"],
         "county": case["county"],
         "appointed_or_retained": dfd.get("appointed_or_retained"),
-        "defense_attorney_hash": xxh64_hexdigest(atty),
+        "defense_attorney_hash": atty_hash,
         "charges": charges_out,
         "earliest_charge_date": earliest,
         "has_evidence_of_representation": len(good) > 0,
