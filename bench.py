@@ -61,19 +61,16 @@ def main() -> None:
         results[name] = round(time.time() - t0, 3)
 
     extra = {}
-    try:
-        from indigent_defense_stats_spark.plans import frontier as fr
+    if os.environ.get("SPARK_GRAFT_SKIP_CRAWL_BENCH") != "1":
+        try:
+            from indigent_defense_stats_spark.plans import frontier as fr
 
-        tput = fr.bench_crawl_throughput(spark)
-        extra["crawl_urls_per_sec"] = round(tput, 1)
-        results["crawl_wave_loop"] = round(extra["crawl_urls_per_sec"] and
-                                           extra.get("crawl_elapsed_sec", 0) or 0, 3)
-        if "crawl_elapsed_sec" in extra:
-            results["crawl_wave_loop"] = extra["crawl_elapsed_sec"]
-    except ImportError:
-        pass
-    except Exception as ex:  # never let the crawl bench break the report
-        extra["crawl_error"] = str(ex)[:200]
+            t0 = time.time()
+            tput = fr.bench_crawl_throughput(spark)
+            extra["crawl_urls_per_sec"] = round(tput, 1)
+            results["crawl_wave_loop"] = round(time.time() - t0, 3)
+        except Exception as ex:  # never let the crawl bench break the report
+            extra["crawl_error"] = str(ex)[:200]
 
     total = round(sum(results.values()), 3)
     out = {

@@ -1,0 +1,281 @@
+"""Deduplication suite over the ``documents`` table (training-data layer).
+
+Four families, exact -> approximate, each the standard large-corpus
+technique:
+
+- :func:`exact_dedup_docs` — content-hash groupBy (the classic first
+  pass; md5 so the DuckDB oracle hashes identically)
+- :func:`ngram_jaccard_pairs` — EXACT near-dup pairs via an inverted
+  shingle index self-join (candidates = pairs sharing >=1 shingle,
+  which is every pair with Jaccard > 0 — exhaustive), then exact
+  Jaccard from intersection counts.  Oracle-checked.
+- :func:`minhash_signatures` + :func:`minhash_lsh_neardup` — the scale
+  path: k=8 portable md5-based minhashes; LSH banding (4 bands x 2
+  rows) buckets candidates, exact-Jaccard verification filters false
+  positives (output precision 1.0; recall tested vs the exact method).
+  Signatures are oracle-checked; the LSH pair set is probabilistic in
+  *recall*, so it is registered rows-only.
+- :func:`simhash_buckets` — 16-bit token simhash; identical-signature
+  grouping (rows-only; properties tested in pytest).
+
+Scale notes: the inverted-index join's hot keys are high-document-
+frequency shingles (cost ~ sum(df^2)); at 100 TB you cap df or go
+straight to minhash-LSH (provided).  The LSH path shuffles only
+(band, bucket) pairs — linear in corpus size — then verifies a
+candidate set ~ the true-duplicate count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from .textstats import md5_int
+
+JACCARD_THRESHOLD = 0.8
+N_MINHASH = 8
+LSH_BANDS = 4  # x 2 rows/band
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles() -> Column:
+    """Distinct word 3-gram shingles, document order irrelevant."""
+    t = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
+        ),
+    )
+    return F.when(F.size(t) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: keeper = min doc_id per md5(text) (D2
+    shape, updater/__init__.py:92-105)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", _shingles().alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=t near-dup pairs via inverted-index self-join."""
+    ex = _shingle_index(spark, sf_dir)
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.n").alias("n1"),
+            F.max("b.n").alias("n2"),
+        )
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    ).cast("double")
+    return pairs.select(
+        "d1", "d2", F.round(j, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+MH_MOD = 2_147_483_647  # 2^31-1; affine family (a*h+b) mod p, one md5/shingle
+MH_A = [131, 313, 571, 787, 1019, 1249, 1471, 1693]
+MH_B = [17, 29, 43, 59, 73, 89, 101, 113]
+
+
+def _affine_fn(a: int, b: int):
+    # must stay unary: a 2-arg lambda would be treated by F.transform
+    # as an (element, index) function
+    def f(h: Column) -> Column:
+        return (F.lit(a) * h + F.lit(b)) % F.lit(MH_MOD)
+
+    return f
+
+
+def _mh_cols() -> list[Column]:
+    hs = F.transform(_shingles(), lambda s: md5_int(s) % MH_MOD)
+    cols = []
+    for i in range(N_MINHASH):
+        h = F.array_min(F.transform(hs, _affine_fn(MH_A[i], MH_B[i])))
+        cols.append(F.coalesce(h, F.lit(-1)).alias(f"mh{i}"))
+    return cols
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 minhash signature per doc (portable md5-int hash family)."""
+    return _docs(spark, sf_dir).select("doc_id", *_mh_cols())
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed candidates (4 bands x 2 rows) -> exact-Jaccard
+    verification at t=0.8.  Precision 1.0 by construction; recall
+    1-(1-t^2)^4 ~ 0.983 at the threshold (tested vs the exact pairs)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for bnd in range(LSH_BANDS):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.concat_ws(
+                    ":", F.col(f"mh{2*bnd}"), F.col(f"mh{2*bnd+1}")
+                ).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification of the candidate set only
+    ex = _shingle_index(spark, sf_dir)
+    inter = (
+        cand.join(ex.alias("ea"), F.col("d1") == F.col("ea.doc_id"))
+        .join(
+            ex.alias("eb"),
+            (F.col("d2") == F.col("eb.doc_id"))
+            & (F.col("ea.s") == F.col("eb.s")),
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("ea.n").alias("n1"),
+            F.max("eb.n").alias("n2"),
+        )
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    ).cast("double")
+    return inter.select("d1", "d2", F.round(j, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit token simhash; groups sharing a signature are dup buckets."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    d = d.withColumn("h", md5_int(F.col("tok")))
+    bit_sums = d.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(16)
+        ).alias("simhash"),
+    )
+    return (
+        sim.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+QUERIES = {
+    "exact_dedup_docs": exact_dedup_docs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_neardup": minhash_lsh_neardup,  # rows-only (recall<1)
+    "simhash_buckets": simhash_buckets,  # rows-only
+}
+
+_SQL_SH = """
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(string_split(lower(text),' '))-2),
+                     i -> string_split(lower(text),' ')[i] || ' ' ||
+                          string_split(lower(text),' ')[i+1] || ' ' ||
+                          string_split(lower(text),' ')[i+2]))
+              ELSE [] END AS shingles
+  FROM documents
+"""
+
+ORACLE_SQL = {
+    "exact_dedup_docs": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS ({_SQL_SH}),
+        ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                   max(a.n) AS n1, max(b.n) AS n2
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+    """,
+    "minhash_signatures": f"""
+        WITH sh AS ({_SQL_SH}),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(shingles,
+                       s -> ('0x' || left(md5(s), 15))::BIGINT
+                            % {MH_MOD}) AS h
+            FROM sh
+        )
+        SELECT doc_id,
+        {",".join(
+            f'''coalesce(list_min(list_transform(h,
+                x -> ({MH_A[i]} * x + {MH_B[i]}) % {MH_MOD})), -1) AS mh{i}'''
+            for i in range(N_MINHASH)
+        )}
+        FROM hs
+    """,
+}

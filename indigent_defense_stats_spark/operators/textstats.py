@@ -1,0 +1,187 @@
+"""Text analysis over the ``documents`` table (training-data layer).
+
+Token counting, quality scoring, language-ID heuristic, and document
+fingerprinting — all as native column expressions (JVM, whole-stage
+codegen; zero Python).  Every query has a DuckDB oracle computing the
+same formula, so the driver's value-hash check is exact:
+
+- float discipline: scores are single divisions/products of exact
+  integers -> bit-identical across engines; rounded anyway
+- hashing discipline: the only portable cross-engine hash is md5, so
+  integer hashes are ``bigint(first 15 hex digits of md5)`` on both
+  sides (Spark ``conv``, DuckDB ``('0x'||left(..))::BIGINT``)
+
+Scale notes: all per-document — no shuffle except final aggregates;
+filters/projections push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+EN_STOP = ["the", "a", "of", "and", "to", "is", "in"]
+ES_STOP = ["el", "la", "de", "que", "y", "en"]
+FR_STOP = ["le", "les", "des", "et", "un", "une"]
+DE_STOP = ["der", "die", "das", "und", "ist"]
+
+MOD = 1_000_000_007
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def md5_int(c: Column) -> Column:
+    """Portable 60-bit integer hash: bigint of md5's first 15 hex chars."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lits, t)))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-doc counts (BPE-ish regex token
+    count included: alnum runs + single punctuation, the common
+    pre-tokenizer shape)."""
+    t = _tokens()
+    # BPE-ish pre-tokenizer: alnum runs or single non-space symbols
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_engine"),
+        bpe.alias("n_bpeish_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/type-token quality heuristics (the standard
+    pretraining quality-filter features)."""
+    t = _tokens()
+    n = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    stop = _hits(t, EN_STOP)
+    ttr = uniq.cast("double") / n.cast("double")
+    stop_ratio = stop.cast("double") / n.cast("double")
+    len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_score * ttr, 6).alias("quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/charset language heuristic; deterministic priority
+    tiebreak (zh charset > en > es > fr > de > unknown)."""
+    t = _tokens()
+    en, es, fr, de = (_hits(t, s) for s in (EN_STOP, ES_STOP, FR_STOP, DE_STOP))
+    zh = F.length(F.regexp_replace(F.col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+    pred = (
+        F.when(zh > 0, "zh")
+        .when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
+        .when((es >= fr) & (es >= de) & (es > 0), "es")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint: fold (h*31 + md5int(token))
+    mod p over the token sequence, plus the md5 content hash."""
+    t = _tokens()
+    rolling = F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: (acc * 31 + md5_int(tok) % MOD) % MOD,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_SQL_TOKENS = "string_split(lower(text), ' ')"
+
+
+def _sql_hits(words: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_SQL_TOKENS}, t -> list_contains({arr}, t)))"
+
+
+ORACLE_SQL = {
+    "token_stats": f"""
+        SELECT doc_id,
+               len({_SQL_TOKENS}) AS n_tokens,
+               len(list_distinct({_SQL_TOKENS})) AS n_unique_tokens,
+               length(text) AS n_chars_engine,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_bpeish_tokens
+        FROM documents
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               round(len(list_distinct({_SQL_TOKENS})) * 1.0
+                     / len({_SQL_TOKENS}), 6) AS type_token_ratio,
+               round({_sql_hits(EN_STOP)} * 1.0 / len({_SQL_TOKENS}), 6)
+                   AS stopword_ratio,
+               round(least(len({_SQL_TOKENS}) / 100.0, 1.0)
+                     * (len(list_distinct({_SQL_TOKENS})) * 1.0
+                        / len({_SQL_TOKENS})), 6) AS quality
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_hits(EN_STOP)} AS en, {_sql_hits(ES_STOP)} AS es,
+                   {_sql_hits(FR_STOP)} AS fr, {_sql_hits(DE_STOP)} AS de,
+                   length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]',
+                          '', 'g')) AS zh
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN zh > 0 THEN 'zh'
+                    WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                    WHEN fr >= de AND fr > 0 THEN 'fr'
+                    WHEN de > 0 THEN 'de'
+                    ELSE 'unknown' END AS lang_pred,
+               count(*) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform({_SQL_TOKENS},
+                           t -> ('0x' || left(md5(t), 15))::BIGINT
+                                % 1000000007)),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+        FROM documents
+    """,
+}

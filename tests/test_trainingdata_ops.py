@@ -1,0 +1,126 @@
+"""Training-data layer: approximate-method quality vs exact baselines,
+multimodal plumbing.  (Exact methods are oracle-checked by the driver
+and scripts/check_oracles.py.)"""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from indigent_defense_stats_spark import oracle, schemas, synth
+from indigent_defense_stats_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    exact = {
+        (r["d1"], r["d2"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_lsh_neardup(spark, SF_DIR).collect()
+    }
+    assert approx <= exact, "verification must kill every false positive"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, (recall, len(exact))
+
+
+def test_simhash_groups_exact_dups(spark):
+    """Identical texts must share a simhash bucket."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (3, "completely different words entirely unrelated text", "en", "s", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    buckets = dedup.simhash_buckets(spark, d).collect()
+    assert len(buckets) == 1
+    assert buckets[0]["n_docs"] == 2 and buckets[0]["keeper_doc_id"] == 1
+
+
+def test_ann_lsh_finds_query_itself_on_driver_data(spark):
+    """On the driver's near-orthogonal embeddings (true top-10 sits at
+    cosine ~0.3) hyperplane LSH legitimately has low recall — it is
+    registered rows-only for exactly this reason.  The invariant that
+    must always hold: the query's own bucket is probed."""
+    approx = [r["vec_id"] for r in similarity.ann_topk_lsh(spark, SF_DIR).collect()]
+    assert approx and approx[0] == 0  # the query vector itself
+
+
+def test_ann_lsh_recall_on_clustered_corpus(spark, tmp_path):
+    """With real near-duplicate structure (the case LSH exists for),
+    the bucketed probe must recover the true neighbors."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal(64)
+    near = [q + 0.1 * rng.standard_normal(64) for _ in range(9)]
+    far = [rng.standard_normal(64) for _ in range(400)]
+    vecs = [q] + near + far
+    rows = [
+        (i, [float(x) for x in v], 0 if i < 10 else 1)
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    exact = [r["vec_id"] for r in similarity.ann_topk_cosine(spark, d).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_topk_lsh(spark, d).collect()]
+    assert set(exact) == set(range(10))  # sanity: brute force finds cluster
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    log = oracle.crawl(synth.make_registry(3, n_scrape=2), date(2024, 7, 1), 2)
+    rows = [
+        (cid, county, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+        for cid, (county, spans) in sorted(log.documents.items())
+    ]
+    return spark.createDataFrame(rows, schema=schemas.DOCUMENTS)
+
+
+def test_media_table_and_decode(spark, span_docs):
+    media = multimodal.media_table(span_docs)
+    rows = media.collect()
+    assert rows and all(r["media_kind"] in ("mugshot", "document_image") for r in rows)
+    assert any(r["media_kind"] == "mugshot" for r in rows)
+    decoded = multimodal.decode_media(media).collect()
+    assert len(decoded) == len(rows)
+    for r in decoded:
+        assert 64 <= r["width"] < 576 and 64 <= r["height"] < 576
+        assert r["format"] in ("jpeg", "tiff")
+    # determinism
+    again = multimodal.decode_media(media).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, decoded))
+
+
+def test_decode_real_is_marked_unimplemented(spark, span_docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(multimodal.media_table(span_docs), decoder="real")
+
+
+def test_frame_sample(spark, span_docs):
+    decoded = multimodal.decode_media(multimodal.media_table(span_docs))
+    frames = multimodal.frame_sample(decoded, every_n=7)
+    rows = frames.collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % 7 == 0
