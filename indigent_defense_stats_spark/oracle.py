@@ -148,10 +148,12 @@ def crawl(
                     curl = canonicalize(synth.root_url(i) + href)
                     cid = curl.rsplit("CaseID=", 1)[1]
                     page = do_fetch(curl, host, county, 3)
-                    # overwrite semantics (scraper/__init__.py:459-462)
+                    # overwrite semantics (scraper/__init__.py:459-462);
+                    # case pages arrive as HTML and are parsed to spans
+                    # exactly as the reference parses fetched pages
                     if cid not in log.documents:
                         log.doc_order.append(cid)
-                    log.documents[cid] = (county, page["spans"])
+                    log.documents[cid] = (county, synth.extract_spans(page["html"]))
         assert main["kind"] == "main"
     return log
 

@@ -119,7 +119,11 @@ def _fetch_host_group(politeness_ms: int, max_retries: int):
             statuses.append("fetched" if ok else "failed")
             attempts.append(n)
             ts.append(clock)
-            spans = page.pop("spans", None)
+            # case pages arrive as HTML (like the real portal); span
+            # extraction happens here, at the same point the reference
+            # runs BeautifulSoup after its GET (parser/__init__.py:225)
+            html_doc = page.pop("html", None)
+            spans = synth.extract_spans(html_doc) if html_doc is not None else None
             payloads.append(json.dumps(page) if ok else None)
             spans_out.append(json.dumps(spans) if spans is not None else None)
         pdf = pdf.drop(columns=["clock_ms"])

@@ -186,7 +186,14 @@ def jo_list(i: int) -> list[tuple[str, int]]:
 
 
 def county_case_pool_size(i: int) -> int:
-    return 8 + 4 * (i % 3) + (12 if i == 0 else 0)  # county 0 is the big one
+    """Distinct cases per county.  ``SPARK_GRAFT_CASE_POOL_SCALE``
+    (default 1: all tests/oracle fixtures unchanged) multiplies the
+    pool for large-scale benchmarks — the sandbox stand-in for the
+    10^10-URL frontier's case population."""
+    import os
+
+    scale = int(os.environ.get("SPARK_GRAFT_CASE_POOL_SCALE", "1"))
+    return (8 + 4 * (i % 3) + (12 if i == 0 else 0)) * scale  # county 0 is the big one
 
 
 def cases_for(i: int, day_ord: int, jo_ord: int) -> list[str]:
@@ -425,6 +432,149 @@ def case_spans(county_i: int, case_id: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# HTML wire format — case pages travel as HTML, like the real portal
+# ---------------------------------------------------------------------------
+#
+# The reference fetches ~40 KB Odyssey case-detail pages and parses
+# them with BeautifulSoup (parser/__init__.py:225;
+# resources/test_files/test_123456.html).  The synthetic portal does
+# the same: ``fetch`` returns a rendered HTML page for case URLs and
+# the engine/oracle recover the span sequence with
+# :func:`extract_spans`.  Handing pre-parsed spans over the wire (the
+# previous design) made the per-URL cost unrealistically near-zero,
+# which misrepresents where crawl CPU goes at scale.
+#
+# Round-trip contract (tested):
+#   extract_spans(render_case_html(case_spans(i, cid))) == case_spans(i, cid)
+
+_HTML_HEAD = (
+    "<!DOCTYPE html>\n<html>\n<head>\n"
+    "<title>Odyssey Portal - Case Detail</title>\n"
+    '<meta http-equiv="Content-Type" content="text/html; charset=utf-8"/>\n'
+    "<style>\n"
+    + "\n".join(
+        f".ss{k:03d} {{ font-family: Verdana, Arial, sans-serif; "
+        f"font-size: {8 + k % 5}pt; color: #{k % 10}{k % 7}{k % 5}; "
+        f"padding: {k % 4}px {k % 3}px; border-collapse: collapse; "
+        f"margin-top: {k % 6}px; text-decoration: none; }}"
+        for k in range(160)
+    )
+    + "\n</style>\n</head>\n<body>\n"
+    '<div id="topnav"><table class="ssNav" width="100%" border="0">'
+    + "".join(
+        f'<tr><td class="ssNavCell"><a href="/nav/{k}">Menu item {k}</a></td>'
+        f'<td class="ssNavPad"><img src="/img/spacer.gif" width="1" height="1" alt=""/></td></tr>'
+        for k in range(12)
+    )
+    + "</table></div>\n"
+    '<table class="ssCaseDetail" width="100%" border="0" cellpadding="2">\n'
+)
+
+_ROW_FILLER = (
+    '<tr class="ssSep"><td colspan="2">'
+    '<img src="/img/spacer.gif" width="1" height="1" alt=""/>'
+    '<span class="ssNote" style="display:none">&nbsp;</span></td></tr>\n'
+)
+
+_HTML_FOOT = (
+    "</table>\n"
+    '<div id="footer"><table class="ssFooter">'
+    + "".join(
+        f'<tr><td class="ssFooterCell">Record generated by Odyssey Portal '
+        f"node {k} &#169; Tyler Technologies (synthetic)</td></tr>"
+        for k in range(8)
+    )
+    + "</table></div>\n</body>\n</html>\n"
+)
+
+
+def render_case_html(spans: list[dict]) -> str:
+    """Deterministic Odyssey-shaped HTML for a span sequence.
+
+    Text spans become ``<td class="ssp">`` cells (tabs/\\xa0 inside the
+    text survive verbatim — HTML does not normalize character data);
+    media spans become ``<a class="ssm" href=...>`` anchors.  Enough
+    deterministic boilerplate surrounds them that page size and parse
+    cost are representative of the real portal (~20 KB vs the
+    reference's ~40 KB fixture)."""
+    import html as _h
+
+    parts = [_HTML_HEAD]
+    for s in spans:
+        off = s["offset"]
+        alt = ' class="ssCaseDetailRowAlt"' if off % 2 else ""
+        if s["kind"] == "text":
+            parts.append(
+                f'<tr{alt} id="r{off}"><td class="ssp">'
+                f'{_h.escape(s["text"], quote=False)}</td>'
+                f'<td class="ssPad"><img src="/img/spacer.gif" alt=""/></td></tr>\n'
+            )
+        else:
+            parts.append(
+                f'<tr{alt} id="r{off}"><td class="ssMediaCell">'
+                f'<a class="ssm" href="{_h.escape(s["media_ref"], quote=True)}">'
+                f'<img src="/img/icon_doc.gif" alt="view"/></a></td></tr>\n'
+            )
+        parts.append(_ROW_FILLER)
+    parts.append(_HTML_FOOT)
+    return "".join(parts)
+
+
+class _SpanExtractor:
+    """html.parser-based recovery of the span sequence (the engine's
+    equivalent of the reference's BeautifulSoup pass)."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if tag == "td" and a.get("class") == "ssp":
+                    outer._buf = []
+                elif tag == "a" and a.get("class") == "ssm":
+                    outer.spans.append(
+                        {"kind": "media", "text": "", "media_ref": a.get("href", "")}
+                    )
+
+            def handle_endtag(self, tag):
+                if tag == "td" and outer._buf is not None:
+                    outer.spans.append(
+                        {
+                            "kind": "text",
+                            "text": "".join(outer._buf),
+                            "media_ref": "",
+                        }
+                    )
+                    outer._buf = None
+
+            def handle_data(self, data):
+                if outer._buf is not None:
+                    outer._buf.append(data)
+
+        self._p = P(convert_charrefs=True)
+        self.spans: list[dict] = []
+        self._buf: list[str] | None = None
+
+    def feed(self, html: str) -> list[dict]:
+        self._p.feed(html)
+        self._p.close()
+        for off, s in enumerate(self.spans):
+            s["offset"] = off
+        return self.spans
+
+
+def extract_spans(html: str) -> list[dict]:
+    """HTML page -> interleaved span sequence (kind, text, media_ref,
+    offset).  Called by the engine's fetch stage and the sequential
+    oracle alike, so span equality tests compare two independent walks
+    of the same wire format."""
+    return _SpanExtractor().feed(html)
+
+
+# ---------------------------------------------------------------------------
 # UMich-style charge dimension (cleaner/__init__.py:72-84): hits + misses
 # ---------------------------------------------------------------------------
 
@@ -504,5 +654,9 @@ def fetch(url: str, attempt: int = 0) -> dict:
         )
         cid = q.get("CaseID")
         if cid and cid.isdigit():
-            return {"kind": "case", "status": 200, "spans": case_spans(i, cid)}
+            return {
+                "kind": "case",
+                "status": 200,
+                "html": render_case_html(case_spans(i, cid)),
+            }
     return {"kind": "error", "status": 404}

@@ -124,3 +124,26 @@ def test_publish_versioning():
     )
     assert [(r["case_number"], r["version"]) for r in out] == [("c1", 2), ("c9", 1)]
     assert out[0]["id"] == "c1:county0:08-16-2026h2"
+
+
+def test_html_wire_round_trip():
+    """Case pages travel as HTML; extraction must recover the exact
+    span sequence (kind, text, media_ref, offset) — including tab-
+    joined rows and the \xa0/Â noise the parser later scrubs."""
+    for county_i, cid in [(0, "100003"), (1, "200001"), (5, "600007")]:
+        spans = synth.case_spans(county_i, cid)
+        page = synth.render_case_html(spans)
+        assert len(page) > 20_000  # representative of the ~40 KB fixture
+        assert synth.extract_spans(page) == spans
+    # noise characters survive the wire
+    noisy = [
+        {"kind": "text", "text": "\xa0a\tÂb\t<x>&amp;", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "ViewMugshots.aspx?Id=1", "offset": 1},
+    ]
+    assert synth.extract_spans(synth.render_case_html(noisy)) == noisy
+
+
+def test_fetch_returns_html_for_cases():
+    page = synth.fetch("http://portal-0.example/CaseDetail.aspx?CaseID=100001")
+    if page["status"] == 200:
+        assert "html" in page and "spans" not in page
