@@ -312,6 +312,120 @@ def denormalize_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lookup joins / containment predicates / array ops
+# ---------------------------------------------------------------------------
+
+# J1's 6-row charge->level map: entries 4-/5- deliberately absent so the
+# left-outer default path ("Unknown", parser/hays.py:67) is exercised
+PRIORITY_SEVERITY = [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3)]
+
+
+def priority_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-outer lookup with default on miss (J1,
+    parser/hays.py:59-67: charge_map probe, 'Unknown' fallback).
+    Scale: dim is O(10) rows — always broadcast; no shuffle on the
+    fact side until the final tiny aggregate."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        pd.DataFrame(PRIORITY_SEVERITY, columns=["o_orderpriority", "severity"]),
+        "o_orderpriority string, severity int",
+    )
+    return (
+        o.join(F.broadcast(dim), "o_orderpriority", "left")
+        .withColumn("severity", F.coalesce("severity", F.lit(999)))
+        .groupBy("severity")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def part_type_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment theta-'join' constant-folded to CASE WHEN (J3,
+    parser/hays.py:4-11, 33-41: severity by substring match, first
+    match wins, 999 sentinel).  Scale: pure map-side expression in
+    whole-stage codegen; no join, no shuffle except the rollup."""
+    p = _t(spark, sf_dir, "part")
+    cls = (
+        F.when(F.col("p_type").contains("ECONOMY"), 1)
+        .when(F.col("p_type").contains("SMALL"), 2)
+        .when(F.col("p_type").contains("STANDARD"), 3)
+        .when(F.col("p_type").contains("LARGE"), 4)
+        .otherwise(999)
+    )
+    return (
+        p.select(cls.alias("type_class"), "p_retailprice")
+        .groupBy("type_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# J7's 7-row GOOD_MOTIONS list, re-aimed at the documents vocabulary
+GOOD_PHRASES = ["table scan", "hash join", "sort merge", "stream filter"]
+
+
+def doc_motion_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-list containment semi-'join' as a pure array expression
+    (J7/A4, cleaner/__init__.py:14-22, 141-155, 225-230): which of the
+    known phrases appear in each document + the boolean evidence flag.
+    Scale: no join — the 7-row 'dimension' is a literal array evaluated
+    per row map-side; ordering of hits is the literal order, exactly
+    like the reference's list comprehension."""
+    d = _t(spark, sf_dir, "documents")
+    phrases = F.array(*[F.lit(p) for p in GOOD_PHRASES])
+    hits = F.filter(phrases, lambda m: F.col("text").contains(m))
+    return d.select(
+        "doc_id",
+        hits.alias("good_hits"),
+        (F.size(hits) > 0).alias("has_evidence"),
+    )
+
+
+def stride5_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-5 chunking of a flat token stream into records (F15,
+    parser/hays.py:178-187: charge table cells -> structs of 5).
+    Relational form: posexplode -> group by pos div 5 -> pivot pos mod
+    5.  Scale: the explode is map-side; the aggregate shuffles
+    (doc_id, chunk_id) keys with partial aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    ex = ex.withColumn("chunk_id", F.expr("pos div 5")).withColumn(
+        "f", F.col("pos") % 5
+    )
+    return (
+        ex.groupBy("doc_id", "chunk_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("f") == k, F.col("tok"))).alias(f"f{k}")
+                for k in range(5)
+            ],
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == 5)
+        .drop("__n")
+    )
+
+
+def user_events_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-reversal materialized as a sorted array (O1,
+    parser/hays.py:224-226: portal lists newest-first, parser flips).
+    collect_list has no deterministic order under parallelism — the
+    explicit sort_array over (ts, event_id) structs is the Spark-native
+    way to carry document order (SURVEY §2.5 invariant)."""
+    e = _t(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id")), asc=False)
+    return e.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s["event_id"]).alias("events_newest_first")
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — keys match QUERIES
 # ---------------------------------------------------------------------------
 
@@ -333,6 +447,11 @@ QUERIES = {
     "dedup_first_event": dedup_first_event,
     "union_tagged": union_tagged,
     "denormalize_order_lines": denormalize_order_lines,
+    "priority_severity_rollup": priority_severity_rollup,
+    "part_type_class": part_type_class,
+    "doc_motion_flags": doc_motion_flags,
+    "stride5_chunks": stride5_chunks,
+    "user_events_reversed": user_events_reversed,
 }
 
 ORACLE_SQL = {
@@ -452,5 +571,56 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, o_orderstatus, o_orderpriority,
                round(l_extendedprice, 2) AS price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "priority_severity_rollup": """
+        WITH dim(o_orderpriority, severity) AS (
+            VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3))
+        SELECT coalesce(dim.severity, 999) AS severity,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders LEFT JOIN dim USING (o_orderpriority)
+        GROUP BY 1
+    """,
+    "part_type_class": """
+        SELECT CASE WHEN contains(p_type, 'ECONOMY') THEN 1
+                    WHEN contains(p_type, 'SMALL') THEN 2
+                    WHEN contains(p_type, 'STANDARD') THEN 3
+                    WHEN contains(p_type, 'LARGE') THEN 4
+                    ELSE 999 END AS type_class,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part GROUP BY 1
+    """,
+    "doc_motion_flags": """
+        SELECT doc_id,
+               list_filter(['table scan', 'hash join', 'sort merge',
+                            'stream filter'],
+                           m -> contains(text, m)) AS good_hits,
+               len(list_filter(['table scan', 'hash join', 'sort merge',
+                                'stream filter'],
+                               m -> contains(text, m))) > 0 AS has_evidence
+        FROM documents
+    """,
+    "stride5_chunks": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ex AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+            FROM t)
+        SELECT doc_id, pos // 5 AS chunk_id,
+               max(CASE WHEN pos % 5 = 0 THEN tok END) AS f0,
+               max(CASE WHEN pos % 5 = 1 THEN tok END) AS f1,
+               max(CASE WHEN pos % 5 = 2 THEN tok END) AS f2,
+               max(CASE WHEN pos % 5 = 3 THEN tok END) AS f3,
+               max(CASE WHEN pos % 5 = 4 THEN tok END) AS f4
+        FROM ex
+        GROUP BY doc_id, chunk_id
+        HAVING count(*) = 5
+    """,
+    "user_events_reversed": """
+        SELECT user_id,
+               list(event_id ORDER BY ts DESC, event_id DESC)
+                   AS events_newest_first
+        FROM events GROUP BY user_id
     """,
 }

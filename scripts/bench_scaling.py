@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Scaling-efficiency bench: the same job at N and 4N local cores.
+
+BASELINE.json's north rule requires >=0.8 throughput scaling
+efficiency from N to 4N executors on a multi-executor cluster.  This
+sandbox has one machine, so (per the driver instruction) the evidence
+is the same job run at two local parallelism levels on the same input,
+with throughput at both and efficiency = (tput_4N / tput_N) / 4.
+
+Two jobs, each run at local[2] / local[8] / local[32]:
+
+- ``fetchparse`` — the crawl hot path in isolation: an n_urls case
+  frontier (generated JVM-side with spark.range — no driver data),
+  partitioned by host, fetched + HTML->span extracted + serialized in
+  ``mapInPandas``.  This is the stage that dominates a production
+  crawl and the one that must scale to 4N executors.
+- ``crawl`` — the full wave-loop engine end-to-end (politeness
+  scheduling, expansion, bloom/anti-join dedup, snapshot checkpoints,
+  final parse), 254 counties, SPARK_GRAFT_CASE_POOL_SCALE pool.
+
+The report also measures the machine's intrinsic parallel ceiling
+(per-core slowdown under full load from SMT/turbo effects) because on
+one die "4N cores" is not 4x the silicon — a real cluster adds whole
+nodes.  Raw efficiency and ceiling-normalized efficiency are both
+reported in BENCH/BASELINE.md.
+
+Usage:
+  python scripts/bench_scaling.py                  # full matrix + report
+  python scripts/bench_scaling.py --job fetchparse --cpus 8   # one cell
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_URLS = 120_000
+N_COUNTIES = 254
+N_DAYS = 90
+POOL_SCALE = 150
+CPU_LEVELS = [2, 8, 32]
+
+
+def job_fetchparse(spark, n_urls: int, n_hosts: int) -> dict:
+    """Single-stage fetch + extract over a generated case frontier."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark import synth
+
+    urls = spark.range(n_urls).select(
+        (F.col("id") % n_hosts).cast("int").alias("host_i"),
+        F.concat(
+            F.lit("http://portal-"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example/CaseDetail.aspx?CaseID="),
+            ((F.col("id") % n_hosts + 1) * 100000 + F.col("id") / n_hosts).cast(
+                "long"
+            ).cast("string"),
+        ).alias("url"),
+    )
+    # partition by host (the politeness unit), NOT coalesced by AQE:
+    # fetch work is CPU-per-row, invisible to byte-based coalescing
+    urls = urls.repartition(spark.sparkContext.defaultParallelism * 4, "host_i")
+
+    def run(batches):
+        for pdf in batches:
+            spans_json = []
+            for url in pdf["url"]:
+                for attempt in range(5):
+                    page = synth.fetch(url, attempt)
+                    if page.get("status") != 503:
+                        break
+                html = page.get("html")
+                spans = synth.extract_spans(html) if html else None
+                spans_json.append(json.dumps(spans) if spans else None)
+            yield pd.DataFrame({"url": pdf["url"], "spans_json": spans_json})
+
+    out = urls.mapInPandas(run, "url string, spans_json string")
+    t0 = time.time()
+    n = out.filter("spans_json IS NOT NULL").count()
+    wall = time.time() - t0
+    return {"urls": n_urls, "ok": n, "wall": round(wall, 1), "tput": round(n_urls / wall, 1)}
+
+
+def job_crawl(spark, n_counties: int, n_days: int) -> dict:
+    from indigent_defense_stats_spark.plans import frontier as fr
+
+    t0 = time.time()
+    tput = fr.bench_crawl_throughput(spark, n_counties=n_counties, n_days=n_days)
+    return {"wall": round(time.time() - t0, 1), "tput": round(tput, 1)}
+
+
+def run_cell(job: str, cpus: int, args) -> dict:
+    from indigent_defense_stats_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{job}-{cpus}", master=f"local[{cpus}]")
+    # warm the JVM/codegen/python-worker paths so the cell is steady-state
+    spark.range(1000).count()
+    if job == "fetchparse":
+        res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
+    else:
+        res = job_crawl(spark, args.n_counties, args.n_days)
+    res.update({"job": job, "cpus": cpus})
+    spark.stop()
+    return res
+
+
+def measure_core_ceiling() -> dict:
+    """Per-core throughput at 1/8/32 busy cores (SMT/turbo ceiling)."""
+    import multiprocessing as mp
+
+    def burn(_):
+        t0 = time.time()
+        x = 0
+        while time.time() - t0 < 1.0:
+            x += 1
+        return x
+
+    out = {}
+    for n in [1, 2, 8, 32]:
+        with mp.Pool(n) as p:
+            r = p.map(burn, range(n))
+        out[str(n)] = round(sum(r) / len(r) / 1e6, 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--job", choices=["fetchparse", "crawl"])
+    ap.add_argument("--cpus", type=int)
+    ap.add_argument("--n-urls", type=int, default=N_URLS)
+    ap.add_argument("--n-counties", type=int, default=N_COUNTIES)
+    ap.add_argument("--n-days", type=int, default=N_DAYS)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    args = ap.parse_args()
+
+    if args.job and args.cpus:
+        print(json.dumps(run_cell(args.job, args.cpus, args)))
+        return
+
+    # driver mode: one subprocess (fresh JVM) per cell
+    os.makedirs(args.out, exist_ok=True)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CASE_POOL_SCALE"] = str(POOL_SCALE)
+    cells = []
+    for job in ["fetchparse", "crawl"]:
+        for cpus in CPU_LEVELS:
+            cmd = [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--job",
+                job,
+                "--cpus",
+                str(cpus),
+                "--n-urls",
+                str(args.n_urls),
+                "--n-counties",
+                str(args.n_counties),
+                "--n-days",
+                str(args.n_days),
+            ]
+            print(f">>> {job} @ local[{cpus}]", flush=True)
+            p = subprocess.run(cmd, capture_output=True, text=True, env=env)
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(p.stdout[-2000:], p.stderr[-2000:])
+                raise SystemExit(f"cell failed: {job} local[{cpus}]")
+            cell = json.loads(line[-1])
+            print(json.dumps(cell), flush=True)
+            cells.append(cell)
+
+    ceiling = measure_core_ceiling()
+    report = {
+        "cells": cells,
+        "core_ceiling_Miters_per_core": ceiling,
+        "params": {
+            "n_urls": args.n_urls,
+            "n_counties": args.n_counties,
+            "n_days": args.n_days,
+            "pool_scale": POOL_SCALE,
+        },
+    }
+
+    def tput(job, cpus):
+        return next(c["tput"] for c in cells if c["job"] == job and c["cpus"] == cpus)
+
+    effs = {}
+    for job in ["fetchparse", "crawl"]:
+        for lo, hi in [(2, 8), (8, 32)]:
+            effs[f"{job}_{lo}to{hi}"] = round(tput(job, hi) / tput(job, lo) / (hi / lo), 3)
+    report["efficiency"] = effs
+    with open(os.path.join(args.out, "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    write_md(args.out, report)
+    print(json.dumps(effs))
+
+
+def write_md(out_dir: str, report: dict) -> None:
+    cells = report["cells"]
+    effs = report["efficiency"]
+    ceil = report["core_ceiling_Miters_per_core"]
+    p = report["params"]
+    # intrinsic ceiling for an N->4N pair on one die: per-core speed at
+    # 4N busy cores relative to N busy cores
+    ceil_2_8 = round(ceil["8"] / ceil["2"], 3)
+    ceil_8_32 = round(ceil["32"] / ceil["8"], 3)
+    lines = [
+        "# BENCH — scaling efficiency (N -> 4N cores, same input)",
+        "",
+        "Sandbox proxy for the north rule's two-cluster-size criterion",
+        "(no real cluster here): the identical job run at local[2] /",
+        "local[8] / local[32] on the same synthetic input.",
+        f"Input: {p['n_urls']:,}-URL case frontier (fetchparse);",
+        f"{p['n_counties']} counties x {p['n_days']} days crawl with case-pool",
+        f"scale {p['pool_scale']} (crawl).  Case pages are ~39 KB HTML parsed",
+        "to spans in the fetch stage (reference fixture: ~40 KB).",
+        "",
+        "| job | cores | wall s | URLs/s |",
+        "|---|---|---|---|",
+    ]
+    for c in cells:
+        lines.append(f"| {c['job']} | local[{c['cpus']}] | {c['wall']} | {c['tput']} |")
+    lines += [
+        "",
+        "| pair | fetchparse eff | crawl eff | machine ceiling* |",
+        "|---|---|---|---|",
+        f"| 2 -> 8 | {effs['fetchparse_2to8']} | {effs['crawl_2to8']} | {ceil_2_8} |",
+        f"| 8 -> 32 | {effs['fetchparse_8to32']} | {effs['crawl_8to32']} | {ceil_8_32} |",
+        "",
+        "\\* machine ceiling = per-core throughput at 4N busy cores /",
+        "per-core throughput at N busy cores, measured with a pure-Python",
+        "spin loop (multiprocessing, no Spark).  On a single die, 4N",
+        "cores are not 4x the silicon (SMT sharing + turbo downclock);",
+        "a real cluster scales by adding whole nodes, which this ceiling",
+        "does not apply to.  Ceiling-normalized efficiency =",
+        "raw efficiency / ceiling.",
+        "",
+        "Normalized:",
+        f"- fetchparse 2->8: {round(effs['fetchparse_2to8']/ceil_2_8, 3)}",
+        f"- fetchparse 8->32: {round(effs['fetchparse_8to32']/ceil_8_32, 3)}",
+        f"- crawl 2->8: {round(effs['crawl_2to8']/ceil_2_8, 3)}",
+        f"- crawl 8->32: {round(effs['crawl_8to32']/ceil_8_32, 3)}",
+        "",
+        "Fixed-cost analysis: the wave loop carries ~3-5 s of scheduler/",
+        "checkpoint latency per wave regardless of wave size (measured in",
+        "frontier.py profiling).  At the 10^10-URL target each wave",
+        "carries millions of URLs, so this fixed term vanishes; the",
+        "fetchparse job (no wave scaffolding) isolates the part that",
+        "must scale and is the better predictor of multi-node behavior.",
+    ]
+    with open(os.path.join(out_dir, "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
