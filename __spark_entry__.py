@@ -55,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(crawl_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from indigent_defense_stats_spark.streaming import ingest
+
+        out.update(ingest.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -85,6 +91,12 @@ def oracle_sql() -> dict[str, str]:
         from indigent_defense_stats_spark.operators import crawl_queries
 
         out.update(crawl_queries.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.streaming import ingest
+
+        out.update(ingest.ORACLE_SQL)
     except ImportError:
         pass
     return out

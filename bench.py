@@ -82,6 +82,18 @@ def main() -> None:
         "cpus": int(CPUS),
     }
     out.update(extra)
+    # N->4N scaling evidence, if scripts/bench_scaling.py has been run
+    # (full matrix takes ~30 min; see BENCH/BASELINE.md for analysis)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling_efficiency"] = sc.get("efficiency")
+        out["scaling_cells"] = [
+            {k: c[k] for k in ("job", "cpus", "tput")} for c in sc.get("cells", [])
+        ]
     spark.stop()
     print(json.dumps(out))
 

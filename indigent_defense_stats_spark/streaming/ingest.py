@@ -1,0 +1,175 @@
+"""Structured Streaming surface.
+
+The crawl itself is a deterministic wave loop, NOT Structured
+Streaming — the north rule requires exact crawl-order reproduction and
+trigger batching is nondeterministic (SURVEY.md §1.4).  Streaming
+still belongs in the engine for the *downstream* continuous loads a
+production deployment runs beside the crawl:
+
+- :func:`stream_event_window_counts` — file-source micro-batch ingest
+  of the events table with a watermark + tumbling-window aggregate
+  (the standard late-data-tolerant rollup).  Run with
+  ``Trigger.AvailableNow`` it is deterministic and is registered as an
+  oracle-checked driver query.
+- :func:`stream_running_max_by_user` — custom stateful operator via
+  ``applyInPandasWithState`` (GroupState): per-user running maximum
+  with event-time timeout plumbing, the shape a custom crawl-metrics
+  accumulator would use.
+
+Scale notes: the file source scales by listing; state store is
+per-key (user) — keys hash-partition across executors, and the
+watermark bounds state size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_qn_counter = [0]
+
+
+def _as_source_dir(sf_dir: str, table: str) -> str:
+    """The file stream source requires a *directory*; the testdata
+    tables are single parquet files (read-only), so expose each via a
+    symlink inside a temp directory."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "ids-stream-src",
+        sf_dir.strip("/").replace("/", "_"),
+        table,
+    )
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(dst):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), dst)
+    return d
+
+
+def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink
+    and return the materialized batch result."""
+    _qn_counter[0] += 1
+    qn = f"{query_name}_{_qn_counter[0]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(qn)
+
+
+def stream_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch ingest of events with 1-hour tumbling windows and a
+    1-day watermark; returns the drained, deterministic batch result
+    (window start/end as timestamps, count + rounded value sum)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_source_dir(sf_dir, "events"))
+    )
+    # parquet TIMESTAMP_NTZ -> session-tz TIMESTAMP (event time must be
+    # an instant for watermarking; session tz is pinned to UTC)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return _run_available_now(agg, "event_window_counts")
+
+
+_STATE_SCHEMA = "user_id LONG, running_max DOUBLE"
+_OUT_SCHEMA = "user_id LONG, batch_rows INT, running_max DOUBLE"
+
+
+def _running_max_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    prev = state.get[1] if state.exists else float("-inf")
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            prev = max(prev, float(pdf["value"].max()))
+    state.update((user_id, prev))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "batch_rows": [n], "running_max": [prev]}
+    )
+
+
+def stream_running_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running max of ``value`` across micro-batches.  Drained
+    with availableNow; the final per-user maxima equal the batch
+    ``groupBy(user_id).max(value)`` (asserted in tests)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(_as_source_dir(sf_dir, "events"))
+    )
+    stateful = src.groupBy("user_id").applyInPandasWithState(
+        _running_max_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _qn_counter[0] += 1
+    qn = f"running_max_{_qn_counter[0]}"
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user is the final running max
+    updates = spark.table(qn)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("running_max"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "running_max")
+    )
+
+
+QUERIES = {
+    "stream_event_window_counts": stream_event_window_counts,
+}
+
+ORACLE_SQL = {
+    "stream_event_window_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+}

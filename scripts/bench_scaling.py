@@ -114,21 +114,22 @@ def run_cell(job: str, cpus: int, args) -> dict:
     return res
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
 def measure_core_ceiling() -> dict:
     """Per-core throughput at 1/8/32 busy cores (SMT/turbo ceiling)."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 1.0:
-            x += 1
-        return x
-
     out = {}
     for n in [1, 2, 8, 32]:
         with mp.Pool(n) as p:
-            r = p.map(burn, range(n))
+            r = p.map(_burn, range(n))
         out[str(n)] = round(sum(r) / len(r) / 1e6, 2)
     return out
 

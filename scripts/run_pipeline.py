@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""End-to-end pipeline driver: crawl -> parse -> clean -> publish ->
+analytics, on the deterministic synthetic Odyssey world.
+
+This is the spark-submit entry point a reference user would run in
+place of ``python -m orchestrator`` (reference:
+src/orchestrator/__init__.py) — same stage sequence, distributed:
+
+  spark-submit --py-files ids_spark.zip scripts/run_pipeline.py \
+      --counties 24 --days 4 --base-dir /tmp/ids-run
+
+Re-running with the same --base-dir resumes from the last frontier
+snapshot (no re-fetching) and republish is content-hash idempotent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from datetime import date
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import pandas as pd  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--counties", type=int, default=8)
+    ap.add_argument("--days", type=int, default=2)
+    ap.add_argument("--base-dir", default="/tmp/ids-pipeline")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--start", default="2024-07-01")
+    ap.add_argument("--priority", choices=["reference", "recency"], default="reference")
+    args = ap.parse_args()
+
+    from indigent_defense_stats_spark import synth
+    from indigent_defense_stats_spark.operators import analytics, clean, parse, publish
+    from indigent_defense_stats_spark.plans.frontier import CrawlEngine
+    from indigent_defense_stats_spark.session import get_spark
+    from indigent_defense_stats_spark.sources.catalog import SnapshotTable
+    from indigent_defense_stats_spark import schemas
+
+    spark = get_spark(app_name="ids-pipeline", master=args.master)
+    t0 = time.time()
+
+    # ---- crawl (S1-S7, C1-C6) -------------------------------------------
+    eng = CrawlEngine(
+        spark,
+        os.path.join(args.base_dir, "crawl"),
+        synth.make_registry(args.counties, n_scrape=args.counties),
+        date.fromisoformat(args.start),
+        args.days,
+        priority=args.priority,
+    )
+    stats = eng.run()
+    docs = eng.documents()
+    n_docs = docs.count()
+    print(f"[crawl] waves={len(stats)} documents={n_docs} "
+          f"fetched={sum(s.fetched for s in stats)} "
+          f"failed={sum(s.failed for s in stats)} "
+          f"({time.time()-t0:.1f}s)")
+
+    # ---- parse (P7-P13, A1-A2, O1-O2, F8) --------------------------------
+    parsed = parse.parse_documents(docs)
+    good = parse.good_records(parsed)
+    bad = parse.quarantine(parsed)
+    print(f"[parse] good={good.count()} quarantined={bad.count()}")
+
+    # ---- clean (P14-P15, J2, J7, A3-A4, F9) ------------------------------
+    charge_dim = spark.createDataFrame(pd.DataFrame(synth.make_charge_dim()))
+    cleaned = clean.clean_records(good, charge_dim, parsing_date="2024-07-31")
+    print(f"[clean] records={cleaned.count()}")
+
+    # ---- publish (J4, J5, S13) -------------------------------------------
+    target = SnapshotTable(
+        spark,
+        os.path.join(args.base_dir, "published"),
+        schemas.CASE_RECORDS_CLEAN_VERSIONED
+        if hasattr(schemas, "CASE_RECORDS_CLEAN_VERSIONED")
+        else None,
+        "overwrite",
+    )
+    inserted = publish.publish(cleaned, target, today="07-31-2024")
+    print(f"[publish] inserted={inserted.count()}")
+
+    # ---- analytics (J6, W1-W2, A7-A9) ------------------------------------
+    events = analytics.events_flat(good)
+    print(f"[analytics] event rows={events.count()}")
+    events.groupBy("attorney").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("days_elapsed"), 2).alias("avg_days_elapsed"),
+    ).orderBy("attorney").show(truncate=False)
+
+    print(f"[done] total {time.time()-t0:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,11 @@ SAMPLE = [
     "top_charge_argmin_analog",
     "customers_without_big_orders",
     "stats_orders",
+    "priority_severity_rollup",
+    "part_type_class",
+    "doc_motion_flags",
+    "stride5_chunks",
+    "user_events_reversed",
 ]
 
 pytestmark = pytest.mark.skipif(
