@@ -66,7 +66,9 @@ def main() -> None:
             from indigent_defense_stats_spark.plans import frontier as fr
 
             t0 = time.time()
-            tput = fr.bench_crawl_throughput(spark)
+            # 254 portals x 30 days: big enough that per-wave fixed
+            # costs don't dominate the throughput figure
+            tput = fr.bench_crawl_throughput(spark, n_counties=254, n_days=30)
             extra["crawl_urls_per_sec"] = round(tput, 1)
             results["crawl_wave_loop"] = round(time.time() - t0, 3)
         except Exception as ex:  # never let the crawl bench break the report

@@ -130,10 +130,89 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_ITERS = 5
+
+
+def _ivf_centroids(vectors: np.ndarray) -> np.ndarray:
+    """Deterministic k-means (Lloyd, fixed iters) with farthest-point
+    init (no RNG, no wall-clock).  First-k init fails when the sample
+    leads with near-duplicates — every duplicate becomes its own seed
+    and the cluster shatters across cells; farthest-point seeds spread
+    over the data instead."""
+    k = min(IVF_K, len(vectors))
+    seeds = [0]
+    d2min = ((vectors - vectors[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(d2min.argmax())
+        seeds.append(nxt)
+        d2min = np.minimum(d2min, ((vectors - vectors[nxt]) ** 2).sum(axis=1))
+    cents = vectors[seeds].copy()
+    for _ in range(IVF_ITERS):
+        d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = vectors[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign_udf(cents: np.ndarray):
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.map(lambda v: np.asarray(v, dtype=np.float64)))
+        # one (batch x k) distance matmul per Arrow batch
+        d2 = (m * m).sum(1)[:, None] - 2 * (m @ cents.T) + (cents * cents).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means-partition the corpus (centroids
+    trained on a deterministic driver-side sample), probe the nprobe
+    centroids closest to the query, brute-force cosine inside them.
+
+    Scale shape: centroids are O(k x dim) — broadcast into the assign
+    UDF's closure; assignment is one matmul per Arrow batch; the probe
+    prunes the scan to ~nprobe/k of the corpus (partition the parquet
+    by cluster_id to turn that into real partition pruning)."""
+    e = _emb(spark, sf_dir)
+    sample = (
+        e.orderBy("vec_id")
+        .limit(512)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    cents = _ivf_centroids(vecs)
+    q = _query_vector(spark, sf_dir)
+    qv = np.asarray(q, dtype=np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
+
+    cand = e.withColumn(
+        "cluster_id", ivf_assign_udf(cents)(F.col("embedding"))
+    ).filter(F.col("cluster_id").isin(probe))
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    qn = float(np.sqrt(qv @ qv))
+    cos = _dot(F.col("embedding"), qcol) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qn)
+    )
+    return (
+        cand.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_topk_lsh": ann_topk_lsh,  # rows-only (approximate recall)
+    "ann_topk_ivf": ann_topk_ivf,  # rows-only (approximate recall)
 }
 
 _SQL_COS_Q = """

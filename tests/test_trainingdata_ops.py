@@ -85,6 +85,16 @@ def test_ann_lsh_recall_on_clustered_corpus(spark, tmp_path):
     assert set(exact) == set(range(10))  # sanity: brute force finds cluster
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.9, (recall, exact, approx)
+    # IVF probe must also recover the clustered neighbors: the cluster
+    # containing the query is by construction among the nprobe closest
+    ivf = [r["vec_id"] for r in similarity.ann_topk_ivf(spark, d).collect()]
+    ivf_recall = len(set(ivf) & set(exact)) / len(exact)
+    assert ivf_recall >= 0.9, (ivf_recall, exact, ivf)
+
+
+def test_ann_ivf_probes_query_cluster_on_driver_data(spark):
+    approx = [r["vec_id"] for r in similarity.ann_topk_ivf(spark, SF_DIR).collect()]
+    assert approx and approx[0] == 0  # the query vector itself
 
 
 @pytest.fixture(scope="module")
