@@ -1,0 +1,78 @@
+"""Physical-plan invariants — the 100 TB contract, asserted.
+
+Correct results with a wrong plan don't survive a 1000-executor
+cluster; these tests pin the plan shapes the engine's scale story
+depends on (SURVEY §4.2): predicate pushdown into parquet, column
+pruning, broadcast dimension joins, broadcast anti-join for the
+seen-filter shape, and the parse stage's zero-shuffle guarantee.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from indigent_defense_stats_spark.operators import relational, textstats
+from indigent_defense_stats_spark.operators.parse import parse_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/lineitem.parquet"), reason="testdata missing"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_scan_filter_and_partial_agg(spark):
+    p = _plan(relational.q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # partial+final hash aggregation (map-side combine before shuffle)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_region_revenue_broadcasts_all_dimensions(spark):
+    # 4 dimension joins (orders->customer->nation->region chain); every
+    # one must be a broadcast — a shuffle join on a dim table at 100 TB
+    # would shuffle the fact side
+    p = _plan(relational.region_revenue(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p
+
+
+def test_seen_filter_shape_is_broadcast_anti_join(spark):
+    p = _plan(relational.customers_without_big_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_priority_lookup_is_broadcast_left_outer(spark):
+    p = _plan(relational.priority_severity_rollup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+
+
+def test_token_stats_prunes_to_needed_columns(spark):
+    p = _plan(textstats.token_stats(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols  # not lang/source/n_chars
+
+
+def test_part_type_class_is_pure_case_when(spark):
+    # J3's containment lookup must constant-fold: no join at all
+    p = _plan(relational.part_type_class(spark, SF_DIR))
+    assert "Join" not in p
+
+
+def test_parse_stage_has_zero_shuffles(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id",
+        "'x' as county",
+        "array(struct('text' as kind, text, '' as media_ref, 0 as offset)) as spans",
+    )
+    p = _plan(parse_documents(docs))
+    assert "Exchange" not in p
