@@ -412,6 +412,17 @@ def stride5_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_ids_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe collect_list via salted two-phase aggregation
+    (plans/skew.py): identical result to the vanilla aggregate, but a
+    hot user's rows spread over n_salt reducers first (north rule:
+    skew handled explicitly)."""
+    from ..plans import skew
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return skew.collect_list_salted(e, "user_id", "event_id", n_salt=8)
+
+
 def user_events_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-reversal materialized as a sorted array (O1,
     parser/hays.py:224-226: portal lists newest-first, parser flips).
@@ -452,6 +463,7 @@ QUERIES = {
     "doc_motion_flags": doc_motion_flags,
     "stride5_chunks": stride5_chunks,
     "user_events_reversed": user_events_reversed,
+    "user_event_ids_salted": user_event_ids_salted,
 }
 
 ORACLE_SQL = {
@@ -621,6 +633,11 @@ ORACLE_SQL = {
         SELECT user_id,
                list(event_id ORDER BY ts DESC, event_id DESC)
                    AS events_newest_first
+        FROM events GROUP BY user_id
+    """,
+    "user_event_ids_salted": """
+        SELECT user_id,
+               list(event_id ORDER BY event_id) AS event_ids
         FROM events GROUP BY user_id
     """,
 }

@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from datetime import date, timedelta
 
@@ -146,6 +147,60 @@ class WaveStats:
     documents: int
 
 
+def _lineage_writer(eng: "CrawlEngine", wave: int, fetched: DataFrame, summary):
+    """Fetch-log + per-partition lineage metrics writes (C6).
+
+    Lineage is folded from the wave summary already on the driver — no
+    second cluster aggregation over the fetch output.  Both tables are
+    write-only during the run (nothing the next wave reads), so the
+    writes run on a background thread overlapped with the wave's tail
+    and are joined before the wave ends — every snapshot exists when
+    ``run()`` returns, and the resume-critical tables (frontier, seen,
+    host_state) stay synchronous."""
+
+    def write() -> None:
+        eng.log_t.write(
+            fetched.select(
+                "host",
+                "canonical_url",
+                "county",
+                "county_ord",
+                "depth",
+                "prio",
+                "date_ord",
+                "jo_ord",
+                "link_ord",
+                "status",
+                "attempts",
+                "fetch_ts_ms",
+                "wave",
+                "partition_id",
+            ).coalesce(eng.n_buckets),
+            {"wave": wave},
+        )
+        lineage: dict[tuple[int, str], tuple[int, int]] = {}
+        for r in summary:
+            key = (r["partition_id"], r["status"])
+            n0, a0 = lineage.get(key, (0, 0))
+            lineage[key] = (n0 + r["n"], a0 + (r["attempts"] or 0))
+        eng.metrics_t.write(
+            eng.spark.createDataFrame(
+                pd.DataFrame(
+                    [
+                        (wave, pid, st, n, att)
+                        for (pid, st), (n, att) in sorted(lineage.items())
+                    ],
+                    columns=["wave", "partition_id", "status", "n", "attempts"],
+                ),
+                "wave int, partition_id int, status string,"
+                " n bigint, attempts bigint",
+            ).coalesce(1),
+            {"wave": wave},
+        )
+
+    return write
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -204,6 +259,7 @@ class CrawlEngine:
         # trip on *every* job that scans it — the Arrow/pandas path
         # materializes a JVM local relation instead: measured 4.7s vs
         # 0.2s per tiny write in this sandbox)
+        self._pool = ThreadPoolExecutor(max_workers=1)
         self._counties_df = self._build_counties_df()
         self._dates_df = spark.createDataFrame(
             pd.DataFrame(
@@ -552,6 +608,7 @@ class CrawlEngine:
             for r in summary:
                 clocks[r["host"]] = max(clocks.get(r["host"], 0), r["clock"])
             mark("fetch")
+            lineage_future = self._pool.submit(_lineage_writer(self, wave, fetched, summary))
 
             candidates = self._expand(fetched, wave)
             new_pending = self._dedup(candidates).cache()
@@ -611,56 +668,9 @@ class CrawlEngine:
             self.host_state_t.write(self._host_state_df(), {"wave": wave})
             mark("host_state")
 
-            # fetch log + per-partition lineage metrics (C6); lineage is
-            # folded from the wave summary already on the driver — no
-            # second cluster aggregation over the fetch output
-            self.log_t.write(
-                fetched.select(
-                    "host",
-                    "canonical_url",
-                    "county",
-                    "county_ord",
-                    "depth",
-                    "prio",
-                    "date_ord",
-                    "jo_ord",
-                    "link_ord",
-                    "status",
-                    "attempts",
-                    "fetch_ts_ms",
-                    "wave",
-                    "partition_id",
-                ).coalesce(self.n_buckets),
-                {"wave": wave},
-            )
-            lineage: dict[tuple[int, str], tuple[int, int]] = {}
-            for r in summary:
-                key = (r["partition_id"], r["status"])
-                n0, a0 = lineage.get(key, (0, 0))
-                lineage[key] = (n0 + r["n"], a0 + (r["attempts"] or 0))
-            self.metrics_t.write(
-                self.spark.createDataFrame(
-                    pd.DataFrame(
-                        [
-                            (wave, pid, st, n, att)
-                            for (pid, st), (n, att) in sorted(lineage.items())
-                        ],
-                        columns=[
-                            "wave",
-                            "partition_id",
-                            "status",
-                            "n",
-                            "attempts",
-                        ],
-                    ),
-                    "wave int, partition_id int, status string,"
-                    " n bigint, attempts bigint",
-                ).coalesce(1),
-                {"wave": wave},
-            )
-            mark("log+metrics")
-
             stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
+            lineage_future.result()
+            mark("log+metrics join")
             eligible.unpersist()
             fetched.unpersist()
             new_pending.unpersist()
