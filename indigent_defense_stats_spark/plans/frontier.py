@@ -381,6 +381,11 @@ class CrawlEngine:
         batch = eligible.join(F.broadcast(hs), "host", "left").withColumn(
             "clock_ms", F.coalesce(F.col("clock_ms"), F.lit(0))
         )
+        # (Measured: pre-partitioning hosts at finer grain — 8x cores —
+        # to shave the ~3x straggler skew of 254 hosts in 32 tasks LOSES
+        # net throughput here: extra task/Arrow-batch overhead exceeds
+        # the balance gain.  Revisit on a real cluster where tasks are
+        # cheaper relative to fetch CPU.)
         fetched = batch.groupBy("host").applyInPandas(
             _fetch_host_group(self.politeness_ms, self.max_retries),
             schema=FETCH_OUT,
