@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(ingest.QUERIES)
     except ImportError:
         pass
+    try:
+        from indigent_defense_stats_spark.sources import views
+
+        out.update(views.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -97,6 +103,12 @@ def oracle_sql() -> dict[str, str]:
         from indigent_defense_stats_spark.streaming import ingest
 
         out.update(ingest.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from indigent_defense_stats_spark.sources import views
+
+        out.update(views.ORACLE_SQL)
     except ImportError:
         pass
     return out

@@ -362,6 +362,26 @@ def parse_documents(documents: DataFrame) -> DataFrame:
     ).select("odyssey_id", "county", "r.*")
 
 
+def parse_documents_incremental(
+    documents: DataFrame, already_parsed: DataFrame
+) -> DataFrame:
+    """Incremental mode (D1): skip documents whose id already exists in
+    *already_parsed* (anti-join on the id).  The reference computes the
+    cached-parsed list but never uses it (parser/__init__.py:207-209 —
+    dead code); default :func:`parse_documents` keeps the reference's
+    actual overwrite behavior, this variant implements the evidently
+    intended semantics.  At scale the anti-join rides the bloom-style
+    pre-filter pattern of the URL-seen path."""
+    fresh = documents.join(
+        already_parsed.select(
+            already_parsed["odyssey_id"].alias("doc_id")
+        ).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return parse_documents(fresh)
+
+
 def quarantine(parsed: DataFrame) -> DataFrame:
     return parsed.filter("parse_error IS NOT NULL").select(
         "odyssey_id", "county", "parse_error"

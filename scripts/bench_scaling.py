@@ -128,9 +128,12 @@ def measure_core_ceiling() -> dict:
 
     out = {}
     for n in [1, 2, 8, 32]:
-        with mp.Pool(n) as p:
-            r = p.map(_burn, range(n))
-        out[str(n)] = round(sum(r) / len(r) / 1e6, 2)
+        best = 0.0
+        for _ in range(3):  # best-of-3: immune to background settling
+            with mp.Pool(n) as p:
+                r = p.map(_burn, range(n))
+            best = max(best, sum(r) / len(r) / 1e6)
+        out[str(n)] = round(best, 2)
     return out
 
 
@@ -148,8 +151,11 @@ def main() -> None:
         print(json.dumps(run_cell(args.job, args.cpus, args)))
         return
 
-    # driver mode: one subprocess (fresh JVM) per cell
+    # driver mode: one subprocess (fresh JVM) per cell.  Ceiling probe
+    # runs FIRST, on an idle machine — after the Spark cells the probe
+    # reads low while the last JVM tears down.
     os.makedirs(args.out, exist_ok=True)
+    ceiling = measure_core_ceiling()
     env = dict(os.environ)
     env["SPARK_GRAFT_CASE_POOL_SCALE"] = str(POOL_SCALE)
     cells = []
@@ -179,7 +185,6 @@ def main() -> None:
             print(json.dumps(cell), flush=True)
             cells.append(cell)
 
-    ceiling = measure_core_ceiling()
     report = {
         "cells": cells,
         "core_ceiling_Miters_per_core": ceiling,

@@ -113,3 +113,21 @@ def test_quarantine_on_malformed_doc(spark):
     q = parse_mod.quarantine(out).collect()
     assert len(q) == 1 and q[0]["parse_error"]
     assert parse_mod.good_records(out).count() == 0
+
+
+def test_incremental_parse_skips_already_parsed(spark):
+    from indigent_defense_stats_spark.operators.parse import (
+        parse_documents,
+        parse_documents_incremental,
+    )
+
+    log = oracle.crawl(synth.make_registry(3, n_scrape=2), START, 2)
+    docs = docs_df(spark, log)
+    full = parse_documents(docs)
+    some = full.limit(2).select("odyssey_id")
+    inc = parse_documents_incremental(docs, some)
+    n_all = docs.count()
+    skip = {r["odyssey_id"] for r in some.collect()}
+    got = {r["odyssey_id"] for r in inc.collect()}
+    assert len(got) == n_all - len(skip)
+    assert got.isdisjoint(skip)
