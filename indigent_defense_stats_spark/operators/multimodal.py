@@ -90,6 +90,162 @@ def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
     )
 
 
+_MAGIC = {"jpeg": b"\xff\xd8", "tiff": b"II*\x00"}
+PAYLOAD_SCHEMA = (
+    "doc_id string, media_ref string, media_kind string, format string,"
+    " content binary"
+)
+DIMS_SCHEMA = "doc_id string, media_ref string, width int, height int"
+
+
+def media_payloads(decoded: DataFrame, max_body: int = 4096) -> DataFrame:
+    """Opaque ``binary`` payload column for each media item (the
+    brief's image/audio/video-as-binary model).  Payload = format magic
+    + 2x2-byte big-endian (width, height) header + deterministic body
+    bytes seeded from the ref hash — so downstream binary-parsing UDFs
+    do real work against real bytes.  In production this stage is the
+    media fetch (S3/blob get) and content is the actual file."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for ref, w, h, n, fmt in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"],
+                pdf["n_bytes"], pdf["format"],
+            ):
+                rnd = np.random.RandomState(
+                    xxh64_int(ref.encode("utf-8")) % (2**31)
+                )
+                body = rnd.bytes(int(min(n, max_body)))
+                content.append(
+                    _MAGIC[fmt]
+                    + int(w).to_bytes(2, "big")
+                    + int(h).to_bytes(2, "big")
+                    + body
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": pdf["format"],
+                    "content": content,
+                }
+            )
+
+    return decoded.mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def parse_dimensions(payloads: DataFrame) -> DataFrame:
+    """Binary-parsing UDF: recover (width, height) from the payload
+    header — the real shape of an image-metadata sniffer (exif/SOF
+    scan) over an opaque binary column."""
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ws, hs = [], []
+            for c in pdf["content"]:
+                c = bytes(c)
+                hdr = 2 if c[:2] == _MAGIC["jpeg"] else 4
+                ws.append(int.from_bytes(c[hdr: hdr + 2], "big"))
+                hs.append(int.from_bytes(c[hdr + 2: hdr + 4], "big"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return payloads.mapInPandas(sniff, schema=DIMS_SCHEMA)
+
+
+def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction over binary content: deterministic byte-bucket
+    features normalized to unit length (numpy over the whole Arrow
+    batch).  This is the model-inference integration point — swap the
+    histogram for an ONNX/torch forward pass in production; schema,
+    batching and partition spread are identical."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for c in pdf["content"]:
+                a = np.frombuffer(c, dtype=np.uint8).astype(np.float64)
+                pad = (-len(a)) % dim
+                if pad:
+                    a = np.pad(a, (0, pad))
+                v = a.reshape(-1, dim).sum(axis=0)
+                n = np.linalg.norm(v)
+                out.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "embedding": out,
+                }
+            )
+
+    return payloads.mapInPandas(
+        feats, schema="doc_id string, media_ref string, embedding array<float>"
+    )
+
+
+def resize_media(
+    payloads: DataFrame, scale: float = 0.5, decoder: str = "stub"
+) -> DataFrame:
+    """Binary-in/binary-out resize.  'real' marks the PIL integration
+    point (not in this container); the stub rewrites the header
+    dimensions and truncates the body proportionally — exercising the
+    full binary transform contract (parse -> transform -> re-encode)."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real resize needs PIL; production replaces the stub body"
+            " with Image.open(BytesIO(c)).resize(...) under the same"
+            " mapInPandas contract"
+        )
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for c in pdf["content"]:
+                c = bytes(c)
+                hdr = 2 if c[:2] == _MAGIC["jpeg"] else 4
+                w = int.from_bytes(c[hdr: hdr + 2], "big")
+                h = int.from_bytes(c[hdr + 2: hdr + 4], "big")
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                body = c[hdr + 4:]
+                body = body[: max(1, int(len(body) * scale * scale))]
+                out.append(
+                    c[:hdr]
+                    + nw.to_bytes(2, "big")
+                    + nh.to_bytes(2, "big")
+                    + body
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": pdf["format"],
+                    "content": out,
+                }
+            )
+
+    return payloads.mapInPandas(rz, schema=PAYLOAD_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Every-nth-frame sample rows (video-shaped path): frame count is
     fabricated from n_bytes by the stub; the sequence/explode plumbing

@@ -134,3 +134,46 @@ def test_frame_sample(spark, span_docs):
     assert rows
     for r in rows:
         assert r["frame_idx"] % 7 == 0
+
+
+def test_media_binary_pipeline(spark, span_docs):
+    """Opaque binary payloads: header round-trip, feature extraction,
+    and binary-in/binary-out resize (the multimodal contract)."""
+    media = multimodal.media_table(span_docs)
+    decoded = multimodal.decode_media(media)
+    payloads = multimodal.media_payloads(decoded)
+    rows = {r["media_ref"]: bytes(r["content"]) for r in payloads.collect()}
+    assert rows and all(len(c) > 8 for c in rows.values())
+    # dimension sniffing over raw bytes equals the decode metadata
+    dims = {
+        r["media_ref"]: (r["width"], r["height"])
+        for r in multimodal.parse_dimensions(payloads).collect()
+    }
+    meta = {
+        r["media_ref"]: (r["width"], r["height"]) for r in decoded.collect()
+    }
+    assert dims == meta
+    # features: unit-norm, fixed dim, deterministic
+    feats = multimodal.extract_features(payloads, dim=16).collect()
+    import math
+
+    for r in feats:
+        assert len(r["embedding"]) == 16
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-5
+    feats2 = multimodal.extract_features(payloads, dim=16).collect()
+    assert {r["media_ref"]: r["embedding"] for r in feats} == {
+        r["media_ref"]: r["embedding"] for r in feats2
+    }
+    # resize halves header dims
+    resized = multimodal.parse_dimensions(
+        multimodal.resize_media(payloads, scale=0.5)
+    ).collect()
+    rd = {r["media_ref"]: (r["width"], r["height"]) for r in resized}
+    for ref, (w, h) in meta.items():
+        assert rd[ref] == (max(1, int(w * 0.5)), max(1, int(h * 0.5)))
+    # 'real' decoder is an explicit integration point
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_media(payloads, decoder="real")
