@@ -217,6 +217,7 @@ class CrawlEngine:
         max_per_host_per_wave: int | None = None,
         priority: str = "reference",  # 'reference' | 'recency'
         robots_rules: dict[str, list[str]] | None = None,
+        seen_filter: str = "bloom",  # 'bloom' | 'cuckoo' (north rule)
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -231,6 +232,8 @@ class CrawlEngine:
         self._seen_count = 0
         self.max_per_host = max_per_host_per_wave
         self.priority = priority
+        assert seen_filter in ("bloom", "cuckoo")
+        self.seen_filter = seen_filter
         t = lambda name, schema, mode: SnapshotTable(  # noqa: E731
             spark, os.path.join(base_dir, name), schema, mode
         )
@@ -540,6 +543,16 @@ class CrawlEngine:
         # positives only (true dups + fp rate).
         if self._seen_count <= self.bloom_threshold:
             return cand.join(seen, "canonical_url", "left_anti")
+        if self.seen_filter == "cuckoo":
+            from . import cuckoo
+
+            return cuckoo.filter_new(
+                cand,
+                seen,
+                "canonical_url",
+                self.n_buckets,
+                n_keys_hint=max(self._seen_count, 1),
+            )
         return bloom.filter_new(
             cand, seen, "canonical_url", self.n_buckets, self.bloom_bits
         )
