@@ -173,3 +173,37 @@ def test_cuckoo_seen_filter_equals_bloom_path(spark, tmp_path, world, engine):
     assert {u for _, u in eng2.priority_sorted_log()} == {
         f["url"] for f in log.fetches
     }
+
+
+def test_recency_priority_fetches_newest_dates_first(spark, tmp_path):
+    """priority='recency' (the north-star queue: case-date recency,
+    then depth): with one fetch per host per wave, results pages must
+    be fetched newest-date-first."""
+    reg = synth.make_registry(1, n_scrape=1)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        reg,
+        START,
+        3,
+        n_buckets=2,
+        max_per_host_per_wave=1,
+        priority="recency",
+    )
+    eng.run(max_waves=200)
+    rows = (
+        eng.fetch_log()
+        .filter("depth = 3")
+        .orderBy("fetch_ts_ms")
+        .select("canonical_url")
+        .collect()
+    )
+    import re
+
+    dates = [
+        re.search(r"DateFiled=([0-9%F/]+)&", r["canonical_url"]).group(1)
+        for r in rows
+    ]
+    # %2F-encoded MM/DD/YYYY inside one month sorts correctly as string
+    assert dates == sorted(dates, reverse=True), dates
+    assert len(set(dates)) == 3
