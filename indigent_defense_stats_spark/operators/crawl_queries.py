@@ -16,6 +16,7 @@ memoized across the three queries.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 from datetime import date
@@ -30,24 +31,28 @@ REGISTRY_N = 3
 N_DAYS = 2
 START = date(2024, 7, 1)
 
-_memo: dict[int, CrawlEngine] = {}
+# keyed by the session OBJECT (held alive so ids can't be reused by a
+# new session after the old one is collected); cleaned up at exit
+_memo: dict[int, tuple[SparkSession, CrawlEngine]] = {}
 
 
 def _engine(spark: SparkSession) -> CrawlEngine:
     key = id(spark)
-    if key not in _memo:
-        d = tempfile.mkdtemp(prefix="ids-crawl-queries-")
-        eng = CrawlEngine(
-            spark,
-            d,
-            synth.make_registry(REGISTRY_N, n_scrape=REGISTRY_N),
-            START,
-            N_DAYS,
-            n_buckets=4,
-        )
-        eng.run()
-        _memo[key] = eng
-    return _memo[key]
+    hit = _memo.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    d = tempfile.mkdtemp(prefix="ids-crawl-queries-")
+    eng = CrawlEngine(
+        spark,
+        d,
+        synth.make_registry(REGISTRY_N, n_scrape=REGISTRY_N),
+        START,
+        N_DAYS,
+        n_buckets=4,
+    )
+    eng.run()
+    _memo[key] = (spark, eng)
+    return eng
 
 
 def crawl_fetch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,9 +107,12 @@ def crawl_wave_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cleanup() -> None:
-    for eng in _memo.values():
+    for _, eng in _memo.values():
         shutil.rmtree(eng.base_dir, ignore_errors=True)
     _memo.clear()
+
+
+atexit.register(cleanup)
 
 
 QUERIES = {

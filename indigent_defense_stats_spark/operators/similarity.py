@@ -51,20 +51,26 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     ]
 
 
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 by cosine to the vec_id=0 embedding (self included)."""
-    q = _query_vector(spark, sf_dir)
+def _cosine_topk(cand, q: list[float]):
+    """Shared scoring tail: cosine to query q, round 6, deterministic
+    top-k (desc cosine, asc vec_id)."""
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
-    qn = float(np.sqrt(np.dot(np.array(q, dtype=np.float64), np.array(q, dtype=np.float64))))
-    e = _emb(spark, sf_dir)
+    qv = np.asarray(q, dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
     cos = _dot(F.col("embedding"), qcol) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qn)
     )
     return (
-        e.select("vec_id", F.round(cos, 6).alias("cosine"))
+        cand.select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by cosine to the vec_id=0 embedding (self included)."""
+    q = _query_vector(spark, sf_dir)
+    return _cosine_topk(_emb(spark, sf_dir), q)
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,16 +124,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", lsh_bucket_udf(len(q))(F.col("embedding"))
     )
     cand = e.filter(F.col("bucket").isin(probe))
-    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
-    qn = float(np.sqrt(np.dot(np.asarray(q), np.asarray(q))))
-    cos = _dot(F.col("embedding"), qcol) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qn)
-    )
-    return (
-        cand.select("vec_id", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return _cosine_topk(cand, q)
 
 
 IVF_K = 16
@@ -196,16 +193,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.withColumn(
         "cluster_id", ivf_assign_udf(cents)(F.col("embedding"))
     ).filter(F.col("cluster_id").isin(probe))
-    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
-    qn = float(np.sqrt(qv @ qv))
-    cos = _dot(F.col("embedding"), qcol) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qn)
-    )
-    return (
-        cand.select("vec_id", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return _cosine_topk(cand, q)
 
 
 QUERIES = {

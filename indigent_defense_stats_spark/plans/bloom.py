@@ -116,6 +116,35 @@ def probe(candidates: DataFrame, bloom: DataFrame, n_bits: int) -> DataFrame:
     )
 
 
+def prefilter_anti_join(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    url_col: str,
+    n_buckets: int,
+    probe_fn,
+) -> DataFrame:
+    """Shared seen-filter composition (bloom and cuckoo both use it):
+    approximate pre-filter marks ``maybe_seen``; definite negatives
+    pass straight through (no false negatives by filter contract);
+    positives go to the exact anti-join.  ``probe_fn`` takes the
+    bucketed+hashed candidate frame and returns it + ``maybe_seen``."""
+    cand = with_bucket_and_hashes(candidates, url_col, n_buckets)
+    if seen is None or seen.isEmpty():
+        return cand.drop("bucket", "h1", "h2")
+    probed = probe_fn(cand)
+    definitely_new = probed.filter(~F.col("maybe_seen"))
+    maybe = probed.filter(F.col("maybe_seen"))
+    # exact anti-join only for filter positives — tiny at real fp rates
+    survivors = maybe.join(
+        seen.select(F.col(url_col).alias("__seen_url")),
+        maybe[url_col] == F.col("__seen_url"),
+        "left_anti",
+    )
+    return definitely_new.unionByName(survivors).drop(
+        "bucket", "h1", "h2", "maybe_seen"
+    )
+
+
 def filter_new(
     candidates: DataFrame,
     seen: DataFrame | None,
@@ -125,19 +154,10 @@ def filter_new(
 ) -> DataFrame:
     """Return only candidates whose url is not in *seen*:
     bloom pre-filter + exact anti-join on the survivors."""
-    cand = with_bucket_and_hashes(candidates, url_col, n_buckets)
-    if seen is None or seen.isEmpty():
-        return cand.drop("bucket", "h1", "h2")
-    bl = build(seen, url_col, n_buckets, n_bits)
-    probed = probe(cand, bl, n_bits)
-    definitely_new = probed.filter(~F.col("maybe_seen"))
-    maybe = probed.filter(F.col("maybe_seen"))
-    # exact anti-join only for bloom positives — tiny at real fp rates
-    survivors = maybe.join(
-        seen.select(F.col(url_col).alias("__seen_url")),
-        maybe[url_col] == F.col("__seen_url"),
-        "left_anti",
-    )
-    return definitely_new.unionByName(survivors).drop(
-        "bucket", "h1", "h2", "maybe_seen"
+    return prefilter_anti_join(
+        candidates,
+        seen,
+        url_col,
+        n_buckets,
+        lambda cand: probe(cand, build(seen, url_col, n_buckets, n_bits), n_bits),
     )

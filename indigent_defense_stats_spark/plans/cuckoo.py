@@ -75,8 +75,23 @@ def _table_size(n_keys: int) -> int:
     return m
 
 
-def build(seen: DataFrame, url_col: str, n_buckets: int, n_keys_hint: int) -> DataFrame:
-    """seen -> (bucket, table, overflow): one cuckoo table per bucket."""
+def build(
+    seen: DataFrame,
+    url_col: str,
+    n_buckets: int,
+    n_keys_hint: int,
+    max_table_size: int | None = None,
+) -> DataFrame:
+    """seen -> (bucket, table, overflow): one cuckoo table per bucket.
+
+    The table auto-sizes to the bucket's actual key count;
+    ``max_table_size`` caps it (memory ceiling per bucket at scale) —
+    an over-full capped table overflows and that bucket degrades to
+    the exact join."""
+    if max_table_size is not None:
+        # power-of-two required: the alternate index i ^ hash(fp) is an
+        # involution only when all values stay below a 2^k table size
+        assert max_table_size & (max_table_size - 1) == 0 and max_table_size >= 8
     hashed = with_bucket_and_hashes(seen, url_col, n_buckets).select(
         "bucket", "h1", "h2"
     )
@@ -84,6 +99,8 @@ def build(seen: DataFrame, url_col: str, n_buckets: int, n_keys_hint: int) -> Da
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         size = max(m, _table_size(len(pdf)))
+        if max_table_size is not None:
+            size = min(size, max_table_size)
         table = np.zeros((size, BUCKET_SLOTS), dtype=np.uint16)
         fp = _fingerprints(pdf["h1"].values)
         i1, i2 = _index_pair(pdf["h2"].values, fp, size)
@@ -170,21 +187,20 @@ def filter_new(
     url_col: str,
     n_buckets: int,
     n_keys_hint: int = 1 << 16,
+    max_table_size: int | None = None,
 ) -> DataFrame:
     """Candidates not in *seen*: cuckoo pre-filter + exact anti-join on
-    the maybe-seen survivors (no false negatives by construction)."""
-    cand = with_bucket_and_hashes(candidates, url_col, n_buckets)
-    if seen is None or seen.isEmpty():
-        return cand.drop("bucket", "h1", "h2")
-    flt = build(seen, url_col, n_buckets, n_keys_hint)
-    probed = probe(cand, flt)
-    definitely_new = probed.filter(~F.col("maybe_seen"))
-    maybe = probed.filter(F.col("maybe_seen"))
-    survivors = maybe.join(
-        seen.select(F.col(url_col).alias("__seen_url")),
-        maybe[url_col] == F.col("__seen_url"),
-        "left_anti",
-    )
-    return definitely_new.unionByName(survivors).drop(
-        "bucket", "h1", "h2", "maybe_seen"
+    the maybe-seen survivors (no false negatives by construction —
+    overflowed buckets mark everything maybe_seen and degrade to the
+    exact join).  Composition shared with the bloom path."""
+    from .bloom import prefilter_anti_join
+
+    return prefilter_anti_join(
+        candidates,
+        seen,
+        url_col,
+        n_buckets,
+        lambda cand: probe(
+            cand, build(seen, url_col, n_buckets, n_keys_hint, max_table_size)
+        ),
     )

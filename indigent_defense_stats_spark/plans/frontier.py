@@ -262,7 +262,6 @@ class CrawlEngine:
         # trip on *every* job that scans it — the Arrow/pandas path
         # materializes a JVM local relation instead: measured 4.7s vs
         # 0.2s per tiny write in this sandbox)
-        self._pool = ThreadPoolExecutor(max_workers=1)
         self._counties_df = self._build_counties_df()
         self._dates_df = spark.createDataFrame(
             pd.DataFrame(
@@ -559,6 +558,13 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def run(self, max_waves: int = 200, verbose: bool = False) -> list[WaveStats]:
+        # the lineage-writer pool lives for one run() and is shut down
+        # on exit (leaked pools pin a worker thread per engine instance)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            self._pool = pool
+            return self._run(max_waves, verbose)
+
+    def _run(self, max_waves: int, verbose: bool) -> list[WaveStats]:
         stats: list[WaveStats] = []
         t_last = time.time()
 
@@ -576,7 +582,14 @@ class CrawlEngine:
             frontier = self.frontier_t.read()
         # resume: pending rows are tagged with the wave that enqueued
         # them; continue numbering from there (fresh seed -> wave 0)
-        wave = frontier.agg(F.max("wave")).collect()[0][0] or 0
+        agg = frontier.agg(
+            F.max("wave").alias("mx"),
+            F.max(F.when(F.col("status") != "pending", F.col("wave"))).alias(
+                "mx_done"
+            ),
+        ).collect()[0]
+        wave = agg["mx"] or 0
+        committed_wave = agg["mx_done"] if agg["mx_done"] is not None else -1
         # politeness clocks: in-memory during the run, checkpointed per
         # wave, reloaded on resume
         self._clocks = {
@@ -593,6 +606,16 @@ class CrawlEngine:
             .filter(F.col("status") == "pending")
             .count()
         )
+        # torn-wave cleanup: lineage (fetch log / metrics) commits on a
+        # background thread overlapped with the wave, so a kill between
+        # the lineage commit and the frontier commit leaves lineage for
+        # a wave the frontier never completed.  A wave is committed iff
+        # the frontier snapshot contains its fetched/failed rows; any
+        # lineage tagged beyond ``committed_wave`` is torn — the wave
+        # will re-run — so drop it (the Iceberg analog: abort the
+        # wave's uncommitted multi-table transaction).
+        for t in (self.log_t, self.metrics_t):
+            t.drop_snapshots(lambda m: m.get("wave", -1) > committed_wave)
         while wave < max_waves and n_pending > 0:
             frontier = self.frontier_t.read()
             pending = frontier.filter(F.col("status") == "pending")

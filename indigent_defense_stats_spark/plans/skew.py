@@ -46,11 +46,19 @@ def replicated_skew_join(
     """Join *big* to *small* on column ``on`` with N-way salting.
 
     ``salt_from`` is the expression that spreads the big side
-    (default: xxhash64 over the whole row's first column is wrong —
-    we use a per-row hash of all big columns, deterministic, no
+    (default: a deterministic per-row hash of all big columns, no
     rand()); the small side is replicated ``n_salt`` times.
-    Result equals ``big.join(small, on, how)`` exactly.
+    Result equals ``big.join(small, on, how)`` exactly for the
+    supported join types.  Right/full outer are rejected: an unmatched
+    small-side row would surface once per salt replica.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"replicated_skew_join supports {sorted(allowed)}; {how!r} would"
+            " duplicate unmatched small-side rows n_salt times"
+        )
     salt = F.pmod(
         salt_from if salt_from is not None else F.xxhash64(*[F.col(c) for c in big.columns]),
         F.lit(n_salt),

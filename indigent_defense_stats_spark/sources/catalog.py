@@ -112,3 +112,15 @@ class SnapshotTable:
     def manifest(self, snapshot: int) -> dict:
         with open(self._manifest(snapshot)) as f:
             return json.load(f)
+
+    def drop_snapshots(self, pred) -> int:
+        """Remove snapshots whose manifest matches *pred* (a dict ->
+        bool callable).  Used for resume-time cleanup of torn writes —
+        the plain-parquet stand-in for aborting an uncommitted Iceberg
+        transaction."""
+        dropped = 0
+        for s in self.snapshots():
+            if pred(self.manifest(s)):
+                shutil.rmtree(self._snap_dir(s), ignore_errors=True)
+                dropped += 1
+        return dropped

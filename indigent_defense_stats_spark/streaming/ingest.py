@@ -48,8 +48,12 @@ def _as_source_dir(sf_dir: str, table: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     dst = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(dst):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), dst)
+    # lexists, not exists: a dangling symlink from a prior run must be
+    # replaced, not skipped (exists() follows the link and returns
+    # False, then symlink() raises FileExistsError forever)
+    if os.path.lexists(dst):
+        os.unlink(dst)
+    os.symlink(os.path.join(sf_dir, f"{table}.parquet"), dst)
     return d
 
 

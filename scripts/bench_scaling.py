@@ -145,6 +145,12 @@ def main() -> None:
     ap.add_argument("--n-counties", type=int, default=N_COUNTIES)
     ap.add_argument("--n-days", type=int, default=N_DAYS)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=2,
+        help="clean runs per cell; cell value = median (samples recorded)",
+    )
     args = ap.parse_args()
 
     if args.job and args.cpus:
@@ -158,6 +164,8 @@ def main() -> None:
     ceiling = measure_core_ceiling()
     env = dict(os.environ)
     env["SPARK_GRAFT_CASE_POOL_SCALE"] = str(POOL_SCALE)
+    import statistics
+
     cells = []
     for job in ["fetchparse", "crawl"]:
         for cpus in CPU_LEVELS:
@@ -175,15 +183,27 @@ def main() -> None:
                 "--n-days",
                 str(args.n_days),
             ]
-            print(f">>> {job} @ local[{cpus}]", flush=True)
-            p = subprocess.run(cmd, capture_output=True, text=True, env=env)
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if not line:
-                print(p.stdout[-2000:], p.stderr[-2000:])
-                raise SystemExit(f"cell failed: {job} local[{cpus}]")
-            cell = json.loads(line[-1])
-            print(json.dumps(cell), flush=True)
-            cells.append(cell)
+            tputs, wall_samples = [], []
+            for rep in range(args.repeat):
+                print(f">>> {job} @ local[{cpus}] run {rep + 1}/{args.repeat}", flush=True)
+                p = subprocess.run(cmd, capture_output=True, text=True, env=env)
+                line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+                if not line:
+                    print(p.stdout[-2000:], p.stderr[-2000:])
+                    raise SystemExit(f"cell failed: {job} local[{cpus}]")
+                one = json.loads(line[-1])
+                print(json.dumps(one), flush=True)
+                tputs.append(one["tput"])
+                wall_samples.append(one["wall"])
+            cells.append(
+                {
+                    "job": job,
+                    "cpus": cpus,
+                    "tput": round(statistics.median(tputs), 1),
+                    "wall": round(statistics.median(wall_samples), 1),
+                    "samples": tputs,
+                }
+            )
 
     report = {
         "cells": cells,
@@ -262,6 +282,13 @@ def write_md(out_dir: str, report: dict) -> None:
         "carries millions of URLs, so this fixed term vanishes; the",
         "fetchparse job (no wave scaffolding) isolates the part that",
         "must scale and is the better predictor of multi-node behavior.",
+        "",
+        "Protocol: each cell is the MEDIAN of repeated clean runs (fresh",
+        "JVM per run, idle machine; per-cell samples in scaling.json —",
+        "run-to-run variance on this sandbox is ~±10-15%).  The ceiling",
+        "probe runs before any JVM starts, best-of-3 per level.",
+        "",
+        "Further analysis (scale trend, politeness ceiling): NOTES.md.",
     ]
     with open(os.path.join(out_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

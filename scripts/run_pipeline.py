@@ -42,7 +42,6 @@ def main() -> None:
     from indigent_defense_stats_spark.plans.frontier import CrawlEngine
     from indigent_defense_stats_spark.session import get_spark
     from indigent_defense_stats_spark.sources.catalog import SnapshotTable
-    from indigent_defense_stats_spark import schemas
 
     spark = get_spark(app_name="ids-pipeline", master=args.master)
     t0 = time.time()
@@ -76,13 +75,11 @@ def main() -> None:
     print(f"[clean] records={cleaned.count()}")
 
     # ---- publish (J4, J5, S13) -------------------------------------------
+    # schema=None: publish() only read()s the target (never
+    # read_or_empty), and the inserted rows extend CASE_RECORDS_CLEAN
+    # with version/id columns
     target = SnapshotTable(
-        spark,
-        os.path.join(args.base_dir, "published"),
-        schemas.CASE_RECORDS_CLEAN_VERSIONED
-        if hasattr(schemas, "CASE_RECORDS_CLEAN_VERSIONED")
-        else None,
-        "overwrite",
+        spark, os.path.join(args.base_dir, "published"), None, "overwrite"
     )
     inserted = publish.publish(cleaned, target, today="07-31-2024")
     print(f"[publish] inserted={inserted.count()}")

@@ -60,17 +60,39 @@ def test_filter_new_is_exact(spark, sets):
 
 
 def test_overflow_degrades_to_exact_not_wrong(spark):
-    """Force overflow with a tiny table: everything must flow through
-    the exact join — result stays exact."""
+    """Force overflow with a hard table-size cap (5000 keys into
+    256x4=1024 slots): the eviction-kick loop runs, the bucket
+    overflows, and everything flows through the exact join — result
+    stays exact."""
     seen = spark.range(0, 5000).select(
         F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")
     )
     cand = spark.range(4000, 6000).select(
         F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")
     )
-    out = cuckoo.filter_new(cand, seen, "url", 1, n_keys_hint=8)
+    flt = cuckoo.build(seen, "url", 1, n_keys_hint=8, max_table_size=256)
+    assert [r["overflow"] for r in flt.collect()] == [True]
+    out = cuckoo.filter_new(
+        cand, seen, "url", 1, n_keys_hint=8, max_table_size=256
+    )
     got = {r["url"] for r in out.collect()}
     assert got == {f"u{i}" for i in range(5000, 6000)}
+
+
+def test_eviction_kicks_preserve_membership(spark):
+    """At ~84% load (no overflow) insertions must go through the
+    eviction path and every inserted key still probes positive."""
+    n = 850  # 256 buckets x 4 slots = 1024 slots -> 83% load
+    seen = spark.range(0, n).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("url")
+    )
+    flt = cuckoo.build(seen, "url", 1, n_keys_hint=8, max_table_size=256)
+    rows = flt.collect()
+    assert [r["overflow"] for r in rows] == [False]
+    probed = cuckoo.probe(
+        bloom.with_bucket_and_hashes(seen, "url", 1), flt
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
 
 
 def test_fingerprint_deletion_local():

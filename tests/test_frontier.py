@@ -207,3 +207,31 @@ def test_recency_priority_fetches_newest_dates_first(spark, tmp_path):
     # %2F-encoded MM/DD/YYYY inside one month sorts correctly as string
     assert dates == sorted(dates, reverse=True), dates
     assert len(set(dates)) == 3
+
+
+def test_torn_wave_lineage_dropped_on_resume(spark, tmp_path, world):
+    """Lineage commits on a background thread overlapped with the wave;
+    a kill between the lineage commit and the frontier commit leaves a
+    torn lineage snapshot for a wave that will re-run.  Resume must
+    drop it so the fetch log holds each URL exactly once."""
+    reg, log = world
+    eng = CrawlEngine(spark, str(tmp_path), reg, START, 2, n_buckets=2)
+    eng.run(max_waves=1)  # stop mid-crawl with pending work left
+    # simulate the torn write: lineage for the NEXT wave committed,
+    # frontier for that wave not
+    pending_wave = (
+        eng.frontier_t.read().filter("status = 'pending'").agg({"wave": "max"})
+    ).collect()[0][0]
+    import pyspark.sql.functions as F
+
+    torn = eng.fetch_log().limit(3).withColumn(
+        "wave", F.lit(int(pending_wave))
+    )
+    eng.log_t.write(torn, {"wave": int(pending_wave)})
+    before = eng.fetch_log().count()
+    # resume to completion
+    eng2 = CrawlEngine(spark, str(tmp_path), reg, START, 2, n_buckets=2)
+    eng2.run()
+    urls = [r["canonical_url"] for r in eng2.fetch_log().collect()]
+    assert len(urls) == len(set(urls)), "duplicate fetch-log rows after resume"
+    assert {u for u in urls} == {f["url"] for f in log.fetches}
