@@ -2,8 +2,13 @@
 
 ``entry(spark)`` — flagship query smoke check on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (plus the training-data-pipeline layer); the driver
-compares each Spark result against its DuckDB oracle at sf0.01.
+from SURVEY.md §2 (plus the training-data-pipeline, crawl, streaming
+and SQL layers); the driver compares each Spark result against its
+DuckDB oracle at sf0.01.
+
+Imports are deliberately NOT wrapped in try/except: every module here
+exists in-repo, so an import failure is a real defect that must fail
+loudly rather than silently shrink the graded query surface.
 """
 
 from __future__ import annotations
@@ -26,89 +31,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.region_revenue(spark, "/root/testdata/sf0.001")
 
 
+def _modules():
+    from indigent_defense_stats_spark.operators import (
+        crawl_queries,
+        dedup,
+        relational,
+        similarity,
+        textstats,
+    )
+    from indigent_defense_stats_spark.sources import views
+    from indigent_defense_stats_spark.streaming import ingest
+
+    return [relational, textstats, dedup, similarity, crawl_queries, ingest, views]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from indigent_defense_stats_spark.operators import relational
-
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    try:
-        from indigent_defense_stats_spark.operators import textstats
-
-        out.update(textstats.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.operators import dedup
-
-        out.update(dedup.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.operators import similarity
-
-        out.update(similarity.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.operators import crawl_queries
-
-        out.update(crawl_queries.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.streaming import ingest
-
-        out.update(ingest.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.sources import views
-
-        out.update(views.QUERIES)
-    except ImportError:
-        pass
+    for m in _modules():
+        out.update(m.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from indigent_defense_stats_spark.operators import relational
-
     out: dict[str, str] = {}
-    out.update(relational.ORACLE_SQL)
-    try:
-        from indigent_defense_stats_spark.operators import textstats
-
-        out.update(textstats.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.operators import dedup
-
-        out.update(dedup.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.operators import similarity
-
-        out.update(similarity.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.operators import crawl_queries
-
-        out.update(crawl_queries.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.streaming import ingest
-
-        out.update(ingest.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from indigent_defense_stats_spark.sources import views
-
-        out.update(views.ORACLE_SQL)
-    except ImportError:
-        pass
+    for m in _modules():
+        out.update(m.ORACLE_SQL)
     return out

@@ -33,10 +33,18 @@ def publish(
     inserted (with id + version).  ``today`` is MM-DD-YYYY, injected for
     determinism (reference uses wall-clock, updater:117)."""
     existing = target.read()
-    incoming = cleaned
     # within-batch hash dedup as well (the reference would skip the
-    # second file with the same hash once the first inserted)
-    incoming = incoming.dropDuplicates(["html_hash"])
+    # second file with the same hash once the first inserted).  The
+    # keeper is deterministic — min (case_number, county) per hash —
+    # unlike dropDuplicates' arbitrary pick; the reference's "first in
+    # directory order" has no set-based analog, so determinism is the
+    # contract here.
+    wd = Window.partitionBy("html_hash").orderBy("case_number", "county")
+    incoming = (
+        cleaned.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     if existing is not None and not existing.isEmpty():
         incoming = incoming.join(
             existing.select("html_hash"), "html_hash", "left_anti"
@@ -69,6 +77,9 @@ def publish(
             F.col("html_hash"),
         ),
     ).drop("batch_seq", "base_version")
+    # cache: the emptiness probe, the snapshot write, and the caller's
+    # action would otherwise each re-run the anti-join + window plan
+    out = out.cache()
     if out.isEmpty():
         return out
     target.write(out, {"event": "publish"})

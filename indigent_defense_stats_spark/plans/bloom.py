@@ -50,9 +50,20 @@ BLOOM_SCHEMA = StructType(
 
 
 def with_bucket_and_hashes(df: DataFrame, url_col: str, n_buckets: int) -> DataFrame:
-    """Attach bucket + the two 64-bit hashes (JVM-side, codegen)."""
+    """Attach bucket + the two 64-bit hashes (JVM-side, codegen).
+
+    The bucket uses its own salt: deriving it from h1 would make all
+    of a bucket's h1 values congruent mod n_buckets, and since
+    n_buckets divides the power-of-two bit count, the k=0 bit index
+    would only ever touch 1/n_buckets of the bucket's bit positions —
+    inflating the false-positive rate n_buckets-fold for that hash."""
     return (
-        df.withColumn("bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"))
+        df.withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64(F.col(url_col), F.lit("bucket-salt")), F.lit(n_buckets)
+            ).cast("int"),
+        )
         .withColumn("h1", F.xxhash64(F.col(url_col)))
         .withColumn("h2", F.xxhash64(F.col(url_col), F.lit("bloom-salt")))
     )

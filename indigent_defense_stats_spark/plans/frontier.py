@@ -65,7 +65,7 @@ from pyspark.sql.types import (
 )
 
 from .. import schemas, synth
-from ..functions.urls import canonicalize_col
+from ..functions.urls import absolutize, canonicalize_col
 from ..sources.catalog import SnapshotTable
 from . import bloom
 
@@ -275,6 +275,47 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
+    # wave-commit protocol: the wave's writes span six tables; a marker
+    # file written atomically AFTER all of them is the commit point
+    # (the plain-parquet analog of Iceberg's multi-table transaction).
+    # Resume rolls back any table snapshot tagged beyond the last
+    # marker — a kill anywhere mid-wave leaves the store exactly at the
+    # previous wave, and the wave re-runs from scratch: exactly-once
+    # fetch log, no duplicate documents, politeness clocks intact.
+    def _commit_wave(self, wave: int) -> None:
+        d = os.path.join(self.base_dir, "commits")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".wave-{wave}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"wave": wave, "ts": time.time()}, f)
+        os.rename(tmp, os.path.join(d, f"wave-{wave:05d}.json"))
+
+    def _last_committed_wave(self) -> int | None:
+        d = os.path.join(self.base_dir, "commits")
+        if not os.path.isdir(d):
+            return None
+        waves = []
+        for f in os.listdir(d):
+            if f.startswith("wave-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    waves.append(json.load(fh)["wave"])
+        return max(waves) if waves else None
+
+    def _rollback_uncommitted(self) -> None:
+        last = self._last_committed_wave()
+        if last is None:
+            return  # fresh dir (or legacy layout): nothing to roll back
+        for t in (
+            self.frontier_t,
+            self.seen_t,
+            self.documents_t,
+            self.host_state_t,
+            self.log_t,
+            self.metrics_t,
+        ):
+            t.drop_snapshots(lambda m: m.get("wave", last) > last)
+
+    # ------------------------------------------------------------------
     def _build_counties_df(self) -> DataFrame:
         rows = [
             (
@@ -348,7 +389,9 @@ class CrawlEngine:
                 F.lit(0).alias("wave"),
             )
         )
-        return login.unionByName(main)
+        # robots applies to seeds too (login/main pages), not only to
+        # expanded candidates — a deny-all host must never be fetched
+        return self._robots_filter(login.unionByName(main))
 
     # ------------------------------------------------------------------
     def _eligible(self, pending: DataFrame) -> DataFrame:
@@ -491,7 +534,9 @@ class CrawlEngine:
                 F.posexplode("payload.case_links").alias("link_ord", "href"),
             )
             .select(
-                F.concat("portal", "href").alias("url"),
+                # absolutize, not blind concat: real portals emit some
+                # absolute hrefs (scraper/__init__.py:438-441 semantics)
+                absolutize(F.col("portal"), F.col("href")).alias("url"),
                 "host",
                 "county",
                 "county_ord",
@@ -509,6 +554,19 @@ class CrawlEngine:
             "status", F.lit("pending")
         ).withColumn("wave", F.lit(wave + 1))
 
+    def _robots_filter(self, df: DataFrame) -> DataFrame:
+        """Deny-prefix filter on the URL path (C3), per host."""
+        path = F.regexp_replace("canonical_url", "^[a-z]+://[^/]*", "")
+        return (
+            df.join(F.broadcast(self.robots_df), "host", "left")
+            .withColumn("__path", path)
+            .filter(
+                F.col("deny").isNull()
+                | ~F.exists("deny", lambda p: F.col("__path").startswith(p))
+            )
+            .drop("deny", "__path")
+        )
+
     def _dedup(self, candidates: DataFrame) -> DataFrame:
         """Within-batch first-discovery dedup + robots + bloom seen."""
         w = Window.partitionBy("canonical_url").orderBy(
@@ -519,19 +577,7 @@ class CrawlEngine:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # robots deny-prefix filter on the path (C3)
-        path = F.regexp_replace("canonical_url", "^[a-z]+://[^/]*", "")
-        cand = (
-            cand.join(F.broadcast(self.robots_df), "host", "left")
-            .withColumn("__path", path)
-            .filter(
-                F.col("deny").isNull()
-                | ~F.exists(
-                    "deny", lambda p: F.col("__path").startswith(p)
-                )
-            )
-            .drop("deny", "__path")
-        )
+        cand = self._robots_filter(cand)
         seen = self.seen_t.read()
         if seen is None:
             return cand
@@ -574,22 +620,17 @@ class CrawlEngine:
                 now = time.time()
                 print(f"    [{label}] {now - t_last:.2f}s", flush=True)
                 t_last = now
+        self._rollback_uncommitted()
         frontier = self.frontier_t.read()
         if frontier is None:
             seeds = self.seeds().coalesce(1).cache()
             self.frontier_t.write(seeds, {"wave": -1, "event": "seed"})
             self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
+            self._commit_wave(-1)
             frontier = self.frontier_t.read()
         # resume: pending rows are tagged with the wave that enqueued
         # them; continue numbering from there (fresh seed -> wave 0)
-        agg = frontier.agg(
-            F.max("wave").alias("mx"),
-            F.max(F.when(F.col("status") != "pending", F.col("wave"))).alias(
-                "mx_done"
-            ),
-        ).collect()[0]
-        wave = agg["mx"] or 0
-        committed_wave = agg["mx_done"] if agg["mx_done"] is not None else -1
+        wave = frontier.agg(F.max("wave")).collect()[0][0] or 0
         # politeness clocks: in-memory during the run, checkpointed per
         # wave, reloaded on resume
         self._clocks = {
@@ -606,16 +647,6 @@ class CrawlEngine:
             .filter(F.col("status") == "pending")
             .count()
         )
-        # torn-wave cleanup: lineage (fetch log / metrics) commits on a
-        # background thread overlapped with the wave, so a kill between
-        # the lineage commit and the frontier commit leaves lineage for
-        # a wave the frontier never completed.  A wave is committed iff
-        # the frontier snapshot contains its fetched/failed rows; any
-        # lineage tagged beyond ``committed_wave`` is torn — the wave
-        # will re-run — so drop it (the Iceberg analog: abort the
-        # wave's uncommitted multi-table transaction).
-        for t in (self.log_t, self.metrics_t):
-            t.drop_snapshots(lambda m: m.get("wave", -1) > committed_wave)
         while wave < max_waves and n_pending > 0:
             frontier = self.frontier_t.read()
             pending = frontier.filter(F.col("status") == "pending")
@@ -712,6 +743,7 @@ class CrawlEngine:
             stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
             lineage_future.result()
             mark("log+metrics join")
+            self._commit_wave(wave)
             eligible.unpersist()
             fetched.unpersist()
             new_pending.unpersist()

@@ -52,10 +52,15 @@ class SnapshotTable:
     def snapshots(self) -> list[int]:
         out = []
         for d in sorted(os.listdir(self.path)):
-            if d.startswith("snap-") and os.path.exists(
-                os.path.join(self.path, d, "_manifest.json")
+            # strict name match: a crash between the manifest write and
+            # the commit rename leaves snap-NNNNN.tmp (which contains a
+            # manifest!) — it must parse as "not a snapshot", not crash
+            if (
+                d.startswith("snap-")
+                and d[5:].isdigit()
+                and os.path.exists(os.path.join(self.path, d, "_manifest.json"))
             ):
-                out.append(int(d.split("-")[1]))
+                out.append(int(d[5:]))
         return out
 
     def latest(self) -> int | None:

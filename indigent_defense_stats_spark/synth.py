@@ -638,7 +638,7 @@ def fetch(url: str, attempt: int = 0) -> dict:
         jid = int(q["JudicialOfficer"])
         jos = [j for _, j in jo_list(i)]
         if jid not in jos:
-            return {"kind": "results", "status": 200, "case_ids": []}
+            return {"kind": "results", "status": 200, "case_links": []}
         day_ord = day.toordinal()
         jo_ord = jos.index(jid)
         return {

@@ -132,6 +132,27 @@ def test_robots_filter(spark, tmp_path):
     assert h1 in case_hosts
 
 
+def test_robots_denies_seed_urls_too(spark, tmp_path):
+    """A deny-all host must never be fetched at all — robots applies to
+    the seed login/main pages, not only expanded candidates."""
+    reg = synth.make_registry(2, n_scrape=2)
+    h0 = synth.portal_host(0)
+    h1 = synth.portal_host(1)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        reg,
+        START,
+        1,
+        n_buckets=2,
+        robots_rules={h0: ["/"], h1: []},
+    )
+    eng.run()
+    hosts = {r["host"] for r in eng.fetch_log().collect()}
+    assert h0 not in hosts
+    assert h1 in hosts
+
+
 def test_resume_mid_frontier(spark, tmp_path, world):
     """Kill after 2 waves; a new engine resumes from the checkpoint and
     finishes; no URL is ever fetched twice; final state equals the
