@@ -101,3 +101,20 @@ def case_stats(records: DataFrame) -> DataFrame:
         F.expr("percentile(n, 0.5)").alias("median_charges"),
         F.count(F.lit(1)).alias("n_cases"),
     ).crossJoin(mode_df)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink with header (S14, tools/build_event_csv.py:109-117).
+    ``single_file`` coalesces to one part for small human-facing
+    exports; leave False at scale (one file per partition)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def export_first_n_json(df: DataFrame, path: str, n: int = 1000) -> None:
+    """Bounded JSON bundle export (S15, tools/combine_parsed.py:24-38):
+    first n rows in a deterministic order (the reference takes the
+    first 1000 directory entries; directory order is not reproducible,
+    so the contract here is explicit ordering by the first column)."""
+    first = df.orderBy(df.columns[0]).limit(n).coalesce(1)
+    first.write.mode("overwrite").json(path)

@@ -267,14 +267,10 @@ def write_md(out_dir: str, report: dict) -> None:
         "spin loop (multiprocessing, no Spark).  On a single die, 4N",
         "cores are not 4x the silicon (SMT sharing + turbo downclock);",
         "a real cluster scales by adding whole nodes, which this ceiling",
-        "does not apply to.  Ceiling-normalized efficiency =",
-        "raw efficiency / ceiling.",
-        "",
-        "Normalized:",
-        f"- fetchparse 2->8: {round(effs['fetchparse_2to8']/ceil_2_8, 3)}",
-        f"- fetchparse 8->32: {round(effs['fetchparse_8to32']/ceil_8_32, 3)}",
-        f"- crawl 2->8: {round(effs['crawl_2to8']/ceil_2_8, 3)}",
-        f"- crawl 8->32: {round(effs['crawl_8to32']/ceil_8_32, 3)}",
+        "does not apply to.  Context only: the probe itself varies",
+        "~±15% run to run on this shared sandbox, so treat it as a",
+        "rough bound on what any parallel code could achieve here, not",
+        "as a divisor.",
         "",
         "Fixed-cost analysis: the wave loop carries ~3-5 s of scheduler/",
         "checkpoint latency per wave regardless of wave size (measured in",

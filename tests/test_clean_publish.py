@@ -144,3 +144,16 @@ def test_top5_and_stats(spark, world):
     ns = sorted(len(r.get("charges") or []) for r in expected_records.values())
     assert stats["n_cases"] == len(ns)
     assert abs(stats["mean_charges"] - sum(ns) / len(ns)) < 1e-3
+
+
+def test_export_sinks(spark, tmp_path):
+    """S14/S15: CSV with header and bounded JSON bundle round-trip."""
+    from indigent_defense_stats_spark.operators import analytics
+
+    df = spark.range(10).selectExpr("id", "concat('v', id) AS val")
+    analytics.export_csv(df, str(tmp_path / "csv"), single_file=True)
+    back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
+    assert back.count() == 10 and set(back.columns) == {"id", "val"}
+    analytics.export_first_n_json(df, str(tmp_path / "json"), n=3)
+    jback = spark.read.json(str(tmp_path / "json"))
+    assert sorted(r["id"] for r in jback.collect()) == [0, 1, 2]
