@@ -91,6 +91,33 @@ HOST_STATE = StructType(
 
 SEEN = StructType([StructField("canonical_url", StringType(), False)])
 
+_LOG_COLS = [
+    ("host", StringType()),
+    ("canonical_url", StringType()),
+    ("county", StringType()),
+    ("county_ord", IntegerType()),
+    ("depth", IntegerType()),
+    ("prio", IntegerType()),
+    ("date_ord", IntegerType()),
+    ("jo_ord", IntegerType()),
+    ("link_ord", IntegerType()),
+    ("status", StringType()),
+    ("attempts", IntegerType()),
+    ("fetch_ts_ms", LongType()),
+    ("wave", IntegerType()),
+    ("partition_id", IntegerType()),
+]
+LOG_SCHEMA = StructType([StructField(n, t, True) for n, t in _LOG_COLS])
+METRICS_SCHEMA = StructType(
+    [
+        StructField("wave", IntegerType(), True),
+        StructField("partition_id", IntegerType(), True),
+        StructField("status", StringType(), True),
+        StructField("n", LongType(), True),
+        StructField("attempts", LongType(), True),
+    ]
+)
+
 _PRIO_COLS = ["prio", "date_ord", "jo_ord", "link_ord", "canonical_url"]
 
 
@@ -233,6 +260,9 @@ class CrawlEngine:
         self.max_per_host = max_per_host_per_wave
         self.priority = priority
         assert seen_filter in ("bloom", "cuckoo")
+        # note: priority only matters under a per-wave budget — with
+        # unlimited fan-out every pending row fetches this wave anyway
+        assert priority in ("reference", "recency")
         self.seen_filter = seen_filter
         t = lambda name, schema, mode: SnapshotTable(  # noqa: E731
             spark, os.path.join(base_dir, name), schema, mode
@@ -241,8 +271,8 @@ class CrawlEngine:
         self.host_state_t = t("host_state", HOST_STATE, "overwrite")
         self.seen_t = t("seen", SEEN, "append")
         self.documents_t = t("documents", schemas.DOCUMENTS, "append")
-        self.log_t = t("fetch_log", None, "append")
-        self.metrics_t = t("metrics", None, "append")
+        self.log_t = t("fetch_log", LOG_SCHEMA, "append")
+        self.metrics_t = t("metrics", METRICS_SCHEMA, "append")
         # robots: compiled allow/deny prefix rules per host, broadcast
         # as a tiny dimension (C3; absent in the reference)
         hosts = {
@@ -301,18 +331,26 @@ class CrawlEngine:
                     waves.append(json.load(fh)["wave"])
         return max(waves) if waves else None
 
-    def _rollback_uncommitted(self) -> None:
-        last = self._last_committed_wave()
-        if last is None:
-            return  # fresh dir (or legacy layout): nothing to roll back
-        for t in (
+    def _tables(self) -> tuple[SnapshotTable, ...]:
+        return (
             self.frontier_t,
             self.seen_t,
             self.documents_t,
             self.host_state_t,
             self.log_t,
             self.metrics_t,
-        ):
+        )
+
+    def _rollback_uncommitted(self) -> None:
+        last = self._last_committed_wave()
+        if last is None:
+            # no commit marker at all: either a fresh dir (no snapshots
+            # -> no-op) or a kill during the seed writes — drop the
+            # torn seed snapshots so seeding restarts atomically
+            for t in self._tables():
+                t.drop_snapshots(lambda m: True)
+            return
+        for t in self._tables():
             t.drop_snapshots(lambda m: m.get("wave", last) > last)
 
     # ------------------------------------------------------------------
@@ -353,34 +391,15 @@ class CrawlEngine:
         """Wave-0 frontier: login POST (when notes carry PUBLICLOGIN#,
         scraper/__init__.py:254-263) + portal main page, per active
         county (S1 filter, orchestrator/__init__.py:27)."""
-        c = self.counties_df().filter(F.col("scrape") == "yes")
-        main = c.select(
-            F.col("portal").alias("url"),
-            canonicalize_col(F.col("portal")).alias("canonical_url"),
-            "host",
-            "county",
-            "county_ord",
-            F.lit(1).alias("depth"),
-            F.lit(1).alias("prio"),
-            F.lit(-1).alias("date_ord"),
-            F.lit(-1).alias("jo_ord"),
-            F.lit(-1).alias("link_ord"),
-            F.lit(None).cast("date").alias("case_date"),
-            F.lit("pending").alias("status"),
-            F.lit(0).alias("wave"),
-        )
-        login = (
-            c.filter(F.col("notes").contains("PUBLICLOGIN#"))
-            .select(
-                F.concat("portal", F.lit("login.aspx")).alias("url"),
-                canonicalize_col(F.concat("portal", F.lit("login.aspx"))).alias(
-                    "canonical_url"
-                ),
+        def seed_rows(df: DataFrame, url_expr, depth: int, prio: int) -> DataFrame:
+            return df.select(
+                url_expr.alias("url"),
+                canonicalize_col(url_expr).alias("canonical_url"),
                 "host",
                 "county",
                 "county_ord",
-                F.lit(0).alias("depth"),
-                F.lit(0).alias("prio"),
+                F.lit(depth).alias("depth"),
+                F.lit(prio).alias("prio"),
                 F.lit(-1).alias("date_ord"),
                 F.lit(-1).alias("jo_ord"),
                 F.lit(-1).alias("link_ord"),
@@ -388,6 +407,14 @@ class CrawlEngine:
                 F.lit("pending").alias("status"),
                 F.lit(0).alias("wave"),
             )
+
+        c = self.counties_df().filter(F.col("scrape") == "yes")
+        main = seed_rows(c, F.col("portal"), depth=1, prio=1)
+        login = seed_rows(
+            c.filter(F.col("notes").contains("PUBLICLOGIN#")),
+            F.concat("portal", F.lit("login.aspx")),
+            depth=0,
+            prio=0,
         )
         # robots applies to seeds too (login/main pages), not only to
         # expanded candidates — a deny-all host must never be fetched
@@ -624,13 +651,25 @@ class CrawlEngine:
         frontier = self.frontier_t.read()
         if frontier is None:
             seeds = self.seeds().coalesce(1).cache()
-            self.frontier_t.write(seeds, {"wave": -1, "event": "seed"})
-            self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
-            self._commit_wave(-1)
+            try:
+                self.frontier_t.write(seeds, {"wave": -1, "event": "seed"})
+                self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
+                self._commit_wave(-1)
+            finally:
+                seeds.unpersist()
             frontier = self.frontier_t.read()
         # resume: pending rows are tagged with the wave that enqueued
-        # them; continue numbering from there (fresh seed -> wave 0)
-        wave = frontier.agg(F.max("wave")).collect()[0][0] or 0
+        # them; continue numbering from there (fresh seed -> wave 0).
+        # The committed-wave floor prevents tag collisions: a budgeted
+        # wave that discovered nothing new leaves max(frontier.wave)
+        # equal to an already-committed wave, and re-using that tag
+        # would make a second torn write indistinguishable from the
+        # committed snapshots.
+        last = self._last_committed_wave()
+        wave = max(
+            frontier.agg(F.max("wave")).collect()[0][0] or 0,
+            (last if last is not None else -1) + 1,
+        )
         # politeness clocks: in-memory during the run, checkpointed per
         # wave, reloaded on resume
         self._clocks = {
@@ -647,106 +686,113 @@ class CrawlEngine:
             .filter(F.col("status") == "pending")
             .count()
         )
-        while wave < max_waves and n_pending > 0:
+        # max_waves bounds waves run in THIS call (an absolute bound
+        # would make a crawl resumed past it permanently stall)
+        end_wave = wave + max_waves
+        while wave < end_wave and n_pending > 0:
             frontier = self.frontier_t.read()
             pending = frontier.filter(F.col("status") == "pending")
             mark("read")
             eligible = self._eligible(pending).cache()
             fetched = self._fetch(eligible, wave).cache()
-            # ONE action materializes the cache and yields wave stats,
-            # per-host clocks, AND per-partition lineage (hosts and
-            # partitions are bounded, so the driver-side merge is fine
-            # even at 10^5 hosts)
-            summary = (
-                fetched.groupBy(
-                    "status",
-                    (F.col("depth") == 4).alias("is_case"),
-                    "host",
-                    "partition_id",
+            new_pending = None
+            try:
+                # ONE action materializes the cache and yields wave stats,
+                # per-host clocks, AND per-partition lineage (hosts and
+                # partitions are bounded, so the driver-side merge is fine
+                # even at 10^5 hosts)
+                summary = (
+                    fetched.groupBy(
+                        "status",
+                        (F.col("depth") == 4).alias("is_case"),
+                        "host",
+                        "partition_id",
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.max("fetch_ts_ms").alias("clock"),
+                        F.sum("attempts").alias("attempts"),
+                    )
+                    .collect()
                 )
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("fetch_ts_ms").alias("clock"),
-                    F.sum("attempts").alias("attempts"),
+                n_fetched = sum(r["n"] for r in summary if r["status"] == "fetched")
+                n_failed = sum(r["n"] for r in summary if r["status"] == "failed")
+                n_docs = sum(
+                    r["n"] for r in summary if r["status"] == "fetched" and r["is_case"]
                 )
-                .collect()
-            )
-            n_fetched = sum(r["n"] for r in summary if r["status"] == "fetched")
-            n_failed = sum(r["n"] for r in summary if r["status"] == "failed")
-            n_docs = sum(
-                r["n"] for r in summary if r["status"] == "fetched" and r["is_case"]
-            )
-            clocks: dict[str, int] = {}
-            for r in summary:
-                clocks[r["host"]] = max(clocks.get(r["host"], 0), r["clock"])
-            mark("fetch")
-            lineage_future = self._pool.submit(_lineage_writer(self, wave, fetched, summary))
+                clocks: dict[str, int] = {}
+                for r in summary:
+                    clocks[r["host"]] = max(clocks.get(r["host"], 0), r["clock"])
+                mark("fetch")
+                lineage_future = self._pool.submit(_lineage_writer(self, wave, fetched, summary))
 
-            candidates = self._expand(fetched, wave)
-            new_pending = self._dedup(candidates).cache()
-            n_new = new_pending.count()
-            mark("expand+dedup+counts")
+                candidates = self._expand(fetched, wave)
+                new_pending = self._dedup(candidates).cache()
+                n_new = new_pending.count()
+                mark("expand+dedup+counts")
 
-            # documents append (S6 sink): case pages -> span rows
-            docs = (
-                fetched.filter(
-                    (F.col("depth") == 4) & (F.col("status") == "fetched")
+                # documents append (S6 sink): case pages -> span rows
+                docs = (
+                    fetched.filter(
+                        (F.col("depth") == 4) & (F.col("status") == "fetched")
+                    )
+                    .select(
+                        F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias(
+                            "doc_id"
+                        ),
+                        "county",
+                        F.from_json(
+                            "spans_json",
+                            "ARRAY<STRUCT<kind STRING, text STRING,"
+                            " media_ref STRING, offset INT>>",
+                        ).alias("spans"),
+                    )
                 )
-                .select(
-                    F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias(
-                        "doc_id"
-                    ),
-                    "county",
-                    F.from_json(
-                        "spans_json",
-                        "ARRAY<STRUCT<kind STRING, text STRING,"
-                        " media_ref STRING, offset INT>>",
-                    ).alias("spans"),
+                mark("docs")
+                if n_docs:
+                    self.documents_t.write(docs.coalesce(self.n_buckets), {"wave": wave})
+
+                # frontier state transition: replace eligible rows with their
+                # fetched/failed versions, add the new pending rows
+                froncols = [f.name for f in schemas.FRONTIER.fields]
+                remaining = frontier.join(
+                    eligible.select("canonical_url"), "canonical_url", "left_anti"
+                ).select(*froncols)
+                # bound the snapshot's file/partition count: a plain union
+                # concatenates partitions, so without the coalesce each
+                # wave's snapshot grows by the previous wave's partition
+                # count and re-reads amplify wave over wave (at production
+                # scale this is an Iceberg MERGE on the bucket key instead)
+                new_frontier = (
+                    remaining.unionByName(fetched.select(*froncols))
+                    .unionByName(new_pending.select(*froncols))
+                    .coalesce(self.n_buckets)
                 )
-            )
-            mark("docs")
-            if n_docs:
-                self.documents_t.write(docs.coalesce(self.n_buckets), {"wave": wave})
+                self.frontier_t.write(new_frontier, {"wave": wave})
+                mark("frontier write")
+                if n_new:
+                    self.seen_t.write(
+                        new_pending.select("canonical_url").coalesce(self.n_buckets),
+                        {"wave": wave},
+                    )
+                    self._seen_count += n_new
 
-            # frontier state transition: replace eligible rows with their
-            # fetched/failed versions, add the new pending rows
-            froncols = [f.name for f in schemas.FRONTIER.fields]
-            remaining = frontier.join(
-                eligible.select("canonical_url"), "canonical_url", "left_anti"
-            ).select(*froncols)
-            # bound the snapshot's file/partition count: a plain union
-            # concatenates partitions, so without the coalesce each
-            # wave's snapshot grows by the previous wave's partition
-            # count and re-reads amplify wave over wave (at production
-            # scale this is an Iceberg MERGE on the bucket key instead)
-            new_frontier = (
-                remaining.unionByName(fetched.select(*froncols))
-                .unionByName(new_pending.select(*froncols))
-                .coalesce(self.n_buckets)
-            )
-            self.frontier_t.write(new_frontier, {"wave": wave})
-            mark("frontier write")
-            if n_new:
-                self.seen_t.write(
-                    new_pending.select("canonical_url").coalesce(self.n_buckets),
-                    {"wave": wave},
-                )
-                self._seen_count += n_new
+                # host clocks carry politeness budget across waves
+                # (merged driver-side from the wave summary collect)
+                for h, c in clocks.items():
+                    self._clocks[h] = max(self._clocks.get(h, 0), c)
+                self.host_state_t.write(self._host_state_df(), {"wave": wave})
+                mark("host_state")
 
-            # host clocks carry politeness budget across waves
-            # (merged driver-side from the wave summary collect)
-            for h, c in clocks.items():
-                self._clocks[h] = max(self._clocks.get(h, 0), c)
-            self.host_state_t.write(self._host_state_df(), {"wave": wave})
-            mark("host_state")
-
-            stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
-            lineage_future.result()
-            mark("log+metrics join")
-            self._commit_wave(wave)
-            eligible.unpersist()
-            fetched.unpersist()
-            new_pending.unpersist()
+                stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
+                lineage_future.result()
+                mark("log+metrics join")
+                self._commit_wave(wave)
+            finally:
+                eligible.unpersist()
+                fetched.unpersist()
+                if new_pending is not None:
+                    new_pending.unpersist()
             n_pending += n_new - n_fetched - n_failed
             wave += 1
         return stats

@@ -256,3 +256,28 @@ def test_torn_wave_lineage_dropped_on_resume(spark, tmp_path, world):
     urls = [r["canonical_url"] for r in eng2.fetch_log().collect()]
     assert len(urls) == len(set(urls)), "duplicate fetch-log rows after resume"
     assert {u for u in urls} == {f["url"] for f in log.fetches}
+
+
+def test_budgeted_crawl_resumes_across_run_calls(spark, tmp_path):
+    """max_waves bounds waves per call; repeated run() calls make
+    progress (not an absolute cap), wave tags never collide with
+    committed waves, and the final crawl equals the reference."""
+    reg = synth.make_registry(2, n_scrape=1)
+    log = oracle.crawl(reg, START, 1)
+    eng = CrawlEngine(
+        spark, str(tmp_path), reg, START, 1, n_buckets=2, max_per_host_per_wave=2
+    )
+    total = 0
+    for _ in range(40):
+        stats = eng.run(max_waves=3)
+        total += len(stats)
+        if not stats:
+            break
+    urls = [r["canonical_url"] for r in eng.fetch_log().collect()]
+    assert len(urls) == len(set(urls)), "duplicate fetches"
+    assert set(urls) == {f["url"] for f in log.fetches}
+    # lineage snapshots carry unique wave tags
+    waves = [
+        eng.log_t.manifest(s).get("wave") for s in eng.log_t.snapshots()
+    ]
+    assert len(waves) == len(set(waves))
