@@ -376,13 +376,17 @@ def doc_motion_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     known phrases appear in each document + the boolean evidence flag.
     Scale: no join — the 7-row 'dimension' is a literal array evaluated
     per row map-side; ordering of hits is the literal order, exactly
-    like the reference's list comprehension."""
+    like the reference's list comprehension.
+
+    Hits are serialized to a comma-joined string: the driver's pandas
+    canonicalizer sorts columns and cannot hash list values, so both
+    sides emit scalars (VERDICT r1 item 1)."""
     d = _t(spark, sf_dir, "documents")
     phrases = F.array(*[F.lit(p) for p in GOOD_PHRASES])
     hits = F.filter(phrases, lambda m: F.col("text").contains(m))
     return d.select(
         "doc_id",
-        hits.alias("good_hits"),
+        F.concat_ws(",", hits).alias("good_hits"),
         (F.size(hits) > 0).alias("has_evidence"),
     )
 
@@ -420,7 +424,14 @@ def user_event_ids_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import skew
 
     e = _t(spark, sf_dir, "events").select("user_id", "event_id")
-    return skew.collect_list_salted(e, "user_id", "event_id", n_salt=8)
+    out = skew.collect_list_salted(e, "user_id", "event_id", n_salt=8)
+    # scalarize for the driver canonicalizer (lists are unhashable there)
+    return out.select(
+        "user_id",
+        F.concat_ws(
+            ",", F.transform("event_ids", lambda x: x.cast("string"))
+        ).alias("event_ids"),
+    )
 
 
 def user_events_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +443,9 @@ def user_events_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id")), asc=False)
     return e.groupBy("user_id").agg(
-        F.transform(arr, lambda s: s["event_id"]).alias("events_newest_first")
+        F.concat_ws(
+            ",", F.transform(arr, lambda s: s["event_id"].cast("string"))
+        ).alias("events_newest_first")
     )
 
 
@@ -493,7 +506,8 @@ ORACLE_SQL = {
     """,
     "dismissed_count_analog": """
         SELECT l_orderkey,
-               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS returned_count
         FROM lineitem GROUP BY l_orderkey
         HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
     """,
@@ -605,9 +619,10 @@ ORACLE_SQL = {
     """,
     "doc_motion_flags": """
         SELECT doc_id,
-               list_filter(['table scan', 'hash join', 'sort merge',
-                            'stream filter'],
-                           m -> contains(text, m)) AS good_hits,
+               coalesce(array_to_string(
+                   list_filter(['table scan', 'hash join', 'sort merge',
+                                'stream filter'],
+                               m -> contains(text, m)), ','), '') AS good_hits,
                len(list_filter(['table scan', 'hash join', 'sort merge',
                                 'stream filter'],
                                m -> contains(text, m))) > 0 AS has_evidence
@@ -631,13 +646,14 @@ ORACLE_SQL = {
     """,
     "user_events_reversed": """
         SELECT user_id,
-               list(event_id ORDER BY ts DESC, event_id DESC)
-                   AS events_newest_first
+               array_to_string(list(event_id ORDER BY ts DESC, event_id DESC),
+                               ',') AS events_newest_first
         FROM events GROUP BY user_id
     """,
     "user_event_ids_salted": """
         SELECT user_id,
-               list(event_id ORDER BY event_id) AS event_ids
+               array_to_string(list(event_id ORDER BY event_id), ',')
+                   AS event_ids
         FROM events GROUP BY user_id
     """,
 }
