@@ -36,12 +36,18 @@ unavoidable politeness unit; everything downstream of fetch
 canonical_url / doc_id, so a hot host does not produce a hot
 *processing* partition.
 
-Scale notes: the frontier/seen tables would be Iceberg, bucketed by
-``pmod(xxhash64(canonical_url), N)``; the per-wave full-state rewrite
-below becomes a MERGE on the bucket key.  Fetching real HTTP swaps
-``synth.fetch`` for a requests/aiohttp call inside the same per-host
-group — the only per-row Python in the engine, at the I/O boundary
-where each row *is* a network round-trip.
+Scale notes: the frontier is a merge-on-read delta table
+(sources/catalog.py:DeltaTable — the plain-parquet analog of an
+Iceberg v2 table with equality deletes): a wave appends its
+discoveries and the keys it retired — O(wave) I/O — and a compaction
+folds deltas into a new base only when the dead fraction crosses a
+threshold, so frontier maintenance is amortized O(wave), never the
+O(frontier)-per-wave rewrite a copy-on-write snapshot would cost at
+10^10 URLs.  On a real cluster the same call sites are ``MERGE INTO``
+on an Iceberg table bucketed by ``pmod(xxhash64(canonical_url), N)``.
+Fetching real HTTP swaps ``synth.fetch`` for a requests/aiohttp call
+inside the same per-host group — the only per-row Python in the
+engine, at the I/O boundary where each row *is* a network round-trip.
 """
 
 from __future__ import annotations
@@ -66,7 +72,7 @@ from pyspark.sql.types import (
 
 from .. import schemas, synth
 from ..functions.urls import absolutize, canonicalize_col
-from ..sources.catalog import SnapshotTable
+from ..sources.catalog import DeltaTable, SnapshotTable
 from . import bloom
 
 POLITENESS_MS = 200  # scraper/__init__.py:57
@@ -267,7 +273,15 @@ class CrawlEngine:
         t = lambda name, schema, mode: SnapshotTable(  # noqa: E731
             spark, os.path.join(base_dir, name), schema, mode
         )
-        self.frontier_t = t("frontier", schemas.FRONTIER, "overwrite")
+        # pending-only merge-on-read store: fetched/failed rows leave
+        # the frontier (their lineage lives in fetch_log/metrics), so
+        # the table IS the work queue and a wave writes O(wave) bytes
+        self.frontier_t = DeltaTable(
+            spark,
+            os.path.join(base_dir, "frontier"),
+            schemas.FRONTIER,
+            key="canonical_url",
+        )
         self.host_state_t = t("host_state", HOST_STATE, "overwrite")
         self.seen_t = t("seen", SEEN, "append")
         self.documents_t = t("documents", schemas.DOCUMENTS, "append")
@@ -648,11 +662,16 @@ class CrawlEngine:
                 print(f"    [{label}] {now - t_last:.2f}s", flush=True)
                 t_last = now
         self._rollback_uncommitted()
+        last_gc = self._last_committed_wave()
+        if last_gc is not None:
+            # snapshots older than the newest committed base are
+            # unreachable after rollback — reclaim them
+            self.frontier_t.gc(last_gc)
         frontier = self.frontier_t.read()
         if frontier is None:
             seeds = self.seeds().coalesce(1).cache()
             try:
-                self.frontier_t.write(seeds, {"wave": -1, "event": "seed"})
+                self.frontier_t.write_base(seeds, {"wave": -1, "event": "seed"})
                 self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
                 self._commit_wave(-1)
             finally:
@@ -690,8 +709,9 @@ class CrawlEngine:
         # would make a crawl resumed past it permanently stall)
         end_wave = wave + max_waves
         while wave < end_wave and n_pending > 0:
-            frontier = self.frontier_t.read()
-            pending = frontier.filter(F.col("status") == "pending")
+            # merge-on-read: base ∪ delta-adds, anti-join delta-removes
+            # — the table holds pending rows only
+            pending = self.frontier_t.read()
             mark("read")
             eligible = self._eligible(pending).cache()
             fetched = self._fetch(eligible, wave).cache()
@@ -752,23 +772,29 @@ class CrawlEngine:
                 if n_docs:
                     self.documents_t.write(docs.coalesce(self.n_buckets), {"wave": wave})
 
-                # frontier state transition: replace eligible rows with their
-                # fetched/failed versions, add the new pending rows
+                # frontier state transition as an O(wave) delta: the
+                # wave's eligible keys are retired (every eligible row
+                # came back fetched or failed) and the deduped
+                # discoveries are appended — the full pending set is
+                # never rewritten (VERDICT r1 item 3)
                 froncols = [f.name for f in schemas.FRONTIER.fields]
-                remaining = frontier.join(
-                    eligible.select("canonical_url"), "canonical_url", "left_anti"
-                ).select(*froncols)
-                # bound the snapshot's file/partition count: a plain union
-                # concatenates partitions, so without the coalesce each
-                # wave's snapshot grows by the previous wave's partition
-                # count and re-reads amplify wave over wave (at production
-                # scale this is an Iceberg MERGE on the bucket key instead)
-                new_frontier = (
-                    remaining.unionByName(fetched.select(*froncols))
-                    .unionByName(new_pending.select(*froncols))
-                    .coalesce(self.n_buckets)
+                n_removed = n_fetched + n_failed
+                self.frontier_t.write_delta(
+                    adds=(
+                        new_pending.select(*froncols).coalesce(self.n_buckets)
+                        if n_new
+                        else None
+                    ),
+                    removes=eligible.select("canonical_url").coalesce(1),
+                    meta={"wave": wave},
+                    n_removes=n_removed,
                 )
-                self.frontier_t.write(new_frontier, {"wave": wave})
+                # amortized compaction: fold deltas into a new base once
+                # dead rows outnumber live ones, so merge-on-read cost
+                # stays bounded while per-wave write cost stays O(wave)
+                n_after = n_pending + n_new - n_removed
+                if self.frontier_t.removes_outstanding() > max(n_after, 256):
+                    self.frontier_t.compact({"wave": wave, "event": "compact"})
                 mark("frontier write")
                 if n_new:
                     self.seen_t.write(

@@ -129,3 +129,225 @@ class SnapshotTable:
                 shutil.rmtree(self._snap_dir(s), ignore_errors=True)
                 dropped += 1
         return dropped
+
+
+class DeltaTable:
+    """Merge-on-read keyed table: base snapshots + per-wave deltas
+    (adds + key-deletes), the plain-parquet analog of an Iceberg v2
+    table with equality deletes.
+
+    Built for the crawl frontier's pending set: a wave must retire its
+    eligible rows and enqueue discoveries WITHOUT rewriting the whole
+    table (at a 10^10-URL frontier a copy-on-write state transition is
+    O(frontier) I/O per wave — the round-1 scale-killer).  Here a wave
+    writes O(wave) bytes:
+
+    - ``write_delta(adds, removes)`` appends the new rows and the
+      retired keys (one small parquet each);
+    - ``read()`` is ``(base ∪ adds*) ⟕anti removes*`` — the anti-join
+      is the merge-on-read; AQE broadcasts the removes side while it
+      is small;
+    - ``compact()`` folds accumulated deltas into a fresh base when
+      the remove set grows past a threshold (the caller's policy), so
+      read cost is amortized O(pending);
+    - snapshots carry the same manifest/wave tags as
+      :class:`SnapshotTable`, so the wave-commit rollback protocol
+      (drop snapshots beyond the last commit marker) applies
+      unchanged — dropping an uncommitted compaction base falls back
+      to the prior base + deltas, dropping an uncommitted delta
+      restores the exact pre-wave state;
+    - ``gc(committed_wave)`` removes snapshots strictly older than the
+      newest base that is itself committed — they are unreachable
+      (reads start at the latest base) once the base can no longer be
+      rolled back.
+
+    On a production cluster this is ``MERGE INTO frontier`` on an
+    Iceberg table bucketed by ``pmod(xxhash64(canonical_url), N)``;
+    call sites map 1:1.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        key: str,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.key = key
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot bookkeeping (same layout contract as SnapshotTable) --
+    def _snap_dir(self, snap: int) -> str:
+        return os.path.join(self.path, f"snap-{snap:05d}")
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for d in sorted(os.listdir(self.path)):
+            if (
+                d.startswith("snap-")
+                and d[5:].isdigit()
+                and os.path.exists(os.path.join(self.path, d, "_manifest.json"))
+            ):
+                out.append(int(d[5:]))
+        return out
+
+    def latest(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def manifest(self, snapshot: int) -> dict:
+        with open(os.path.join(self._snap_dir(snapshot), "_manifest.json")) as f:
+            return json.load(f)
+
+    def _commit(self, tmp: str, target: str, manifest: dict) -> None:
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, target)
+
+    def _new_tmp(self, snap: int) -> tuple[str, str]:
+        target = self._snap_dir(snap)
+        tmp = target + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        return tmp, target
+
+    # -- writes --------------------------------------------------------
+    def write_base(self, df: DataFrame, meta: dict | None = None) -> int:
+        snap = (self.latest() or 0) + 1
+        tmp, target = self._new_tmp(snap)
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "adds"))
+        self._commit(
+            tmp,
+            target,
+            {"snapshot": snap, "kind": "base", "ts": time.time(), **(meta or {})},
+        )
+        return snap
+
+    def write_delta(
+        self,
+        adds: DataFrame | None,
+        removes: DataFrame | None,
+        meta: dict | None = None,
+        n_removes: int = -1,
+    ) -> int:
+        """*adds* are full-schema new rows; *removes* is a one-column
+        DataFrame of keys leaving the table.  Pass either as None to
+        skip that side's write (and its Spark action) entirely."""
+        snap = (self.latest() or 0) + 1
+        tmp, target = self._new_tmp(snap)
+        if adds is not None:
+            adds.write.mode("overwrite").parquet(os.path.join(tmp, "adds"))
+        if removes is not None:
+            removes.select(self.key).write.mode("overwrite").parquet(
+                os.path.join(tmp, "removes")
+            )
+        self._commit(
+            tmp,
+            target,
+            {
+                "snapshot": snap,
+                "kind": "delta",
+                "ts": time.time(),
+                "n_removes": n_removes,
+                **(meta or {}),
+            },
+        )
+        return snap
+
+    # -- reads ---------------------------------------------------------
+    def latest_base(self, upto: int | None = None) -> int | None:
+        base = None
+        for s in self.snapshots():
+            if upto is not None and s > upto:
+                break
+            if self.manifest(s)["kind"] == "base":
+                base = s
+        return base
+
+    def _live_paths(self) -> tuple[list[str], list[str]]:
+        base = self.latest_base()
+        adds, removes = [], []
+        for s in self.snapshots():
+            if base is not None and s < base:
+                continue
+            d = self._snap_dir(s)
+            a = os.path.join(d, "adds")
+            r = os.path.join(d, "removes")
+            if os.path.exists(a):
+                adds.append(a)
+            if os.path.exists(r):
+                removes.append(r)
+        return adds, removes
+
+    def read(self) -> DataFrame | None:
+        adds, removes = self._live_paths()
+        if not adds:
+            return None
+        df = self.spark.read.parquet(*adds)
+        if removes:
+            rem = self.spark.read.parquet(*removes).distinct()
+            df = df.join(rem, self.key, "left_anti")
+        return df
+
+    def read_or_empty(self) -> DataFrame:
+        df = self.read()
+        if df is None:
+            return self.spark.createDataFrame([], self.schema)
+        return df
+
+    def removes_outstanding(self) -> int:
+        """Sum of delta remove-counts since the latest base (drives the
+        caller's compaction policy; manifests carry the counts so a
+        resumed run restores the counter without a data scan)."""
+        base = self.latest_base()
+        total = 0
+        for s in self.snapshots():
+            if base is not None and s <= base:
+                continue
+            m = self.manifest(s)
+            if m.get("kind") == "delta":
+                n = m.get("n_removes", -1)
+                total += max(n, 0)
+        return total
+
+    # -- maintenance ---------------------------------------------------
+    def compact(self, meta: dict | None = None) -> int | None:
+        """Fold base+deltas into a fresh base snapshot.  Old snapshots
+        are NOT removed here — until the new base is covered by a
+        commit marker a rollback may still need them; ``gc`` reclaims
+        them afterwards."""
+        cur = self.read()
+        if cur is None:
+            return None
+        return self.write_base(cur, meta)
+
+    def gc(self, committed_wave: int) -> int:
+        """Drop snapshots strictly older than the newest base whose
+        wave tag is committed (≤ *committed_wave*).  Those snapshots
+        are unreachable: reads resolve from the latest base forward,
+        and rollback never drops a committed base."""
+        keep_from = None
+        for s in self.snapshots():
+            m = self.manifest(s)
+            if m["kind"] == "base" and m.get("wave", 1 << 60) <= committed_wave:
+                keep_from = s
+        if keep_from is None:
+            return 0
+        dropped = 0
+        for s in self.snapshots():
+            if s < keep_from:
+                shutil.rmtree(self._snap_dir(s), ignore_errors=True)
+                dropped += 1
+        return dropped
+
+    def drop_snapshots(self, pred) -> int:
+        dropped = 0
+        for s in self.snapshots():
+            if pred(self.manifest(s)):
+                shutil.rmtree(self._snap_dir(s), ignore_errors=True)
+                dropped += 1
+        return dropped
