@@ -35,6 +35,7 @@ def _modules():
     from indigent_defense_stats_spark.operators import (
         crawl_queries,
         dedup,
+        pipeline_queries,
         relational,
         similarity,
         textstats,
@@ -42,7 +43,16 @@ def _modules():
     from indigent_defense_stats_spark.sources import views
     from indigent_defense_stats_spark.streaming import ingest
 
-    return [relational, textstats, dedup, similarity, crawl_queries, ingest, views]
+    return [
+        relational,
+        textstats,
+        dedup,
+        similarity,
+        pipeline_queries,
+        crawl_queries,
+        ingest,
+        views,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

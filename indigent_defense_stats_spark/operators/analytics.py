@@ -69,12 +69,19 @@ def charges_flat(records: DataFrame) -> DataFrame:
 
 
 def top5_by(records: DataFrame, metric: str) -> DataFrame:
-    """Top-5 cases by a nested-array count: metric in
-    {'dispositions','charges','events'} (print_stats.py:50-63)."""
+    """Top-5 cases by metric: the reference's four top-5 lambdas
+    (print_stats.py:49-63) — three nested-array counts plus the F10
+    money-parse 'highest cost' metric (total financial assessment,
+    0.0 when the case has no financial section)."""
+    from ..functions.money import money_or_zero
+
     col = {
         "dispositions": F.size(F.coalesce("dispositions", F.array())),
         "charges": F.size(F.coalesce("charges", F.array())),
         "events": F.size(F.coalesce("other_events", F.array())),
+        "total_assessment": money_or_zero(
+            F.col("financial.total_financial_assessment")
+        ),
     }[metric]
     return (
         records.select("odyssey_id", col.alias("n"))
@@ -109,6 +116,33 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     exports; leave False at scale (one file per partition)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def export_archive(df: DataFrame, path: str, order_col: str | None = None) -> str:
+    """Archival zip export (S15 second half, tools/zip_folder.py:22-34:
+    walk a folder of case files -> one zip -> object store).
+
+    Spark-shaped equivalent: write the DataFrame as JSON parts, then
+    zip the part files (one archive member per partition file, like
+    the reference's one member per case file).  The zip step is
+    driver-side and sequential — correct for the bounded human-facing
+    exports this tool serves; at scale you archive per-partition with
+    ``foreachPartition`` into the object store instead of one zip.
+    Returns the archive path.  ``order_col`` makes part contents
+    deterministic for tests.
+    """
+    import os
+    import zipfile
+
+    data_dir = path + ".parts"
+    out = df.orderBy(order_col) if order_col else df
+    out.coalesce(1).write.mode("overwrite").json(data_dir)
+    zpath = path if path.endswith(".zip") else path + ".zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name in sorted(os.listdir(data_dir)):
+            if name.startswith("part-"):
+                zf.write(os.path.join(data_dir, name), arcname=name)
+    return zpath
 
 
 def export_first_n_json(df: DataFrame, path: str, n: int = 1000) -> None:

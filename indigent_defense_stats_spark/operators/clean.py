@@ -53,7 +53,9 @@ def clean_records(
         F.col("ch.charges").alias("orignal_charge"),
         F.col("ch.statute").alias("statute"),
         F.col("ch.level").alias("charge_level"),
-        F.to_date("ch.date", "MM/dd/yyyy").alias("charge_dt"),
+        # try_to_date: malformed dates -> NULL (the reference's
+        # ``continue`` on strptime failure, cleaner:113-121) — ANSI-safe
+        F.expr("try_to_date(ch.date, 'MM/dd/yyyy')").alias("charge_dt"),
     )
     dated = ch.filter(F.col("charge_dt").isNotNull())
     # earliest date counts every date-valid charge, mapped or not

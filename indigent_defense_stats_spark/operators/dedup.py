@@ -144,14 +144,43 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def _signatures_from_index(ex: DataFrame) -> DataFrame:
+    """Minhash signatures computed from an existing shingle index
+    (doc_id, n, s) — lets LSH share ONE shingle materialization between
+    the banding and verification sides.  Docs with zero shingles are
+    absent (vs. minhash_signatures' explode_outer -1 rows); for
+    near-dup they cannot pair anyway (empty intersection fails exact
+    verification)."""
+    h = ex.withColumn("h", md5_int(F.col("s")) % MH_MOD)
+    aggs = [
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_MOD).alias(
+            f"mh{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed candidates (4 bands x 2 rows) -> exact-Jaccard
     verification at t=0.8.  Precision 1.0 by construction; recall
     1-(1-t^2)^4 ~ 0.983 at the threshold (tested vs the exact pairs)."""
+    # the shingle CONSTRUCTION (interpreted HOF zip_with chain) feeds
+    # both the signature aggregate and the two verification sides —
+    # localCheckpoint materializes the compact per-doc array form once
+    # (checkpointing the exploded index instead was measured slower:
+    # materializing millions of exploded rows costs more than two cheap
+    # re-explodes; at scale signatures/shingles are materialized tables)
+    arr = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _shingles().alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    ex = arr.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     # one pass over the signatures -> (band, bucket) rows via a single
     # explode (a per-band union would recompute the signature aggregate
     # once per band per join side)
-    sig = minhash_signatures(spark, sf_dir)
+    sig = _signatures_from_index(ex)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -179,8 +208,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # exact verification of the candidate set only
-    ex = _shingle_index(spark, sf_dir)
+    # exact verification of the candidate set only (same cached index)
     inter = (
         cand.join(ex.alias("ea"), F.col("d1") == F.col("ea.doc_id"))
         .join(

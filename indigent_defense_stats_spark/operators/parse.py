@@ -170,6 +170,7 @@ def _assemble(doc_id: str, county: str, spans: list[dict]) -> dict:
         "top_charge": None,
         "dismissed_charges_count": None,
         "other_events": None,
+        "financial": None,
         "parse_error": None,
     }
     secs = _split_sections(spans)
@@ -265,6 +266,17 @@ def _assemble(doc_id: str, county: str, spans: list[dict]) -> dict:
                     if (det["outcome"] or "").lower() == "dismissed"
                 )
             rec["other_events"] = other_rows
+        elif "Financial Information" in sec_text:
+            # label-followed-by-value extraction (F10; the reference
+            # keeps the raw money string in the record and parses it
+            # only at stats time, print_stats.py:56-60)
+            fin = {"total_financial_assessment": None, "balance": None}
+            for k, t in enumerate(body_texts[:-1]):
+                if t == "Total Financial Assessment":
+                    fin["total_financial_assessment"] = body_texts[k + 1]
+                elif t == "Balance Due":
+                    fin["balance"] = body_texts[k + 1]
+            rec["financial"] = fin
     rec["html_hash"] = _html_hash(secs)
     return rec
 
@@ -329,37 +341,60 @@ def parse_documents(documents: DataFrame) -> DataFrame:
     ]
     rest_schema = StructType(rest_fields)
 
+    def encode(rec: dict) -> str:
+        # allow_nan=False: a float NaN would serialize as bare NaN —
+        # invalid JSON that from_json nulls out SILENTLY; raising here
+        # routes the record into the existing quarantine path instead
+        try:
+            return json.dumps(
+                {k: v for k, v in rec.items() if k not in ("odyssey_id", "county")},
+                allow_nan=False,
+            )
+        except ValueError as ex:
+            return json.dumps({"parse_error": f"encode_error: {ex}"})
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if not len(batch):
                 continue
             recs = _parse_rows(batch)
-            payload = [
-                json.dumps(
-                    {
-                        k: v
-                        for k, v in r.items()
-                        if k not in ("odyssey_id", "county")
-                    }
-                )
-                for r in recs
-            ]
             yield pd.DataFrame(
                 {
                     "odyssey_id": [r["odyssey_id"] for r in recs],
                     "county": [r["county"] for r in recs],
-                    "rec_json": payload,
+                    "rec_json": [encode(r) for r in recs],
                 }
             )
 
     raw = documents.mapInPandas(
         run, schema="odyssey_id string, county string, rec_json string"
     )
-    return raw.select(
+    out = raw.select(
         "odyssey_id",
         "county",
+        F.col("rec_json").isNotNull().alias("__had_json"),
         F.from_json("rec_json", rest_schema).alias("r"),
-    ).select("odyssey_id", "county", "r.*")
+    )
+    # belt-and-braces: if from_json still nulls a non-null payload
+    # (PERMISSIVE-mode decode failure), surface it as a quarantine row
+    # rather than an all-null 'good' record
+    return (
+        out.select(
+            "odyssey_id",
+            "county",
+            "__had_json",
+            F.col("r").isNull().alias("__null_struct"),
+            "r.*",
+        )
+        .withColumn(
+            "parse_error",
+            F.when(
+                F.col("__had_json") & F.col("__null_struct"),
+                F.lit("decode_error: record JSON did not decode"),
+            ).otherwise(F.col("parse_error")),
+        )
+        .drop("__had_json", "__null_struct")
+    )
 
 
 def parse_documents_incremental(

@@ -1,0 +1,453 @@
+"""Driver queries that exercise the clean/publish pipeline stages and
+the F10 money parse over the shared testdata tables (VERDICT r1 items
+5-6: these stages were pytest-only; here each gets an oracle-checked
+CORRECTNESS row attributable to the real operator code).
+
+Each query BUILDS a case-records-shaped input from testdata
+(orders/lineitem) deterministically, runs the actual stage operator
+(clean.clean_records / publish.publish / functions.money.parse_money),
+and the DuckDB oracle re-expresses the stage semantics in ANSI SQL
+over the same construction.  Array outputs are serialized to
+comma-joined strings (driver-canonicalizer contract); xxh64-hash
+columns are excluded (DuckDB cannot compute them — they are pinned by
+the pytest suite instead).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.money import parse_money
+from . import clean, publish
+
+# ---------------------------------------------------------------------------
+# F10: money parse (print_stats.py:54-60)
+# ---------------------------------------------------------------------------
+
+
+def money_parse_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build '$1,234.56'-style strings from o_totalprice (exact integer
+    cents, so both engines construct the identical string), parse them
+    back with the F10 money parser, and aggregate integer cents per
+    priority — summing cents keeps the result exact, so the oracle
+    match is bit-wise, not round-trip-lucky."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ct = F.floor(F.col("o_totalprice") * 100).cast("long")
+    money = F.concat(
+        F.lit("$"),
+        (ct / 100000).cast("long").cast("string"),
+        F.lit(","),
+        F.lpad(((ct / 100).cast("long") % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad((ct % 100).cast("string"), 2, "0"),
+    )
+    parsed = parse_money(money)
+    return (
+        o.select("o_orderpriority", F.round(parsed * 100).cast("long").alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cents").alias("assessment_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# clean stage over testdata (J2/A3/P14 composition through clean_records)
+# ---------------------------------------------------------------------------
+
+_N_CHARGE_NAMES = 40  # synthetic charge vocabulary P0..P39; k%3==2 unmapped
+
+
+def _records_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders+lineitem -> CASE_RECORDS-shaped rows: each order is a
+    case, its lineitems are the charges (ordinal = linenumber order),
+    with deterministic bad-date injection (l_partkey % 11 == 0) and a
+    charge vocabulary whose every third name is missing from the
+    UMich-style dimension (drop-on-miss path)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ch = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.concat(F.lit("P"), (F.col("l_partkey") % _N_CHARGE_NAMES)).alias(
+                "charges"
+            ),
+            F.concat(F.lit("22."), (F.col("l_partkey") % 90).cast("string")).alias(
+                "statute"
+            ),
+            F.lit("State Jail Felony").alias("level"),
+            F.when(F.col("l_partkey") % 11 == 0, F.lit("13/45/2099"))
+            .otherwise(F.date_format("l_shipdate", "MM/dd/yyyy"))
+            .alias("date"),
+        ).alias("ch"),
+    )
+    charges = (
+        ch.groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("l_linenumber", "ch"))),
+                lambda s: s["ch"],
+            ).alias("charges")
+        )
+    )
+    ev = F.array(
+        F.array(
+            F.lit("01/01/2020"),
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.lit("Motion To Suppress Hearing"),
+            ).otherwise(F.lit("Status Hearing")),
+        )
+    )
+    return (
+        o.select(
+            F.col("o_orderkey").cast("string").alias("odyssey_id"),
+            F.lit("travis").alias("county"),
+            F.concat(F.lit("C"), F.col("o_orderkey")).alias("code"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("html_hash"),
+            F.lit(None)
+            .cast(
+                "struct<defendant:string,sex:string,race:string,"
+                "date_of_birth:string,height:string,weight:string,"
+                "defense_attorney:string,appointed_or_retained:string,"
+                "defense_attorney_phone_number:string,"
+                "defendant_address:string,sid:string>"
+            )
+            .alias("defendant"),
+            ev.alias("other_events"),
+            F.lit(None)
+            .cast(
+                "array<struct<date:string,event:string,judicial_officer:string,"
+                "details:array<struct<charge:string,outcome:string,"
+                "additional_info:array<string>>>>>"
+            )
+            .alias("dispositions"),
+            "o_orderkey",
+        )
+        .join(charges, F.col("o_orderkey") == charges.l_orderkey, "left")
+        .drop("l_orderkey", "o_orderkey")
+    )
+
+
+def _charge_dim_df(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
+    rows = [
+        (
+            f"P{k}",
+            f"{1000 + k}",
+            f"P{k} (desc)",
+            ["Violent", "Property", "Drug", "Public order"][k % 4],
+            ["Felony", "Misdemeanor"][k % 2],
+        )
+        for k in range(_N_CHARGE_NAMES)
+        if k % 3 != 2  # deliberate misses -> inner-join drop path
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "charge_name",
+                "uccs_code",
+                "charge_desc",
+                "offense_category_desc",
+                "offense_type_desc",
+            ],
+        )
+    )
+
+
+def cleaned_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed clean stage (operators/clean.py:clean_records) over
+    the constructed records: bad-date drop BEFORE the dim join,
+    earliest date over every date-valid charge (mapped or not),
+    drop-on-miss inner broadcast join, ordinal-preserving regroup,
+    good-motions containment scan."""
+    records = _records_from_orders(spark, sf_dir)
+    dim = _charge_dim_df(spark)
+    out = clean.clean_records(records, dim, "2026-01-01")
+    return out.select(
+        "case_number",
+        F.size("charges").alias("n_charges"),
+        F.concat_ws(
+            ",", F.transform("charges", lambda c: c["charge_name"])
+        ).alias("charge_names"),
+        "earliest_charge_date",
+        F.concat_ws(",", "good_motions").alias("good_motions"),
+        "has_evidence_of_representation",
+    )
+
+
+# ---------------------------------------------------------------------------
+# publish stage over testdata (J4 hash anti-join + J5 version join)
+# ---------------------------------------------------------------------------
+
+_pub_memo: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _pub_batch(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """Deterministic publish batch: orders with o_orderkey % 7 < mod as
+    cleaned-record stand-ins; the content hash is md5 (computable in
+    DuckDB too — publish consumes the hash column, it never computes
+    one)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.filter(F.col("o_orderkey") % 7 < mod).select(
+        F.col("o_custkey").cast("string").alias("case_number"),
+        F.lit("travis").alias("county"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("html_hash"),
+    )
+
+
+def publish_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch upsert through operators/publish.py: batch 1 seeds the
+    target, batch 2 re-offers every batch-1 row (hash anti-join must
+    drop them) plus new rows (which version on top of batch 1's
+    per-case max).  Returns batch 2's inserted rows."""
+    key = (id(spark), sf_dir)
+    hit = _pub_memo.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from ..sources.catalog import SnapshotTable
+
+    d = tempfile.mkdtemp(prefix="ids-publish-query-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    target = SnapshotTable(spark, d, None, "overwrite")
+    publish.publish(_pub_batch(spark, sf_dir, 5), target, "01-01-2026")
+    # second snapshot must contain ALL published rows for the anti-join
+    # against "existing" — SnapshotTable overwrite mode keeps only the
+    # latest snapshot, so union the batches like the updater's table
+    existing = target.read()
+    inserted = publish.publish(
+        _pub_batch(spark, sf_dir, 6),
+        _UnionTarget(target, existing),
+        "02-01-2026",
+    )
+    out = inserted.select("case_number", "county", "html_hash", "version", "id")
+    _pub_memo[key] = (spark, out)
+    return out
+
+
+class _UnionTarget:
+    """Adapter presenting batch-1 output as the existing table for the
+    second publish call (read-only; write is a no-op so the query has
+    no cross-run side effects)."""
+
+    def __init__(self, base, existing):
+        self._existing = existing
+
+    def read(self):
+        return self._existing
+
+    def write(self, df, meta=None):
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal layer over testdata (VERDICT r1 item 9: driver-side signal)
+#
+# The binary plumbing is real (pack header -> opaque binary column ->
+# sniff/resize/feature mapInPandas UDFs); the *construction* derives
+# every decoded attribute arithmetically from doc_id, so DuckDB can
+# recompute the expected output without parsing binary — a hash-checked
+# end-to-end test of the pack/parse round trip.
+# ---------------------------------------------------------------------------
+
+
+def _media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal  # noqa: F401  (registered for callers)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("m://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mugshot"))
+        .otherwise(F.lit("document_image"))
+        .alias("media_kind"),
+        (F.lit(64) + F.col("doc_id") % 512).cast("int").alias("width"),
+        (F.lit(64) + (F.col("doc_id") * 7) % 512).cast("int").alias("height"),
+        (F.lit(1024) + (F.col("doc_id") * 131) % 97000).cast("long").alias("n_bytes"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("jpeg"))
+        .otherwise(F.lit("tiff"))
+        .alias("format"),
+    )
+
+
+def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary pack -> opaque payload -> header-sniff parse; the oracle
+    recomputes (width, height) arithmetically, so any defect in the
+    binary round trip hash-mismatches."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads(_media_decoded(spark, sf_dir))
+    return multimodal.parse_dimensions(payloads)
+
+
+def media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse -> resize (binary-in/binary-out, header rewrite) ->
+    re-parse: the resized dimensions must match floor(w*0.5)."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads(_media_decoded(spark, sf_dir))
+    resized = multimodal.resize_media(payloads, scale=0.5)
+    return multimodal.parse_dimensions(resized)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped every-nth-frame sampling (sequence + explode)."""
+    from . import multimodal
+
+    return multimodal.frame_sample(_media_decoded(spark, sf_dir), every_n=10)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction over the binary payloads
+    (model-inference integration point).  Body bytes are seeded from
+    xxh64, which DuckDB cannot compute — rows-only check; the numeric
+    ground truth is the pytest multimodal suite."""
+    from . import multimodal
+
+    feats = multimodal.extract_features(
+        multimodal.media_payloads(_media_decoded(spark, sf_dir))
+    )
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 3)
+        .alias("norm_sq"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "money_parse_total": money_parse_total,
+    "cleaned_cases": cleaned_cases,
+    "publish_versions": publish_versions,
+    "media_dimensions": media_dimensions,
+    "media_resize_dims": media_resize_dims,
+    "media_frame_sample": media_frame_sample,
+    "media_features": media_features,
+}
+
+ORACLE_SQL = {
+    "media_dimensions": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+               CAST(64 + doc_id % 512 AS INT) AS width,
+               CAST(64 + (doc_id * 7) % 512 AS INT) AS height
+        FROM documents
+    """,
+    "media_resize_dims": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+               CAST(floor((64 + doc_id % 512) * 0.5) AS INT) AS width,
+               CAST(floor((64 + (doc_id * 7) % 512) * 0.5) AS INT) AS height
+        FROM documents
+    """,
+    "media_frame_sample": """
+        WITH m AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST((1024 + (doc_id * 131) % 97000) // 1000 AS INT) + 1
+                       AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, media_ref,
+               CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT)
+                   AS frame_idx
+        FROM m
+    """,
+    "money_parse_total": """
+        WITH m AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS ct
+            FROM orders
+        ), s AS (
+            SELECT o_orderpriority,
+                   '$' || CAST(ct // 100000 AS VARCHAR) || ',' ||
+                   lpad(CAST((ct // 100) % 1000 AS VARCHAR), 3, '0') || '.' ||
+                   lpad(CAST(ct % 100 AS VARCHAR), 2, '0') AS money_str
+            FROM m
+        )
+        SELECT o_orderpriority,
+               CAST(sum(CAST(round(CAST(replace(replace(money_str, '$', ''),
+                                                ',', '') AS DOUBLE) * 100)
+                        AS BIGINT)) AS BIGINT) AS assessment_cents,
+               count(*) AS n
+        FROM s GROUP BY o_orderpriority
+    """,
+    "cleaned_cases": """
+        WITH ch AS (
+            SELECT l_orderkey,
+                   l_linenumber,
+                   'P' || CAST(l_partkey % 40 AS VARCHAR) AS charge_name,
+                   '22.' || CAST(l_partkey % 90 AS VARCHAR) AS statute,
+                   (l_partkey % 11 <> 0)                  AS date_ok,
+                   ((l_partkey % 40) % 3 <> 2)            AS mapped,
+                   strftime(l_shipdate, '%m/%d/%Y')       AS date_str,
+                   l_shipdate
+            FROM lineitem
+        ), per_case AS (
+            SELECT l_orderkey,
+                   count(*) FILTER (WHERE date_ok AND mapped) AS n_charges,
+                   -- tie order mirrors Spark's sort_array struct
+                   -- comparison: (linenumber, name, statute, ..., date)
+                   coalesce(string_agg(charge_name, ','
+                                ORDER BY l_linenumber, charge_name, statute,
+                                         date_str)
+                            FILTER (WHERE date_ok AND mapped), '') AS charge_names,
+                   coalesce(strftime(min(l_shipdate) FILTER (WHERE date_ok),
+                                     '%Y-%m-%d'), '') AS earliest_charge_date
+            FROM ch GROUP BY l_orderkey
+        )
+        SELECT CAST(o.o_orderkey AS VARCHAR) AS case_number,
+               CAST(coalesce(p.n_charges, 0) AS INT) AS n_charges,
+               coalesce(p.charge_names, '') AS charge_names,
+               coalesce(p.earliest_charge_date, '') AS earliest_charge_date,
+               CASE WHEN o.o_orderpriority = '1-URGENT'
+                    THEN 'Motion To Suppress' ELSE '' END AS good_motions,
+               (o.o_orderpriority = '1-URGENT') AS has_evidence_of_representation
+        FROM orders o LEFT JOIN per_case p ON o.o_orderkey = p.l_orderkey
+    """,
+    "publish_versions": """
+        WITH b1 AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS case_number,
+                   'travis' AS county,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS html_hash
+            FROM orders WHERE o_orderkey % 7 < 5
+        ), b1v AS (
+            SELECT case_number,
+                   row_number() OVER (PARTITION BY case_number
+                                      ORDER BY html_hash) AS version
+            FROM b1
+        ), base AS (
+            SELECT case_number, max(version) AS base_version
+            FROM b1v GROUP BY case_number
+        ), b2 AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS case_number,
+                   'travis' AS county,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS html_hash
+            FROM orders WHERE o_orderkey % 7 < 6
+        ), fresh AS (
+            SELECT * FROM b2
+            WHERE html_hash NOT IN (SELECT html_hash FROM b1)
+        )
+        SELECT case_number, county, html_hash,
+               CAST(coalesce(base.base_version, 0)
+                    + row_number() OVER (PARTITION BY fresh.case_number
+                                         ORDER BY html_hash) AS INT) AS version,
+               fresh.case_number || ':' || county || ':02-01-2026' || html_hash
+                   AS id
+        FROM fresh LEFT JOIN base USING (case_number)
+    """,
+}

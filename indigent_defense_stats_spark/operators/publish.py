@@ -77,9 +77,13 @@ def publish(
             F.col("html_hash"),
         ),
     ).drop("batch_seq", "base_version")
-    # cache: the emptiness probe, the snapshot write, and the caller's
-    # action would otherwise each re-run the anti-join + window plan
-    out = out.cache()
+    # localCheckpoint (not cache): the emptiness probe, the snapshot
+    # write, and the caller's action would otherwise each re-run the
+    # anti-join + window plan — and an open-ended cache() leaks
+    # storage across repeated publishes in a long-lived session; the
+    # checkpoint's blocks are reclaimed by the ContextCleaner when the
+    # plan is garbage-collected
+    out = out.localCheckpoint(eager=True)
     if out.isEmpty():
         return out
     target.write(out, {"event": "publish"})

@@ -153,7 +153,10 @@ def crawl(
                     # exactly as the reference parses fetched pages
                     if cid not in log.documents:
                         log.doc_order.append(cid)
-                    log.documents[cid] = (county, synth.extract_spans(page["html"]))
+                    log.documents[cid] = (
+                        county,
+                        regex_extract_spans(page["html"]),
+                    )
         assert main["kind"] == "main"
     return log
 
@@ -161,6 +164,49 @@ def crawl(
 # ---------------------------------------------------------------------------
 # parse (span grammar -> case record), mirroring parser/hays.py
 # ---------------------------------------------------------------------------
+
+_SPAN_RE = None
+
+
+def regex_extract_spans(html: str) -> list[dict]:
+    """Independent recovery of the span sequence from the HTML wire
+    format — a regex scan over ``td.ssp`` text cells and ``a.ssm``
+    media anchors, deliberately sharing NO code with the engine's
+    ``synth.extract_spans`` (html.parser walk), so the span-sequence
+    equality tests compare two independent readers of the same wire
+    format and a bug in either extractor surfaces as a mismatch."""
+    global _SPAN_RE
+    import html as _h
+    import re
+
+    if _SPAN_RE is None:
+        _SPAN_RE = re.compile(
+            r'<td class="ssp">(?P<text>.*?)</td>'
+            r'|<a class="ssm" href="(?P<href>[^"]*)">',
+            re.S,
+        )
+    spans = []
+    for off, m in enumerate(_SPAN_RE.finditer(html)):
+        if m.group("href") is not None:
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": _h.unescape(m.group("href")),
+                    "offset": off,
+                }
+            )
+        else:
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": _h.unescape(m.group("text")),
+                    "media_ref": "",
+                    "offset": off,
+                }
+            )
+    return spans
+
 
 def split_sections(spans: list[dict]) -> list[tuple[str, list[dict]]]:
     """[(starter_or_'', spans)] — starter exact-match begins a section."""
@@ -232,6 +278,7 @@ def parse_spans(county: str, case_id: str, spans: list[dict]) -> dict:
         "dismissed_charges_count": None,
         "other_events": None,
         "charges": None,
+        "financial": None,
     }
     for starter, sec in sections[1:]:
         text = _section_text(sec)
@@ -320,6 +367,15 @@ def parse_spans(county: str, case_id: str, spans: list[dict]) -> dict:
                     if det["outcome"].lower() == "dismissed"
                 )
             case["other_events"] = other_rows
+        elif "Financial Information" in text:
+            vals = [s["text"] for s in body if s["kind"] == "text"]
+            fin = {"total_financial_assessment": None, "balance": None}
+            for k, t in enumerate(vals[:-1]):
+                if t == "Total Financial Assessment":
+                    fin["total_financial_assessment"] = vals[k + 1]
+                elif t == "Balance Due":
+                    fin["balance"] = vals[k + 1]
+            case["financial"] = fin
     case["html_hash"] = html_hash(spans)
     return case
 

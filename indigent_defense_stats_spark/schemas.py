@@ -181,6 +181,20 @@ CASE_RECORDS = StructType(
         StructField(
             "other_events", ArrayType(ArrayType(StringType(), True), True), True
         ),
+        # 'financial information' (print_stats.py:56-60): money values
+        # stay strings in the record — parsing to double happens at
+        # stats time via functions.money.parse_money, like the
+        # reference's float(... .replace(',', ''))
+        StructField(
+            "financial",
+            StructType(
+                [
+                    StructField("total_financial_assessment", StringType(), True),
+                    StructField("balance", StringType(), True),
+                ]
+            ),
+            True,
+        ),
         StructField("html_hash", StringType(), True),  # xxh64 hex
     ]
 )

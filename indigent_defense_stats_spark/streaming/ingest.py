@@ -48,12 +48,15 @@ def _as_source_dir(sf_dir: str, table: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     dst = os.path.join(d, f"{table}.parquet")
-    # lexists, not exists: a dangling symlink from a prior run must be
-    # replaced, not skipped (exists() follows the link and returns
-    # False, then symlink() raises FileExistsError forever)
-    if os.path.lexists(dst):
-        os.unlink(dst)
-    os.symlink(os.path.join(sf_dir, f"{table}.parquet"), dst)
+    # race-safe (two concurrent sessions may point at the same dir):
+    # create the symlink under a unique name, then atomically rename
+    # over the destination — os.replace handles an existing dst, and a
+    # dangling prior link is replaced rather than skipped
+    tmp = os.path.join(d, f".{table}.{os.getpid()}.tmp")
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(os.path.join(sf_dir, f"{table}.parquet"), tmp)
+    os.replace(tmp, dst)
     return d
 
 

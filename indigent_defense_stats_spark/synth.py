@@ -185,15 +185,25 @@ def jo_list(i: int) -> list[tuple[str, int]]:
     return out
 
 
+def _case_pool_scale() -> int:
+    """``SPARK_GRAFT_CASE_POOL_SCALE`` resolved ONCE per interpreter
+    (module state, not per call): in local mode driver and executors
+    share the process env, so bench_scaling's env plumbing is
+    consistent; on a real cluster the scale must reach executors via
+    ``spark.executorEnv.SPARK_GRAFT_CASE_POOL_SCALE`` (or
+    spark-submit --conf) — a driver-only env var would silently fall
+    back to 1 on executors and split the synthetic world."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CASE_POOL_SCALE", "1"))
+
+
 def county_case_pool_size(i: int) -> int:
     """Distinct cases per county.  ``SPARK_GRAFT_CASE_POOL_SCALE``
     (default 1: all tests/oracle fixtures unchanged) multiplies the
     pool for large-scale benchmarks — the sandbox stand-in for the
     10^10-URL frontier's case population."""
-    import os
-
-    scale = int(os.environ.get("SPARK_GRAFT_CASE_POOL_SCALE", "1"))
-    return (8 + 4 * (i % 3) + (12 if i == 0 else 0)) * scale  # county 0 is the big one
+    return (8 + 4 * (i % 3) + (12 if i == 0 else 0)) * _case_pool_scale()
 
 
 def cases_for(i: int, day_ord: int, jo_ord: int) -> list[str]:
@@ -275,6 +285,7 @@ class CaseSpec:
     charges: list[dict] = field(default_factory=list)  # ordinal,name,statute,level,date
     event_rows: list[list[str]] = field(default_factory=list)  # newest-first
     balance: str = ""
+    assessment: str = ""  # money string w/ commas (print_stats.py:56-60)
     media_refs: list[str] = field(default_factory=list)
 
 
@@ -349,6 +360,13 @@ def make_case_spec(county_i: int, case_id: str) -> CaseSpec:
     spec.media_refs = [f"ViewMugshots.aspx?Id={case_id}"]
     if r.random() < 0.4:
         spec.media_refs.append(f"ViewDocument.aspx?DocID={int(case_id)*3+1}")
+    # total financial assessment: comma-grouped money string (the F10
+    # parse food, print_stats.py:56-60); ~15% of cases lack the section
+    # entirely -> the reference's `else 0.0` default path.  Drawn LAST
+    # so every earlier draw (and thus every pre-existing synthetic
+    # fact) is unchanged.
+    if r.random() < 0.85:
+        spec.assessment = f"{r.randint(0, 9)},{r.randint(0, 999):03d}.{r.randint(0, 99):02d}"
     return spec
 
 
@@ -424,6 +442,9 @@ def case_spans(county_i: int, case_id: str) -> list[dict]:
         spans.append(_text("\t".join(row)))
     # financial — last section, excluded from html_hash
     spans.append(_text("Financial Information"))
+    if spec.assessment:
+        spans.append(_text("Total Financial Assessment"))
+        spans.append(_text(spec.assessment))
     spans.append(_text("Balance Due"))
     spans.append(_text(spec.balance))
     for off, s in enumerate(spans):
@@ -568,9 +589,11 @@ class _SpanExtractor:
 
 def extract_spans(html: str) -> list[dict]:
     """HTML page -> interleaved span sequence (kind, text, media_ref,
-    offset).  Called by the engine's fetch stage and the sequential
-    oracle alike, so span equality tests compare two independent walks
-    of the same wire format."""
+    offset).  This is the ENGINE's extractor (fetch stage); the
+    sequential oracle uses its own independent regex-based reader
+    (oracle.regex_extract_spans), so span-sequence equality tests
+    compare two independent walks of the same wire format and a bug in
+    either one surfaces as a mismatch."""
     return _SpanExtractor().feed(html)
 
 

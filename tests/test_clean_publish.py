@@ -157,3 +157,26 @@ def test_export_sinks(spark, tmp_path):
     analytics.export_first_n_json(df, str(tmp_path / "json"), n=3)
     jback = spark.read.json(str(tmp_path / "json"))
     assert sorted(r["id"] for r in jback.collect()) == [0, 1, 2]
+
+
+def test_export_archive_round_trip(spark, tmp_path):
+    """S15 archival half (tools/zip_folder.py:22-34): zip of JSON part
+    files round-trips to the original rows."""
+    import io
+    import json
+    import zipfile
+
+    from indigent_defense_stats_spark.operators import analytics
+
+    df = spark.range(20).selectExpr("id", "concat('v', id) AS val")
+    zpath = analytics.export_archive(df, str(tmp_path / "arch"), order_col="id")
+    with zipfile.ZipFile(zpath) as zf:
+        names = zf.namelist()
+        assert names and all(n.startswith("part-") for n in names)
+        rows = []
+        for n in names:
+            for line in io.TextIOWrapper(zf.open(n), encoding="utf-8"):
+                if line.strip():
+                    rows.append(json.loads(line))
+    assert sorted(r["id"] for r in rows) == list(range(20))
+    assert {r["val"] for r in rows} == {f"v{i}" for i in range(20)}

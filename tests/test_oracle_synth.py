@@ -126,6 +126,19 @@ def test_publish_versioning():
     assert out[0]["id"] == "c1:county0:08-16-2026h2"
 
 
+def test_independent_extractors_agree():
+    """The engine's html.parser extractor and the oracle's regex
+    extractor are independent readers of the wire format; they must
+    recover identical span sequences (the extractor's own ground
+    truth — ADVICE r1)."""
+    spans = synth.case_spans(0, "100001")
+    html = synth.render_case_html(spans)
+    a = synth.extract_spans(html)
+    b = oracle.regex_extract_spans(html)
+    assert a == b
+    assert a == spans  # and both equal the source sequence
+
+
 def test_html_wire_round_trip():
     """Case pages travel as HTML; extraction must recover the exact
     span sequence (kind, text, media_ref, offset) — including tab-

@@ -75,6 +75,7 @@ def test_same_doc_ids(parsed):
         "top_charge",
         "dismissed_charges_count",
         "other_events",
+        "financial",
         "html_hash",
     ],
 )
@@ -91,6 +92,48 @@ def test_charges_equality(parsed):
         assert _norm_charges(engine[cid]["charges"]) == _norm_charges(
             expected[cid]["charges"]
         ), cid
+
+
+def test_financial_assessment_populated(parsed):
+    """F10: the financial section parses, carrying the raw comma-money
+    string, and a meaningful share of cases have it (the rest exercise
+    the reference's `else 0.0` default path)."""
+    engine, _ = parsed
+    with_fin = [
+        v["financial"]["total_financial_assessment"]
+        for v in engine.values()
+        if v["financial"] and v["financial"]["total_financial_assessment"]
+    ]
+    assert len(with_fin) > len(engine) // 2
+    assert all("," in a for a in with_fin)  # the parse food has commas
+    assert len(with_fin) < len(engine)  # default path exercised too
+
+
+def test_top5_by_assessment_money_parse(spark, parsed):
+    """top5_by('total_assessment') == the reference lambda computed in
+    Python over the same records (print_stats.py:54-60)."""
+    from indigent_defense_stats_spark.operators import analytics
+
+    engine, _ = parsed
+    log = oracle.crawl(synth.make_registry(6, n_scrape=5), START, 3)
+    df = parse_mod.parse_documents(docs_df(spark, log))
+    got = [
+        (r["odyssey_id"], r["n"])
+        for r in analytics.top5_by(df, "total_assessment").collect()
+    ]
+
+    def money(v):
+        fin = v.get("financial")
+        if not fin or not fin.get("total_financial_assessment"):
+            return 0.0
+        return float(fin["total_financial_assessment"].replace(",", ""))
+
+    exp = {
+        cid: money(oracle.parse_spans(county, cid, spans))
+        for cid, (county, spans) in log.documents.items()
+    }
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(k, pytest.approx(v)) for k, v in want] == got
 
 
 def test_dispositions_equality_with_quirks(parsed):
