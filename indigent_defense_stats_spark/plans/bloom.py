@@ -15,9 +15,12 @@ asks for a *partitioned bloom/cuckoo* filter instead.  Design:
   and skip the exact join entirely; only bloom-positives (true dups +
   ~fp_rate of new URLs) continue to the exact anti-join.
 
-At scale the per-bucket arrays are unioned incrementally (bitwise OR
-of the new wave's bits); this sandbox rebuilds them per wave, which
-is the same code path.
+The per-bucket arrays are maintained INCREMENTALLY (``update_state``:
+build bits for the wave's new keys only — O(wave) — and bitwise-OR
+them into the persisted state), so no wave ever rescans the full seen
+set to build filters.  ``build`` remains the from-scratch constructor
+(seed time, tests, and the equivalence oracle for the incremental
+path).
 
 All hash inputs are computed JVM-side (``F.xxhash64``) so the pandas
 stage only does numpy index math.
@@ -95,6 +98,54 @@ def build(seen: DataFrame, url_col: str, n_buckets: int, n_bits: int) -> DataFra
         )
 
     return hashed.groupBy("bucket").applyInPandas(make, schema=BLOOM_SCHEMA)
+
+
+def update_state(
+    old_state: DataFrame | None,
+    new_keys: DataFrame,
+    url_col: str,
+    n_buckets: int,
+    n_bits: int,
+) -> DataFrame:
+    """Incremental bloom maintenance: bits for *new_keys* only, OR-ed
+    into *old_state* per bucket.  Cost is O(new keys) + O(n_buckets ×
+    n_bits/8) state bytes — independent of the seen-set size."""
+    new_bits = build(new_keys, url_col, n_buckets, n_bits)
+    if old_state is None:
+        return new_bits
+
+    def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    return (
+        old_state.unionByName(new_bits)
+        .groupBy("bucket")
+        .applyInPandas(or_reduce, schema=BLOOM_SCHEMA)
+    )
+
+
+def filter_new_with_state(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    state: DataFrame,
+    url_col: str,
+    n_buckets: int,
+    n_bits: int,
+) -> DataFrame:
+    """filter_new against a PERSISTED bloom state (no per-wave rebuild
+    over the seen set): probe the state, exact-verify the positives."""
+    return prefilter_anti_join(
+        candidates,
+        seen,
+        url_col,
+        n_buckets,
+        lambda cand: probe(cand, state, n_bits),
+    )
 
 
 def probe(candidates: DataFrame, bloom: DataFrame, n_bits: int) -> DataFrame:

@@ -283,6 +283,11 @@ class CrawlEngine:
             key="canonical_url",
         )
         self.host_state_t = t("host_state", HOST_STATE, "overwrite")
+        # persisted bloom bits: incrementally OR-updated per wave
+        # (O(wave)), never rebuilt from the full seen set — rollback
+        # participates via the same wave tags so state stays in lock-
+        # step with seen after a mid-wave kill
+        self.bloom_t = t("bloom", bloom.BLOOM_SCHEMA, "overwrite")
         self.seen_t = t("seen", SEEN, "append")
         self.documents_t = t("documents", schemas.DOCUMENTS, "append")
         self.log_t = t("fetch_log", LOG_SCHEMA, "append")
@@ -345,7 +350,7 @@ class CrawlEngine:
                     waves.append(json.load(fh)["wave"])
         return max(waves) if waves else None
 
-    def _tables(self) -> tuple[SnapshotTable, ...]:
+    def _tables(self) -> tuple:
         return (
             self.frontier_t,
             self.seen_t,
@@ -353,6 +358,7 @@ class CrawlEngine:
             self.host_state_t,
             self.log_t,
             self.metrics_t,
+            self.bloom_t,
         )
 
     def _rollback_uncommitted(self) -> None:
@@ -450,6 +456,130 @@ class CrawlEngine:
             .filter(F.col("__rn") <= self.max_per_host)
             .drop("__rn")
         )
+
+    def _write_host_state_local(self, wave: int) -> None:
+        """Host-clock checkpoint: O(#hosts) rows — a pyarrow driver
+        write under the same snapshot protocol (a Spark job to move a
+        few KB costs ~0.5s/wave in this sandbox; at 10^5 hosts the
+        table is still ~MBs, driver-sized by construction)."""
+        import pyarrow as pa
+
+        items = sorted(self._clocks.items()) or [("__none__", 0)]
+        t = pa.table(
+            {
+                "host": pa.array([h for h, _ in items], pa.string()),
+                "clock_ms": pa.array([int(c) for _, c in items], pa.int64()),
+            }
+        )
+        self.host_state_t.write_local(t, {"wave": wave})
+
+    def _append_seen_from_adds(self, delta_snap: int, wave: int) -> None:
+        """Seen-set append derived from the frontier delta's just-
+        written adds files: the seen rows ARE the adds' canonical_urls,
+        so re-running the expand/dedup plan (a second Spark job) to
+        produce them is pure waste.  Small deltas copy the column
+        driver-side (pyarrow column read of files already on disk);
+        large ones fall back to a Spark job so the driver never
+        materializes an unbounded wave."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..sources.catalog import parquet_dir_bytes
+
+        d = self.frontier_t.adds_dir(delta_snap)
+        if d is None:
+            return
+        if parquet_dir_bytes(d) <= 64 * 1024 * 1024:
+            parts = [
+                pq.read_table(
+                    os.path.join(d, n), columns=["canonical_url"]
+                )
+                for n in sorted(os.listdir(d))
+                if n.startswith("part-") and n.endswith(".parquet")
+            ]
+            self.seen_t.write_local(
+                pa.concat_tables(parts), {"wave": wave}
+            )
+        else:
+            self.seen_t.write(
+                self.spark.read.parquet(d)
+                .select("canonical_url")
+                .coalesce(self.n_buckets),
+                {"wave": wave},
+            )
+
+    def _update_bloom_state(self, snap: int, wave: int) -> None:
+        """OR the snapshot's adds into the persisted bloom bits.
+
+        The adds parquet already carries (bucket, h1, h2) — computed
+        as JVM expressions inside the wave's write job — so the update
+        is a driver-side numpy pass over three int64 columns plus a
+        pyarrow state write: O(adds) rows of metadata-cheap I/O, no
+        Spark job, no hashing.  Oversized deltas (> 64 MB) fall back
+        to the distributed ``bloom.update_state`` job so the driver
+        never materializes an unbounded wave."""
+        if self.seen_filter != "bloom":
+            return  # cuckoo path builds its own filter (test surface)
+        d = self.frontier_t.adds_dir(snap)
+        if d is None:
+            return
+        from ..sources.catalog import parquet_dir_bytes
+
+        if parquet_dir_bytes(d) > 64 * 1024 * 1024:
+            state = bloom.update_state(
+                self.bloom_t.read(),
+                self.spark.read.parquet(d),
+                "canonical_url",
+                self.n_buckets,
+                self.bloom_bits,
+            )
+            self.bloom_t.write(state.coalesce(1), {"wave": wave})
+            return
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import numpy as np
+
+        parts = [
+            pq.read_table(os.path.join(d, n), columns=["bucket", "h1", "h2"])
+            for n in sorted(os.listdir(d))
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+        t = pa.concat_tables(parts)
+        state: dict[int, np.ndarray] = {}
+        prev = self.bloom_t.latest()
+        if prev is not None:
+            data_dir = os.path.join(self.bloom_t._snap_dir(prev), "data")
+            for n in sorted(os.listdir(data_dir)):
+                if n.startswith("part-") and n.endswith(".parquet"):
+                    st = pq.read_table(os.path.join(data_dir, n))
+                    for b, bits in zip(
+                        st["bucket"].to_pylist(), st["bits"].to_pylist()
+                    ):
+                        state[int(b)] = np.frombuffer(
+                            bits, dtype=np.uint8
+                        ).copy()
+        bucket = t["bucket"].to_numpy()
+        idx_all = bloom._indices(
+            t["h1"].to_numpy(), t["h2"].to_numpy(), self.bloom_bits
+        )
+        for b in np.unique(bucket):
+            bits = state.get(int(b))
+            if bits is None:
+                bits = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+                state[int(b)] = bits
+            idx = idx_all[bucket == b].ravel()
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        out = pa.table(
+            {
+                "bucket": pa.array(sorted(state), pa.int32()),
+                "bits": pa.array(
+                    [state[b].tobytes() for b in sorted(state)], pa.binary()
+                ),
+            }
+        )
+        self.bloom_t.write_local(out, {"wave": wave})
 
     def _host_state_df(self) -> DataFrame:
         # Arrow/pandas path + coalesce(1): O(#hosts) rows, one file,
@@ -639,15 +769,22 @@ class CrawlEngine:
                 self.n_buckets,
                 n_keys_hint=max(self._seen_count, 1),
             )
-        return bloom.filter_new(
-            cand, seen, "canonical_url", self.n_buckets, self.bloom_bits
+        # probe the PERSISTED bloom state (maintained incrementally per
+        # wave) — no O(seen) filter rebuild inside the wave's plan
+        state = self.bloom_t.read()
+        if state is None:  # e.g. filter switched on mid-crawl
+            return bloom.filter_new(
+                cand, seen, "canonical_url", self.n_buckets, self.bloom_bits
+            )
+        return bloom.filter_new_with_state(
+            cand, seen, state, "canonical_url", self.n_buckets, self.bloom_bits
         )
 
     # ------------------------------------------------------------------
     def run(self, max_waves: int = 200, verbose: bool = False) -> list[WaveStats]:
-        # the lineage-writer pool lives for one run() and is shut down
-        # on exit (leaked pools pin a worker thread per engine instance)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        # the writer pool (lineage + docs + removes overlap) lives for
+        # one run() and is shut down on exit (leaked pools pin threads)
+        with ThreadPoolExecutor(max_workers=3) as pool:
             self._pool = pool
             return self._run(max_waves, verbose)
 
@@ -669,42 +806,42 @@ class CrawlEngine:
             self.frontier_t.gc(last_gc)
         frontier = self.frontier_t.read()
         if frontier is None:
-            seeds = self.seeds().coalesce(1).cache()
-            try:
-                self.frontier_t.write_base(seeds, {"wave": -1, "event": "seed"})
-                self.seen_t.write(seeds.select("canonical_url"), {"wave": -1})
-                self._commit_wave(-1)
-            finally:
-                seeds.unpersist()
+            # one Spark action: the seed write; the seen set is the
+            # seeds' canonical_urls, copied from the written base files
+            # driver-side (same derivation as the per-wave path)
+            base_snap = self.frontier_t.write_base(
+                bloom.with_bucket_and_hashes(
+                    self.seeds(), "canonical_url", self.n_buckets
+                ).coalesce(1),
+                {"wave": -1, "event": "seed"},
+            )
+            self._append_seen_from_adds(base_snap, -1)
+            self._update_bloom_state(base_snap, -1)
+            self._commit_wave(-1)
             frontier = self.frontier_t.read()
-        # resume: pending rows are tagged with the wave that enqueued
-        # them; continue numbering from there (fresh seed -> wave 0).
-        # The committed-wave floor prevents tag collisions: a budgeted
-        # wave that discovered nothing new leaves max(frontier.wave)
-        # equal to an already-committed wave, and re-using that tag
-        # would make a second torn write indistinguishable from the
-        # committed snapshots.
+        # resume numbering: after the rollback above every surviving
+        # snapshot (and therefore every pending row's wave tag) is ≤
+        # the last committed wave, so last_committed+1 is BOTH the
+        # collision-free floor and the exact next wave — no Spark agg
+        # over the frontier needed.  (Fresh seed commits wave -1 ->
+        # first wave is 0.)
         last = self._last_committed_wave()
-        wave = max(
-            frontier.agg(F.max("wave")).collect()[0][0] or 0,
-            (last if last is not None else -1) + 1,
-        )
+        wave = (last if last is not None else -1) + 1
         # politeness clocks: in-memory during the run, checkpointed per
-        # wave, reloaded on resume
-        self._clocks = {
-            r["host"]: r["clock_ms"]
-            for r in self.host_state_t.read_or_empty().collect()
-            if r["host"] != "__none__"
-        }
-        self._seen_count = self.seen_t.read_or_empty().count()
+        # wave, reloaded on resume (skip the collect entirely on a
+        # fresh crawl — no snapshot, no job)
+        self._clocks = {}
+        if self.host_state_t.latest() is not None:
+            self._clocks = {
+                r["host"]: r["clock_ms"]
+                for r in self.host_state_t.read().collect()
+                if r["host"] != "__none__"
+            }
+        self._seen_count = self.seen_t.rowcount()  # footer metadata, no job
         # pending cardinality is tracked driver-side across waves
-        # (n_pending += new - fetched - failed) so the loop does one
-        # count up front instead of an isEmpty job per wave
-        n_pending = (
-            self.frontier_t.read_or_empty()
-            .filter(F.col("status") == "pending")
-            .count()
-        )
+        # (n_pending += new - fetched - failed), initialized from
+        # parquet footer metadata — no Spark job
+        n_pending = self.frontier_t.live_rowcount()
         # max_waves bounds waves run in THIS call (an absolute bound
         # would make a crawl resumed past it permanently stall)
         end_wave = wave + max_waves
@@ -715,7 +852,6 @@ class CrawlEngine:
             mark("read")
             eligible = self._eligible(pending).cache()
             fetched = self._fetch(eligible, wave).cache()
-            new_pending = None
             try:
                 # ONE action materializes the cache and yields wave stats,
                 # per-host clocks, AND per-partition lineage (hosts and
@@ -744,51 +880,64 @@ class CrawlEngine:
                 for r in summary:
                     clocks[r["host"]] = max(clocks.get(r["host"], 0), r["clock"])
                 mark("fetch")
-                lineage_future = self._pool.submit(_lineage_writer(self, wave, fetched, summary))
+                lineage_future = self._pool.submit(
+                    _lineage_writer(self, wave, fetched, summary)
+                )
+
+                # documents append (S6 sink) overlaps the expand/dedup/
+                # delta chain in the writer pool (thread-safe concurrent
+                # Spark jobs; both read the cached `fetched`)
+                docs_future = None
+                if n_docs:
+                    docs = (
+                        fetched.filter(
+                            (F.col("depth") == 4) & (F.col("status") == "fetched")
+                        )
+                        .select(
+                            F.regexp_extract(
+                                "canonical_url", "CaseID=(\\d+)", 1
+                            ).alias("doc_id"),
+                            "county",
+                            F.from_json(
+                                "spans_json",
+                                "ARRAY<STRUCT<kind STRING, text STRING,"
+                                " media_ref STRING, offset INT>>",
+                            ).alias("spans"),
+                        )
+                        .coalesce(self.n_buckets)
+                    )
+                    docs_future = self._pool.submit(
+                        self.documents_t.write, docs, {"wave": wave}
+                    )
 
                 candidates = self._expand(fetched, wave)
-                new_pending = self._dedup(candidates).cache()
-                n_new = new_pending.count()
-                mark("expand+dedup+counts")
-
-                # documents append (S6 sink): case pages -> span rows
-                docs = (
-                    fetched.filter(
-                        (F.col("depth") == 4) & (F.col("status") == "fetched")
-                    )
-                    .select(
-                        F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias(
-                            "doc_id"
-                        ),
-                        "county",
-                        F.from_json(
-                            "spans_json",
-                            "ARRAY<STRUCT<kind STRING, text STRING,"
-                            " media_ref STRING, offset INT>>",
-                        ).alias("spans"),
-                    )
-                )
-                mark("docs")
-                if n_docs:
-                    self.documents_t.write(docs.coalesce(self.n_buckets), {"wave": wave})
+                new_pending = self._dedup(candidates)
+                mark("expand+dedup plan")
 
                 # frontier state transition as an O(wave) delta: the
                 # wave's eligible keys are retired (every eligible row
                 # came back fetched or failed) and the deduped
                 # discoveries are appended — the full pending set is
-                # never rewritten (VERDICT r1 item 3)
+                # never rewritten (VERDICT r1 item 3).  The write IS the
+                # materialization: n_new comes from the written parquet
+                # footers (driver metadata read), not a separate count
+                # job over a cached plan.
                 froncols = [f.name for f in schemas.FRONTIER.fields]
                 n_removed = n_fetched + n_failed
-                self.frontier_t.write_delta(
-                    adds=(
-                        new_pending.select(*froncols).coalesce(self.n_buckets)
-                        if n_new
-                        else None
-                    ),
+                # adds carry (bucket, h1, h2) as extra parquet columns —
+                # free JVM exprs inside the write job; the driver-side
+                # bloom update then needs no hashing and no Spark job
+                adds_hashed = bloom.with_bucket_and_hashes(
+                    new_pending.select(*froncols), "canonical_url", self.n_buckets
+                )
+                delta_snap = self.frontier_t.write_delta(
+                    adds=adds_hashed.coalesce(self.n_buckets),
                     removes=eligible.select("canonical_url").coalesce(1),
                     meta={"wave": wave},
                     n_removes=n_removed,
+                    pool=self._pool,
                 )
+                n_new = self.frontier_t.adds_rowcount(delta_snap)
                 # amortized compaction: fold deltas into a new base once
                 # dead rows outnumber live ones, so merge-on-read cost
                 # stays bounded while per-wave write cost stays O(wave)
@@ -796,29 +945,36 @@ class CrawlEngine:
                 if self.frontier_t.removes_outstanding() > max(n_after, 256):
                     self.frontier_t.compact({"wave": wave, "event": "compact"})
                 mark("frontier write")
+                bloom_future = None
                 if n_new:
-                    self.seen_t.write(
-                        new_pending.select("canonical_url").coalesce(self.n_buckets),
-                        {"wave": wave},
-                    )
+                    self._append_seen_from_adds(delta_snap, wave)
                     self._seen_count += n_new
+                    # bloom maintenance is O(wave) and overlaps the
+                    # tail of the wave in the writer pool; joined
+                    # before the commit marker
+                    bloom_future = self._pool.submit(
+                        self._update_bloom_state, delta_snap, wave
+                    )
 
                 # host clocks carry politeness budget across waves
-                # (merged driver-side from the wave summary collect)
+                # (merged driver-side from the wave summary collect);
+                # the table is O(#hosts) — pyarrow local write, no job
                 for h, c in clocks.items():
                     self._clocks[h] = max(self._clocks.get(h, 0), c)
-                self.host_state_t.write(self._host_state_df(), {"wave": wave})
-                mark("host_state")
+                self._write_host_state_local(wave)
+                mark("seen+host_state")
 
                 stats.append(WaveStats(wave, n_fetched, n_failed, n_new, n_docs))
                 lineage_future.result()
-                mark("log+metrics join")
+                if docs_future is not None:
+                    docs_future.result()
+                if bloom_future is not None:
+                    bloom_future.result()
+                mark("log+metrics+docs join")
                 self._commit_wave(wave)
             finally:
                 eligible.unpersist()
                 fetched.unpersist()
-                if new_pending is not None:
-                    new_pending.unpersist()
             n_pending += n_new - n_fetched - n_failed
             wave += 1
         return stats

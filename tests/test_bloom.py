@@ -56,3 +56,31 @@ def test_filter_new_is_exact(spark, sets):
     got = {r["url"] for r in out.collect()}
     want = {f"http://h/case?id={i}" for i in range(2000, 4000)}
     assert got == want
+
+
+def test_update_state_equals_full_rebuild(spark, sets):
+    """Incremental OR-maintenance (the engine's per-wave path) must
+    produce byte-identical bits to a from-scratch build over the union
+    of the waves' keys."""
+    seen, cand = sets
+    first = seen.filter(
+        F.col("url").substr(F.lit(18), F.lit(10)).cast("int") < 1000
+    )
+    second = seen.subtract(first)
+    s1 = bloom.update_state(None, first, "url", N_BUCKETS, N_BITS)
+    s2 = bloom.update_state(s1, second, "url", N_BUCKETS, N_BITS)
+    incremental = {r["bucket"]: bytes(r["bits"]) for r in s2.collect()}
+    full = {
+        r["bucket"]: bytes(r["bits"])
+        for r in bloom.build(seen, "url", N_BUCKETS, N_BITS).collect()
+    }
+    assert incremental == full
+
+
+def test_filter_new_with_state_is_exact(spark, sets):
+    seen, cand = sets
+    state = bloom.update_state(None, seen, "url", N_BUCKETS, N_BITS)
+    out = bloom.filter_new_with_state(cand, seen, state, "url", N_BUCKETS, N_BITS)
+    got = {r["url"] for r in out.collect()}
+    want = {f"http://h/case?id={i}" for i in range(2000, 4000)}
+    assert got == want
