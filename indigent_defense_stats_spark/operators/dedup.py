@@ -13,10 +13,11 @@ technique:
   path: k=8 portable md5-based minhashes; LSH banding (4 bands x 2
   rows) buckets candidates, exact-Jaccard verification filters false
   positives (output precision 1.0; recall tested vs the exact method).
-  Signatures are oracle-checked; the LSH pair set is probabilistic in
-  *recall*, so it is registered rows-only.
+  Both oracle-checked: recall<1 is a property vs the *exact* pair set,
+  but the LSH output itself is a deterministic function of the input,
+  so the DuckDB oracle replays the same banding and verification.
 - :func:`simhash_buckets` — 16-bit token simhash; identical-signature
-  grouping (rows-only; properties tested in pytest).
+  grouping.  Oracle-checked (same determinism argument).
 
 Scale notes: the inverted-index join's hot keys are high-document-
 frequency shingles (cost ~ sum(df^2)); at 100 TB you cap df or go
@@ -269,8 +270,8 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
-    "minhash_lsh_neardup": minhash_lsh_neardup,  # rows-only (recall<1)
-    "simhash_buckets": simhash_buckets,  # rows-only
+    "minhash_lsh_neardup": minhash_lsh_neardup,
+    "simhash_buckets": simhash_buckets,
 }
 
 _SQL_SH = """
@@ -321,5 +322,82 @@ ORACLE_SQL = {
             for i in range(N_MINHASH)
         )}
         FROM hs
+    """,
+    # Deterministic replay of the banding + verification: the LSH pair
+    # set is a pure function of the corpus (md5 family, fixed bands),
+    # so "approximate recall" does NOT preclude an exact oracle.
+    "minhash_lsh_neardup": f"""
+        WITH sh AS ({_SQL_SH}),
+        ex AS (
+            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+            FROM sh WHERE len(shingles) > 0
+        ),
+        hs AS (
+            SELECT doc_id,
+                   ('0x' || left(md5(s), 15))::BIGINT % {MH_MOD} AS h
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id,
+            {",".join(
+                f"min(({MH_A[i]} * h + {MH_B[i]}) % {MH_MOD}) AS mh{i}"
+                for i in range(N_MINHASH)
+            )}
+            FROM hs GROUP BY doc_id
+        ),
+        banded AS (
+            {" UNION ALL ".join(
+                f'''SELECT doc_id, {bnd} AS band,
+                    mh{2*bnd}::VARCHAR || ':' || mh{2*bnd+1}::VARCHAR AS bucket
+                    FROM sig'''
+                for bnd in range(LSH_BANDS)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT d1, d2, count(*) AS inter,
+                   max(ea.n) AS n1, max(eb.n) AS n2
+            FROM cand
+            JOIN ex ea ON cand.d1 = ea.doc_id
+            JOIN ex eb ON cand.d2 = eb.doc_id AND ea.s = eb.s
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+    """,
+    "simhash_buckets": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(lower(text), ' ')))
+                       AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || left(md5(tok), 15))::BIGINT AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+            {", ".join(
+                f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(16)
+            )}
+            FROM h GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT doc_id,
+            ({" + ".join(
+                f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+                for j in range(16)
+            )}) AS simhash
+            FROM bits
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        FROM sim GROUP BY 1 HAVING count(*) > 1
     """,
 }
