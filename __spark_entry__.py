@@ -41,7 +41,7 @@ def _modules():
         textstats,
     )
     from indigent_defense_stats_spark.sources import views
-    from indigent_defense_stats_spark.streaming import ingest
+    from indigent_defense_stats_spark.streaming import ingest, sessions
 
     return [
         relational,
@@ -51,6 +51,7 @@ def _modules():
         pipeline_queries,
         crawl_queries,
         ingest,
+        sessions,
         views,
     ]
 

@@ -38,6 +38,7 @@ OPTIONAL = [
     "ann_topk_cosine",
     "token_stats",
     "lang_id",
+    "session_windows",
 ]
 
 

@@ -48,6 +48,18 @@ N_DAYS = 90
 POOL_SCALE = 150
 CPU_LEVELS = [2, 8, 32]
 
+# Named job configs.  `crawl` (4 waves, ~252k URLs) keeps continuity
+# with round 1; `crawl270` triples the wave sizes (~653k URLs) at the
+# SAME wave count — the sandbox stand-in for the 10^10-URL regime where
+# per-wave fixed cost amortizes.  The north-rule efficiency criterion
+# is evidenced on the amortized config; the small config shows the
+# fixed-cost floor honestly.
+JOBS = {
+    "fetchparse": {"kind": "fetchparse"},
+    "crawl": {"kind": "crawl", "n_days": N_DAYS},
+    "crawl270": {"kind": "crawl", "n_days": 270},
+}
+
 
 def job_fetchparse(spark, n_urls: int, n_hosts: int) -> dict:
     """Single-stage fetch + extract over a generated case frontier."""
@@ -102,13 +114,14 @@ def job_crawl(spark, n_counties: int, n_days: int) -> dict:
 def run_cell(job: str, cpus: int, args) -> dict:
     from indigent_defense_stats_spark.session import get_spark
 
+    cfg = JOBS[job]
     spark = get_spark(app_name=f"scaling-{job}-{cpus}", master=f"local[{cpus}]")
     # warm the JVM/codegen/python-worker paths so the cell is steady-state
     spark.range(1000).count()
-    if job == "fetchparse":
+    if cfg["kind"] == "fetchparse":
         res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
     else:
-        res = job_crawl(spark, args.n_counties, args.n_days)
+        res = job_crawl(spark, args.n_counties, cfg.get("n_days", args.n_days))
     res.update({"job": job, "cpus": cpus})
     spark.stop()
     return res
@@ -139,7 +152,9 @@ def measure_core_ceiling() -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--job", choices=["fetchparse", "crawl"])
+    ap.add_argument("--job", choices=sorted(JOBS))
+    ap.add_argument("--jobs", default="fetchparse,crawl,crawl270")
+    ap.add_argument("--cpu-levels", default=",".join(map(str, CPU_LEVELS)))
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--n-urls", type=int, default=N_URLS)
     ap.add_argument("--n-counties", type=int, default=N_COUNTIES)
@@ -166,9 +181,11 @@ def main() -> None:
     env["SPARK_GRAFT_CASE_POOL_SCALE"] = str(POOL_SCALE)
     import statistics
 
+    jobs = [j for j in args.jobs.split(",") if j]
+    levels = [int(x) for x in args.cpu_levels.split(",") if x]
     cells = []
-    for job in ["fetchparse", "crawl"]:
-        for cpus in CPU_LEVELS:
+    for job in jobs:
+        for cpus in levels:
             cmd = [
                 sys.executable,
                 os.path.abspath(__file__),
@@ -220,8 +237,8 @@ def main() -> None:
         return next(c["tput"] for c in cells if c["job"] == job and c["cpus"] == cpus)
 
     effs = {}
-    for job in ["fetchparse", "crawl"]:
-        for lo, hi in [(2, 8), (8, 32)]:
+    for job in jobs:
+        for lo, hi in zip(levels, levels[1:]):
             effs[f"{job}_{lo}to{hi}"] = round(tput(job, hi) / tput(job, lo) / (hi / lo), 3)
     report["efficiency"] = effs
     with open(os.path.join(args.out, "scaling.json"), "w") as f:
@@ -239,6 +256,7 @@ def write_md(out_dir: str, report: dict) -> None:
     # 4N busy cores relative to N busy cores
     ceil_2_8 = round(ceil["8"] / ceil["2"], 3)
     ceil_8_32 = round(ceil["32"] / ceil["8"], 3)
+    jobs = list(dict.fromkeys(c["job"] for c in cells))
     lines = [
         "# BENCH — scaling efficiency (N -> 4N cores, same input)",
         "",
@@ -247,7 +265,9 @@ def write_md(out_dir: str, report: dict) -> None:
         "local[8] / local[32] on the same synthetic input.",
         f"Input: {p['n_urls']:,}-URL case frontier (fetchparse);",
         f"{p['n_counties']} counties x {p['n_days']} days crawl with case-pool",
-        f"scale {p['pool_scale']} (crawl).  Case pages are ~39 KB HTML parsed",
+        f"scale {p['pool_scale']} (crawl); same registry x 270 days",
+        "(crawl270 — the amortized-wave configuration, ~2.6x the URLs at",
+        "the same wave count).  Case pages are ~39 KB HTML parsed",
         "to spans in the fetch stage (reference fixture: ~40 KB).",
         "",
         "| job | cores | wall s | URLs/s |",
@@ -255,12 +275,24 @@ def write_md(out_dir: str, report: dict) -> None:
     ]
     for c in cells:
         lines.append(f"| {c['job']} | local[{c['cpus']}] | {c['wall']} | {c['tput']} |")
+    pair_rows = []
+    pairs = sorted(
+        {
+            tuple(map(int, k.rsplit("_", 1)[1].split("to")))
+            for k in effs
+        }
+    )
+    for lo, hi in pairs:
+        vals = " | ".join(
+            str(effs.get(f"{j}_{lo}to{hi}", "—")) for j in jobs
+        )
+        ceil_pair = round(ceil[str(hi)] / ceil[str(lo)], 3)
+        pair_rows.append(f"| {lo} -> {hi} | {vals} | {ceil_pair} |")
     lines += [
         "",
-        "| pair | fetchparse eff | crawl eff | machine ceiling* |",
-        "|---|---|---|---|",
-        f"| 2 -> 8 | {effs['fetchparse_2to8']} | {effs['crawl_2to8']} | {ceil_2_8} |",
-        f"| 8 -> 32 | {effs['fetchparse_8to32']} | {effs['crawl_8to32']} | {ceil_8_32} |",
+        "| pair | " + " eff | ".join(jobs) + " eff | machine ceiling* |",
+        "|---" * (len(jobs) + 2) + "|",
+        *pair_rows,
         "",
         "\\* machine ceiling = per-core throughput at 4N busy cores /",
         "per-core throughput at N busy cores, measured with a pure-Python",

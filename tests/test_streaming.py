@@ -49,3 +49,56 @@ def test_stateful_running_max_matches_batch(spark):
     a = {(r["user_id"], round(r["running_max"], 9)) for r in streamed.collect()}
     b = {(r["user_id"], round(r["running_max"], 9)) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_session_windows_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """The applyInPandasWithState session operator, fed time-ranged
+    micro-batches, must emit exactly the batch sessionization minus
+    each user's final (never-closed) session."""
+    from indigent_defense_stats_spark.streaming import sessions
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    schema = events.schema
+    # three time-ranged files -> three in-order micro-batches
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    e = events.withColumn(
+        "__ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    cuts = e.approxQuantile("__ts_s", [0.33, 0.66], 0.0)
+    lo, hi = int(cuts[0]), int(cuts[1])
+    parts = [
+        e.filter(F.col("__ts_s") <= lo),
+        e.filter((F.col("__ts_s") > lo) & (F.col("__ts_s") <= hi)),
+        e.filter(F.col("__ts_s") > hi),
+    ]
+    for i, p in enumerate(parts):
+        p.drop("__ts_s").coalesce(1).write.parquet(f"{src}/b{i}")
+    # file source lists lexicographically; move files up with ordered names
+    import glob, shutil
+    for i in range(3):
+        (f,) = glob.glob(f"{src}/b{i}/part-*.parquet")
+        shutil.move(f, f"{src}/{i:02d}.parquet")
+        shutil.rmtree(f"{src}/b{i}")
+
+    streamed = sessions.stream_session_windows(spark, src, schema)
+    batch = sessions.session_windows(spark, SF_DIR)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    closed_batch = batch.withColumn(
+        "max_sess", F.max("session_id").over(w)
+    ).filter(F.col("session_id") < F.col("max_sess")).drop("max_sess")
+
+    key = lambda r: (
+        r["user_id"],
+        r["session_id"],
+        str(r["session_start"]),
+        str(r["session_end"]),
+        r["n_events"],
+        round(r["value_sum"], 6),
+    )
+    a = sorted(key(r) for r in streamed.collect())
+    b = sorted(key(r) for r in closed_batch.collect())
+    assert len(a) > 0
+    assert a == b
