@@ -66,5 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _modules():
-        out.update(m.ORACLE_SQL)
+        osql = m.ORACLE_SQL
+        # modules whose oracles bake data-derived constants (e.g. the
+        # IVF centroids) expose ORACLE_SQL as a zero-arg callable so
+        # the constants are computed lazily, not at import
+        out.update(osql() if callable(osql) else osql)
     return out

@@ -266,12 +266,74 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph
+    (``ngram_jaccard_pairs`` at t=0.8): every document labeled with
+    the minimum doc_id reachable through near-dup edges — the
+    canonical cluster id a dedup pipeline keys on (keep the rows
+    where ``is_keeper``).  This is the step that turns *pairs* into
+    *clusters*: pairwise near-dup output alone over-deletes (A~B,
+    B~C with A!~C must still keep exactly one of {A,B,C}).
+
+    Algorithm: iterative min-label propagation as DataFrame joins —
+    per round ``comp(n) := min(comp(n), min over in-neighbors
+    comp(m))`` with a ``localCheckpoint`` per round to truncate
+    lineage and one bounded driver-side convergence count.  Round
+    count = min-label propagation distance; near-dup clusters are
+    shallow (transitive chains of near-identical docs), so this
+    converges in a handful of rounds.  For general web-graph
+    components at 10^10 edges, swap the loop body for the
+    alternating large-star/small-star edge rewrite (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same join
+    machinery, O(log n) rounds; the propagation loop is the right
+    tool for the dedup-cluster topology.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=False)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).localCheckpoint(eager=False)
+    while True:
+        nbr = (
+            sym.join(labels, F.col("d1") == F.col("doc_id"))
+            .groupBy(F.col("d2").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        (F.col("doc_id") == F.col("comp")).alias("is_keeper"),
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_neardup": minhash_lsh_neardup,
     "simhash_buckets": simhash_buckets,
+    "neardup_components": neardup_components,
 }
 
 _SQL_SH = """
@@ -370,6 +432,36 @@ ORACLE_SQL = {
         SELECT d1, d2,
                round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
         FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+    """,
+    # Ground truth for the component labels: transitive closure via a
+    # recursive CTE (UNION dedups -> terminates), then min reachable
+    # doc_id per source.  Closure size is sum(cluster^2) — fine at
+    # oracle scale; the Spark side is the one that must scale.
+    "neardup_components": f"""
+        WITH RECURSIVE sh AS ({_SQL_SH}),
+        ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                   max(a.n) AS n1, max(b.n) AS n2
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT d1, d2 FROM pairs
+            WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        ),
+        sym AS (
+            SELECT d1, d2 FROM edges
+            UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, s.d2 FROM reach r JOIN sym s ON r.dst = s.d1
+        )
+        SELECT src AS doc_id, min(dst) AS component_id,
+               (src = min(dst)) AS is_keeper
+        FROM reach GROUP BY src
     """,
     "simhash_buckets": f"""
         WITH toks AS (

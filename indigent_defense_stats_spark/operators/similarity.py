@@ -5,20 +5,39 @@
   both engines, so Spark and DuckDB agree bit-for-bit (verified).
 - :func:`embedding_neardup_pairs` — all pairs above a cosine
   threshold (embedding near-dup dedup).  Exact; oracle-checked.
-- :func:`ann_topk_lsh` — the scale path: random-hyperplane LSH
-  bucketing via an Arrow-vectorized numpy matmul (one pandas_udf),
-  probe restricted to the query's bucket + Hamming-1 neighbors.
-  Approximate recall -> registered rows-only; recall measured in
-  pytest against the brute-force baseline.
+- :func:`ann_topk_lsh` — random-hyperplane LSH bucketing, probe
+  restricted to the query's bucket + Hamming-1 neighbors.
+- :func:`ann_topk_ivf` — IVF: k-means cells, probe the nprobe
+  nearest cells.  :func:`build_ivf_index` materializes the
+  cluster-partitioned layout so the probe becomes parquet
+  partition PRUNING instead of a filter over a full scan.
+
+Bucketing/assignment runs as pure JVM column expressions (an
+index-ordered ``aggregate`` fold per hyperplane/centroid) rather
+than a Python UDF: with k x dim small (6x64 planes, 16x64
+centroids) the fold is cheap, stays JVM-side, and — because DuckDB's
+``list_dot_product`` is the same ordered fold — is bit-identical to
+the DuckDB oracle, which makes the approximate paths fully
+oracle-checkable (the LSH/IVF output is a deterministic function of
+the corpus; "approximate recall" does not preclude an exact replay
+oracle).  For wide configs (hundreds of bits / thousands of
+centroids) the Arrow-vectorized matmul UDFs (:func:`lsh_bucket_udf`,
+:func:`ivf_assign_udf`) are the scale alternative — one numpy matmul
+per Arrow batch; pytest pins them to the fold expressions.
 
 Scale notes: brute force is one scan (linear, embarrassingly
 parallel) — right up to the point the *query set* is large; the LSH
 variant buckets both sides so each query probes O(corpus/2^bits).
-The pairs query is quadratic and exists as the small-corpus oracle
-baseline; at 100 TB one uses the LSH buckets for pairing too.
+The IVF index turns the probe into partition pruning: ~nprobe/k of
+the corpus is *read*, not just filtered.  The pairs query is
+quadratic and exists as the small-corpus oracle baseline; at 100 TB
+one uses the LSH buckets for pairing too.
 """
 
 from __future__ import annotations
+
+import os
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -29,6 +48,14 @@ from pyspark.sql.functions import pandas_udf
 COSINE_PAIR_THRESHOLD = 0.30
 TOP_K = 10
 LSH_BITS = 6
+
+# The driver's correctness gate evaluates queries and oracles at
+# sf0.01; the IVF oracle bakes data-derived constants (centroids,
+# probe list) computed from this directory with the SAME Python code
+# the Spark query runs at evaluation time.  A dedicated env var (NOT
+# SPARK_GRAFT_SF_DIR, which bench repoints) so bench runs cannot
+# poison the oracle constants.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,6 +69,16 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _const_arr(vals) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals]).cast("array<double>")
+
+
+def _sql_arr(vals) -> str:
+    """A DuckDB DOUBLE[] literal that parses back to the exact doubles
+    (repr() is the shortest round-trip decimal)."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -99,7 +136,22 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((LSH_BITS, dim)).astype(np.float64)
 
 
+def lsh_bucket_expr(dim: int) -> Column:
+    """JVM-side bucket: bit b set iff dot(embedding, plane_b) > 0.
+    Ordered fold per plane -> bit-identical to the DuckDB oracle."""
+    planes = _planes(dim)
+    return sum(
+        F.when(_dot(F.col("embedding"), _const_arr(p)) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        for b, p in enumerate(planes)
+    ).alias("bucket")
+
+
 def lsh_bucket_udf(dim: int):
+    """Arrow-vectorized alternative for wide configs (many bits x high
+    dim): one numpy matmul per batch.  Pytest pins it to
+    :func:`lsh_bucket_expr` on the test corpus."""
     planes = _planes(dim)
 
     @pandas_udf("int")
@@ -111,18 +163,18 @@ def lsh_bucket_udf(dim: int):
     return bucketize
 
 
+LSH_MASKS = [0] + [1 << b for b in range(LSH_BITS)]
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k for the vec_id=0 query: probe the
-    query's bucket plus all Hamming-1 neighbor buckets."""
+    query's bucket plus all Hamming-1 neighbor buckets.  The query
+    bucket comes from the same bucketed DataFrame (one bounded 1-row
+    collect), so query and corpus see identical bucketing."""
     q = _query_vector(spark, sf_dir)
-    planes = _planes(len(q))
-    qsig = int(
-        ((np.asarray(q) @ planes.T) > 0) @ (1 << np.arange(LSH_BITS))
-    )
-    probe = [qsig] + [qsig ^ (1 << b) for b in range(LSH_BITS)]
-    e = _emb(spark, sf_dir).withColumn(
-        "bucket", lsh_bucket_udf(len(q))(F.col("embedding"))
-    )
+    e = _emb(spark, sf_dir).withColumn("bucket", lsh_bucket_expr(len(q)))
+    qsig = int(e.filter("vec_id = 0").select("bucket").collect()[0][0])
+    probe = [qsig ^ m for m in LSH_MASKS]
     cand = e.filter(F.col("bucket").isin(probe))
     return _cosine_topk(cand, q)
 
@@ -130,6 +182,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 16
 IVF_NPROBE = 4
 IVF_ITERS = 5
+IVF_SAMPLE = 512
 
 
 def _ivf_centroids(vectors: np.ndarray) -> np.ndarray:
@@ -156,11 +209,69 @@ def _ivf_centroids(vectors: np.ndarray) -> np.ndarray:
     return cents
 
 
+def _seq_sq_dist(c, q) -> float:
+    """Sequential-fold squared distance in double (used only for probe
+    ranking — must merely be the SAME function on the Spark-driver and
+    oracle-generation sides, which it is)."""
+    acc = 0.0
+    for ci, qi in zip(c, q):
+        d = float(qi) - float(ci)
+        acc += d * d
+    return acc
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _ivf_probes(cents: np.ndarray, q: list[float]) -> list[int]:
+    d2 = [_seq_sq_dist(c, q) for c in cents]
+    return sorted(range(len(cents)), key=lambda j: (d2[j], j))[:IVF_NPROBE]
+
+
+def _train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Centroids from a deterministic bounded driver-side sample (the
+    first IVF_SAMPLE vec_ids) — O(sample x dim), never grows with the
+    corpus."""
+    sample = (
+        _emb(spark, sf_dir).orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
+    )
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    return _ivf_centroids(vecs)
+
+
+def ivf_assign_expr(cents: np.ndarray) -> Column:
+    """JVM-side nearest-centroid assignment:
+    d2_j = dot(v,v) - 2*dot(v,c_j) + dot(c_j,c_j), argmin with
+    least-cluster-id tiebreak via array_min over (d2, cid) structs.
+    The same ordered folds as DuckDB's list_dot_product -> the oracle
+    replays the assignment bit-for-bit."""
+    vv = _dot(F.col("embedding"), F.col("embedding"))
+    cells = [
+        F.struct(
+            (
+                vv
+                - F.lit(2.0) * _dot(F.col("embedding"), _const_arr(c))
+                + F.lit(_seq_dot(c, c))
+            ).alias("d2"),
+            F.lit(j).alias("cid"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return F.array_min(F.array(*cells))["cid"]
+
+
 def ivf_assign_udf(cents: np.ndarray):
+    """Arrow-vectorized alternative for wide configs (thousands of
+    centroids): one (batch x k) distance matmul per Arrow batch.
+    Pytest pins it to :func:`ivf_assign_expr`."""
+
     @pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.map(lambda v: np.asarray(v, dtype=np.float64)))
-        # one (batch x k) distance matmul per Arrow batch
         d2 = (m * m).sum(1)[:, None] - 2 * (m @ cents.T) + (cents * cents).sum(1)[None, :]
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
@@ -172,66 +283,183 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained on a deterministic driver-side sample), probe the nprobe
     centroids closest to the query, brute-force cosine inside them.
 
-    Scale shape: centroids are O(k x dim) — broadcast into the assign
-    UDF's closure; assignment is one matmul per Arrow batch; the probe
-    prunes the scan to ~nprobe/k of the corpus (partition the parquet
-    by cluster_id to turn that into real partition pruning)."""
-    e = _emb(spark, sf_dir)
-    sample = (
-        e.orderBy("vec_id")
-        .limit(512)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
-    cents = _ivf_centroids(vecs)
+    Scale shape: centroids are O(k x dim) — literals in the plan;
+    assignment is a JVM fold (or one matmul per Arrow batch via
+    :func:`ivf_assign_udf` for wide configs); the probe prunes the
+    scan to ~nprobe/k of the corpus.  :func:`build_ivf_index` turns
+    that into real parquet partition pruning."""
+    cents = _train_centroids(spark, sf_dir)
     q = _query_vector(spark, sf_dir)
-    qv = np.asarray(q, dtype=np.float64)
-    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
-    probe = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
+    probe = _ivf_probes(cents, q)
+    cand = (
+        _emb(spark, sf_dir)
+        .withColumn("cluster_id", ivf_assign_expr(cents))
+        .filter(F.col("cluster_id").isin(probe))
+    )
+    return _cosine_topk(cand, q)
 
-    cand = e.withColumn(
-        "cluster_id", ivf_assign_udf(cents)(F.col("embedding"))
-    ).filter(F.col("cluster_id").isin(probe))
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> np.ndarray:
+    """Materialize the IVF index: embeddings written as parquet
+    partitioned BY cluster_id.  Queries against the index read only
+    the probed cluster directories — partition pruning at the source,
+    the 100 TB shape ("train once, prune scans forever").  Returns the
+    centroids (persist alongside the index in production)."""
+    cents = _train_centroids(spark, sf_dir)
+    (
+        _emb(spark, sf_dir)
+        .withColumn("cluster_id", ivf_assign_expr(cents))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(index_dir)
+    )
+    return cents
+
+
+def ann_topk_ivf_indexed(
+    spark: SparkSession, index_dir: str, cents: np.ndarray, q: list[float]
+) -> DataFrame:
+    """Top-k against a :func:`build_ivf_index` layout.  The
+    cluster_id filter is a partition-column predicate -> Spark prunes
+    non-probed directories before reading a byte (asserted in pytest
+    via inputFiles())."""
+    probe = _ivf_probes(cents, q)
+    cand = spark.read.parquet(index_dir).filter(F.col("cluster_id").isin(probe))
     return _cosine_topk(cand, q)
 
 
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
-    "ann_topk_lsh": ann_topk_lsh,  # rows-only (approximate recall)
-    "ann_topk_ivf": ann_topk_ivf,  # rows-only (approximate recall)
+    "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
 }
 
 _SQL_COS_Q = """
 WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
 """
 
-ORACLE_SQL = {
-    "ann_topk_cosine": f"""
-        {_SQL_COS_Q}
-        SELECT vec_id,
-               round(list_dot_product(embedding::DOUBLE[], (SELECT e FROM q))
-                     / (sqrt(list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]))
-                        * sqrt(list_dot_product((SELECT e FROM q),
-                                                (SELECT e FROM q)))),
-                     6) AS cosine
-        FROM embeddings
-        ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
-    """,
-    "embedding_neardup_pairs": f"""
-        WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[],
-                                         embedding::DOUBLE[])) AS nrm
-            FROM embeddings
+_SQL_COS_TAIL = f"""
+    SELECT vec_id,
+           round(list_dot_product(v, (SELECT qv FROM q))
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product((SELECT qv FROM q),
+                                            (SELECT qv FROM q)))),
+                 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _lsh_oracle_sql() -> str:
+    """Exact replay of the LSH probe: same hyperplane constants, same
+    ordered-fold sign test, same Hamming-1 probe set."""
+    dim = _oracle_dim()
+    planes = _planes(dim)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_sql_arr(p)}) > 0"
+        f" THEN {1 << b} ELSE 0 END"
+        for b, p in enumerate(planes)
+    )
+    probes = ", ".join(f"xor(qb.bucket, {m})" for m in LSH_MASKS)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT b.vec_id, b.v FROM b, qb
+            WHERE b.bucket IN ({probes})
         )
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
-               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
-                   AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
-              >= {COSINE_PAIR_THRESHOLD}
-    """,
-}
+        {_SQL_COS_TAIL}
+    """
+
+
+@lru_cache(maxsize=1)
+def _oracle_embeddings():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return df
+
+
+def _oracle_dim() -> int:
+    return len(_oracle_embeddings()["embedding"].iloc[0])
+
+
+def _ivf_oracle_sql() -> str:
+    """Exact replay of the IVF probe at the oracle scale factor: the
+    centroids and probe list are computed HERE with the same Python
+    code (`_ivf_centroids` / `_ivf_probes`) the Spark query runs at
+    evaluation time on the same sf0.01 data, then baked as literals;
+    the per-row assignment replays the ordered-fold d2 + (d2, cid)
+    argmin in SQL."""
+    df = _oracle_embeddings()
+    sample = df.head(IVF_SAMPLE)
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample["embedding"]]
+    )
+    cents = _ivf_centroids(vecs)
+    q = [float(x) for x in df.loc[df["vec_id"] == 0, "embedding"].iloc[0]]
+    probe = _ivf_probes(cents, q)
+    cells = ", ".join(
+        f"struct_pack(d2 := vv - 2 * list_dot_product(v, {_sql_arr(c)})"
+        f" + {repr(_seq_dot(c, c))}, cid := {j})"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+        s AS (SELECT vec_id, v, unnest([{cells}]) AS sc FROM d),
+        r AS (
+            SELECT vec_id, v, sc.cid AS cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sc.d2, sc.cid) AS rn
+            FROM s
+        ),
+        asg AS (SELECT vec_id, v, cid AS cluster_id FROM r WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, v FROM asg
+            WHERE cluster_id IN ({", ".join(str(p) for p in probe)})
+        )
+        {_SQL_COS_TAIL}
+    """
+
+
+@lru_cache(maxsize=1)
+def ORACLE_SQL() -> dict[str, str]:
+    return {
+        "ann_topk_cosine": f"""
+            {_SQL_COS_Q}
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], (SELECT e FROM q))
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product((SELECT e FROM q),
+                                                    (SELECT e FROM q)))),
+                         6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+        """,
+        "embedding_neardup_pairs": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS nrm
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                       AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                  >= {COSINE_PAIR_THRESHOLD}
+        """,
+        "ann_topk_lsh": _lsh_oracle_sql(),
+        "ann_topk_ivf": _ivf_oracle_sql(),
+    }

@@ -52,6 +52,36 @@ def test_simhash_groups_exact_dups(spark):
     assert buckets[0]["n_docs"] == 2 and buckets[0]["keeper_doc_id"] == 1
 
 
+def test_neardup_components_transitive_chain(spark, tmp_path):
+    """A~B and B~C (but A!~C) must still collapse into ONE cluster with
+    keeper=min — the exact reason pairs alone can't drive dedup."""
+    w = [f"w{i}" for i in range(12)]
+    t1 = " ".join(w)
+    t2 = " ".join(w[:-1] + ["zz"])          # ~0.818 vs t1
+    t3 = " ".join(["yy"] + w[1:-1] + ["zz"])  # ~0.818 vs t2, ~0.667 vs t1
+    t4 = " ".join(f"u{i}" for i in range(12))  # singleton
+    rows = [
+        (i + 1, t, "en", "s", len(t)) for i, t in enumerate([t1, t2, t3, t4])
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in dedup.ngram_jaccard_pairs(spark, d).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}  # sanity: the chain, not the closure
+    comp = {
+        r["doc_id"]: (r["component_id"], r["is_keeper"])
+        for r in dedup.neardup_components(spark, d).collect()
+    }
+    assert comp == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)
+    }
+
+
 def test_ann_lsh_finds_query_itself_on_driver_data(spark):
     """On the driver's near-orthogonal embeddings (true top-10 sits at
     cosine ~0.3) hyperplane LSH legitimately has low recall — it is
@@ -95,6 +125,46 @@ def test_ann_lsh_recall_on_clustered_corpus(spark, tmp_path):
 def test_ann_ivf_probes_query_cluster_on_driver_data(spark):
     approx = [r["vec_id"] for r in similarity.ann_topk_ivf(spark, SF_DIR).collect()]
     assert approx and approx[0] == 0  # the query vector itself
+
+
+def test_vectorized_udfs_match_fold_expressions(spark):
+    """The Arrow-matmul scale paths (lsh_bucket_udf / ivf_assign_udf)
+    must agree with the bit-exact JVM fold expressions the oracle
+    replays (float divergence between BLAS and an ordered fold could
+    only flip a sign/argmin at an exact decision boundary)."""
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    lsh = e.select(
+        similarity.lsh_bucket_expr(dim).alias("b_expr"),
+        similarity.lsh_bucket_udf(dim)(F.col("embedding")).alias("b_udf"),
+    )
+    assert lsh.filter("b_expr <> b_udf").count() == 0
+    cents = similarity._train_centroids(spark, SF_DIR)
+    ivf = e.select(
+        similarity.ivf_assign_expr(cents).alias("c_expr"),
+        similarity.ivf_assign_udf(cents)(F.col("embedding")).alias("c_udf"),
+    )
+    assert ivf.filter("c_expr <> c_udf").count() == 0
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """build_ivf_index writes a cluster_id-partitioned layout; the
+    indexed query must (a) return exactly what the scan-and-filter IVF
+    query returns and (b) read ONLY the probed cluster directories."""
+    idx = str(tmp_path / "ivf_index")
+    cents = similarity.build_ivf_index(spark, SF_DIR, idx)
+    q = similarity._query_vector(spark, SF_DIR)
+    res = similarity.ann_topk_ivf_indexed(spark, idx, cents, q)
+    expect = similarity.ann_topk_ivf(spark, SF_DIR).collect()
+    assert [tuple(r) for r in res.collect()] == [tuple(r) for r in expect]
+    # the cluster_id predicate must reach the scan as a PARTITION
+    # filter (directory pruning), not a post-scan data filter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)
+    assert len(part_filters) == 2, plan
+    assert "cluster_id" in part_filters[1].split("]", 1)[0], plan
 
 
 @pytest.fixture(scope="module")
