@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from indigent_defense_stats_spark.operators import (
+        corpusprep,
         crawl_queries,
         dedup,
         pipeline_queries,
@@ -48,6 +49,7 @@ def _modules():
         textstats,
         dedup,
         similarity,
+        corpusprep,
         pipeline_queries,
         crawl_queries,
         ingest,

@@ -1,0 +1,194 @@
+"""Corpus-preparation operators over the ``documents`` table — the
+ordering/sampling/packing layer of a training-data pipeline (what runs
+AFTER dedup/quality filtering and BEFORE the tokenizer):
+
+- :func:`stratified_sample` — deterministic per-language quota
+  sampling (training-mixture control).
+- :func:`pack_sequences` — token-budget sequence packing: documents
+  concatenated in deterministic order within hash shards and split
+  into fixed-budget sequences (the standard LM concat-and-chunk).
+- :func:`corpus_interleave` — deterministic round-robin interleave of
+  sources into a single total training order, without a global sort.
+
+All three are driven by one portable deterministic shuffle key
+``h = md5_int('shuf:' || doc_id)`` — a seeded hash, not a wall-clock
+RNG — so runs are reproducible and the DuckDB oracles replay every
+value exactly.
+
+Scale notes (the point of each design):
+- sampling: the exact per-group rank needs a per-language sort; the
+  window is PARTITIONed by lang so languages proceed in parallel.  At
+  100 TB replace exact rank with a per-language hash THRESHOLD
+  (approx quantile of h at quota/count) and a plain filter — same
+  key, no sort; exact rank kept here because the oracle demands
+  exactness at test scale.
+- packing: cumulative sums are per-SHARD windows (shard = h % N), so
+  parallelism scales with shard count and no stage ever sees a global
+  order.  Shard count is the knob: pick ~#executor-cores x 4.
+- interleave: a global ``orderBy`` would funnel into a single range
+  sort; instead positions are computed per-source (row_number within
+  source, parallel across sources) and combined arithmetically into a
+  total order — zero global shuffles beyond the per-source windows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from .textstats import md5_int
+
+SAMPLE_QUOTA = 20  # docs kept per language
+SEQ_BUDGET = 512  # tokens per packed sequence
+N_SHARDS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shuffle_key() -> Column:
+    """Deterministic pseudo-random order key (seeded, portable)."""
+    return md5_int(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample: the SAMPLE_QUOTA docs with the
+    smallest shuffle keys in each language (ties broken by doc_id).
+    This is mixture control for a training corpus — every language
+    contributes exactly min(quota, population) docs, chosen
+    uniformly-at-hash, reproducibly."""
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", _shuffle_key().alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_QUOTA)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each hash shard,
+    documents are laid out in deterministic (h, doc_id) order and the
+    token stream is cut into SEQ_BUDGET-token sequences.  Each doc
+    reports the sequence it STARTS in and its offset there; a doc may
+    spill across the boundary (standard LM packing keeps the spill —
+    no padding waste, attention masks handle the seam)."""
+    n_tok = F.size(F.split(F.lower(F.col("text")), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            _shuffle_key().alias("h"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("shard", (F.col("h") % N_SHARDS).cast("int"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("cum_before") / SEQ_BUDGET).alias("seq_id"),
+            (F.col("cum_before") % SEQ_BUDGET).alias("offset_in_seq"),
+        )
+    )
+
+
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin interleave of the sources into one total training
+    order: position = (rank_within_source - 1) * n_sources + src_ord.
+    The source list is tiny (one row per corpus) — collected once on
+    the driver (bounded) and broadcast back; positions never collide
+    and consuming them in ascending order cycles evenly through the
+    sources while each is non-empty."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", _shuffle_key().alias("h"))
+    srcs = sorted(r[0] for r in d.select("source").distinct().collect())
+    ords = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(srcs)], "source string, src_ord int"
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.join(F.broadcast(ords), "source")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("rk") - 1) * len(srcs) + F.col("src_ord")).alias("global_pos"),
+        )
+    )
+
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "corpus_interleave": corpus_interleave,
+}
+
+_SQL_H = "('0x' || left(md5('shuf:' || doc_id), 15))::BIGINT"
+
+ORACLE_SQL = {
+    "stratified_sample": f"""
+        WITH k AS (
+            SELECT doc_id, lang, {_SQL_H} AS h FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY h, doc_id) AS sample_rank
+            FROM k
+        )
+        SELECT doc_id, lang, sample_rank
+        FROM r WHERE sample_rank <= {SAMPLE_QUOTA}
+    """,
+    "pack_sequences": f"""
+        WITH k AS (
+            SELECT doc_id, {_SQL_H} AS h,
+                   len(string_split(lower(text), ' ')) AS n_tokens
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, h, n_tokens,
+                   CAST(h % {N_SHARDS} AS INT) AS shard
+            FROM k
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM s
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+               cum_before % {SEQ_BUDGET} AS offset_in_seq
+        FROM c
+    """,
+    "corpus_interleave": f"""
+        WITH k AS (
+            SELECT doc_id, source, {_SQL_H} AS h FROM documents
+        ),
+        o AS (
+            SELECT source,
+                   row_number() OVER (ORDER BY source) - 1 AS src_ord
+            FROM (SELECT DISTINCT source FROM documents)
+        ),
+        n AS (SELECT count(*) AS n_src FROM o),
+        r AS (
+            SELECT k.doc_id, k.source,
+                   row_number() OVER (PARTITION BY k.source
+                                      ORDER BY k.h, k.doc_id) AS rk,
+                   o.src_ord
+            FROM k JOIN o USING (source)
+        )
+        SELECT doc_id, source,
+               (rk - 1) * (SELECT n_src FROM n) + src_ord AS global_pos
+        FROM r
+    """,
+}
