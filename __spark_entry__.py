@@ -35,6 +35,7 @@ def _modules():
     from indigent_defense_stats_spark.operators import (
         corpusprep,
         crawl_queries,
+        decontam,
         dedup,
         pipeline_queries,
         relational,
@@ -47,6 +48,7 @@ def _modules():
     return [
         relational,
         textstats,
+        decontam,
         dedup,
         similarity,
         corpusprep,

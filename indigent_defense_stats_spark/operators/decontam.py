@@ -1,0 +1,192 @@
+"""Benchmark decontamination + repetition filters (training-data layer).
+
+Two operators a pretraining pipeline runs right after dedup:
+
+- ``benchmark_contamination`` — the standard 13-gram decontamination
+  check (tag every training document whose token stream shares any
+  13-gram with the held-out eval set).  Here the eval set is the
+  deterministic ``doc_id % 10 == 7`` slice of ``documents`` — at
+  production scale it is the actual benchmark suite, which is tiny by
+  construction, so the eval n-gram set ALWAYS broadcasts: the training
+  side streams through a broadcast-hash semi-join with no shuffle of
+  the 100 TB corpus (only the per-doc aggregate shuffles, keyed by
+  doc_id — no skew).
+- ``repetition_stats`` — Gopher-style within-document repetition
+  metrics (duplicate-token fraction, top-bigram fraction).  Computed
+  entirely with higher-order array functions inside whole-stage
+  codegen: per-row O(len^2) worst case on the distinct-gram scan, but
+  ZERO shuffle and zero Python — at 100 TB this is a pure map over the
+  parquet scan.
+
+Both have exact DuckDB oracles (same formulas over the same list
+functions); floats are single divisions of exact integers, rounded to
+6 places on both sides.
+
+Reference parity note: the reference has no training-data layer; these
+extend the engine the way SURVEY.md §6 prescribes (first-class
+pretraining corpus operators alongside dedup/similarity/textstats).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+NGRAM = 13  # the conventional decontamination n-gram length
+EVAL_MOD, EVAL_REM = 10, 7  # eval split: doc_id % 10 == 7
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _ngrams(tokens: Column, n: int) -> Column:
+    """All word n-grams of ``tokens`` as space-joined strings; empty
+    array when the document is shorter than ``n`` tokens.  The
+    explicit guard matters: ``sequence(1, k)`` with ``k < 1`` would
+    DESCEND (default step -1), silently fabricating grams."""
+    k = F.size(tokens) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training document: distinct 13-gram count, how many of those
+    also occur in the eval split, the contamination ratio, and a 0/1
+    flag.  Documents with < 13 tokens report 0 grams / 0 hits."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(_ngrams(_tokens(), NGRAM))).alias("g"),
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    eval_grams = grams.where(is_eval & F.col("g").isNotNull()).select("g").distinct()
+    train = grams.where(~is_eval)
+    hit = (
+        train.join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    return hit.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(
+            F.when(F.col("n_grams") > 0, F.col("n_hits") / F.col("n_grams")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("contamination"),
+        (F.col("n_hits") > 0).cast("int").alias("contaminated"),
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features, all within-row (no shuffle):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigrams (0 for single-token docs)
+    """
+    t = _tokens()
+    n = F.size(t)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n.cast(
+        "double"
+    )
+    bi = _ngrams(t, 2)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda x: F.size(F.filter(bi, lambda y: y == x)),
+        )
+    )
+    top_frac = F.when(
+        F.size(bi) > 0, top.cast("double") / F.size(bi).cast("double")
+    ).otherwise(F.lit(0.0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+    )
+
+
+QUERIES = {
+    "benchmark_contamination": benchmark_contamination,
+    "repetition_stats": repetition_stats,
+}
+
+_TS = "string_split(lower(text), ' ')"
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB: distinct word n-grams per document (empty when short)."""
+    return f"""
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) >= {n}
+                   THEN list_transform(generate_series(1, len(ts) - {n - 1}),
+                        i -> array_to_string(ts[i:i+{n - 1}], ' '))
+                   ELSE []::VARCHAR[] END) AS gs
+        FROM (SELECT doc_id, {_TS} AS ts FROM documents)
+    """
+
+
+ORACLE_SQL = {
+    "benchmark_contamination": f"""
+        WITH pergram AS ({_sql_ngrams(NGRAM)}),
+        grams AS (
+            SELECT doc_id, u.g
+            FROM pergram, unnest(gs) AS u(g)
+        ),
+        ev AS (SELECT DISTINCT g FROM grams
+               WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+        train AS (SELECT * FROM pergram
+                  WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+        hits AS (
+            SELECT t.doc_id,
+                   len(t.gs) AS n_grams,
+                   (SELECT count(*) FROM unnest(t.gs) AS u(g)
+                    WHERE g IN (SELECT g FROM ev)) AS n_hits
+            FROM train t
+        )
+        SELECT doc_id, n_grams, n_hits,
+               round(CASE WHEN n_grams > 0
+                     THEN n_hits * 1.0 / n_grams ELSE 0.0 END, 6)
+                   AS contamination,
+               CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS contaminated
+        FROM hits
+    """,
+    "repetition_stats": f"""
+        WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
+        bi AS (
+            SELECT doc_id, ts,
+                   CASE WHEN len(ts) >= 2
+                        THEN list_transform(generate_series(1, len(ts) - 1),
+                             i -> array_to_string(ts[i:i+1], ' '))
+                        ELSE []::VARCHAR[] END AS gs
+            FROM t
+        )
+        SELECT doc_id,
+               len(ts) AS n_tokens,
+               round(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 6)
+                   AS dup_token_frac,
+               round(CASE WHEN len(gs) > 0
+                     THEN list_max(list_transform(list_distinct(gs),
+                              x -> len(list_filter(gs, y -> y = x))))
+                          * 1.0 / len(gs)
+                     ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM bi
+    """,
+}

@@ -1,0 +1,89 @@
+"""Decontamination + repetition filters: invariants and hand-built
+ground truth.  (Exact DuckDB-oracle equality is covered by the driver
+and scripts/check_oracles.py.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from indigent_defense_stats_spark.operators import decontam
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_contamination_invariants(spark):
+    out = decontam.benchmark_contamination(spark, SF_DIR)
+    rows = out.collect()
+    # eval split excluded from the report
+    assert all(r["doc_id"] % decontam.EVAL_MOD != decontam.EVAL_REM for r in rows)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_grams"]
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["contaminated"] == (1 if r["n_hits"] > 0 else 0)
+
+
+def test_contamination_exact_copy_flagged(spark, tmp_path):
+    """A training doc that verbatim-copies an eval doc's 13+ tokens is
+    contaminated; an unrelated doc is not; a short doc reports 0 grams."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+    rows = [
+        (7, eval_text, "en", "s", len(eval_text)),  # eval split (7 % 10 == 7)
+        (1, "prefix words " + eval_text, "en", "s", 10),  # contains eval 13-grams
+        (2, "totally different content " * 4, "en", "s", 10),
+        (3, "tiny doc", "en", "s", 8),  # < 13 tokens
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in decontam.benchmark_contamination(spark, d).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] == 1 and got[1]["n_hits"] >= 1
+    assert got[2]["contaminated"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["contamination"] == 0.0
+
+
+def test_repetition_hand_computed(spark, tmp_path):
+    rows = [
+        # 4 tokens, all same: dup_frac = 1 - 1/4; bigrams: 3x "a a" -> 1.0
+        (1, "a a a a", "en", "s", 7),
+        # all distinct: dup 0; bigrams all distinct -> top frac 1/3
+        (2, "w x y z", "en", "s", 7),
+        (3, "solo", "en", "s", 4),  # single token: no bigrams -> 0.0
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in decontam.repetition_stats(spark, d).collect()}
+    assert got[1]["dup_token_frac"] == 0.75 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert abs(got[2]["top_bigram_frac"] - 1 / 3) < 1e-6
+    assert got[3]["top_bigram_frac"] == 0.0
+
+
+def test_no_python_udf_in_repetition_plan(spark):
+    """repetition_stats must stay entirely JVM-side (no BatchEvalPython
+    / ArrowEvalPython in the physical plan)."""
+    plan = (
+        decontam.repetition_stats(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_contamination_joins_broadcast(spark):
+    """The eval-gram join must broadcast (never shuffle the corpus)."""
+    plan = (
+        decontam.benchmark_contamination(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
