@@ -309,8 +309,12 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction over the binary payloads
     (model-inference integration point).  Body bytes are seeded from
-    xxh64, which DuckDB cannot compute — rows-only check; the numeric
-    ground truth is the pytest multimodal suite."""
+    xxh64, which DuckDB cannot recompute, so the oracle checks the
+    arithmetic invariants instead: every payload is non-empty (magic
+    header), so the embedding must be exactly unit-norm (norm_sq = 1.0
+    at 3 decimals) and dim-16 for the full document universe.  The
+    histogram VALUES are ground-truthed by the pytest multimodal suite
+    (numpy recompute)."""
     from . import multimodal
 
     feats = multimodal.extract_features(
@@ -366,6 +370,13 @@ ORACLE_SQL = {
                CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT)
                    AS frame_idx
         FROM m
+    """,
+    "media_features": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+               CAST(1.0 AS DOUBLE) AS norm_sq,
+               16 AS dim
+        FROM documents
     """,
     "money_parse_total": """
         WITH m AS (
