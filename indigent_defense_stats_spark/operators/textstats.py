@@ -118,8 +118,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_thresholds(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """Per-source quality-filter thresholds: p10/p50/p90 of the
+    type-token ratio, the numbers a corpus pipeline turns into keep/
+    drop cutoffs.  ``approx=False`` uses exact ``percentile`` (sorts
+    each group's values — the oracle baseline); ``approx=True`` is the
+    100 TB path: ``approx_percentile`` (t-digest-style sketch, partial
+    +final merge, bounded memory per group, one shuffle of sketches
+    instead of raw values).  A pytest bounds the approx error vs
+    exact."""
+    t = _tokens()
+    ttr = (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr")
+    pcts = [0.1, 0.5, 0.9]
+    fn = F.percentile_approx if approx else F.percentile
+    args = (F.col("ttr"), F.array(*[F.lit(p) for p in pcts]))
+    if approx:
+        args = args + (F.lit(10_000),)
+    q = fn(*args)
+    return (
+        _docs(spark, sf_dir)
+        .select("source", ttr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(q[0], 6).alias("p10"),
+            F.round(q[1], 6).alias("p50"),
+            F.round(q[2], 6).alias("p90"),
+        )
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "quality_thresholds": quality_thresholds,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -134,6 +167,20 @@ def _sql_hits(words: list[str]) -> str:
 
 
 ORACLE_SQL = {
+    "quality_thresholds": f"""
+        WITH q AS (
+            SELECT source,
+                   len(list_distinct({_SQL_TOKENS})) * 1.0
+                       / len({_SQL_TOKENS}) AS ttr
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n,
+               round(quantile_cont(ttr, 0.1), 6) AS p10,
+               round(quantile_cont(ttr, 0.5), 6) AS p50,
+               round(quantile_cont(ttr, 0.9), 6) AS p90
+        FROM q GROUP BY source
+    """,
     "token_stats": f"""
         SELECT doc_id,
                len({_SQL_TOKENS}) AS n_tokens,
