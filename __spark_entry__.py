@@ -37,6 +37,7 @@ def _modules():
         crawl_queries,
         decontam,
         dedup,
+        interleaved,
         pipeline_queries,
         relational,
         similarity,
@@ -50,6 +51,7 @@ def _modules():
         textstats,
         decontam,
         dedup,
+        interleaved,
         similarity,
         corpusprep,
         pipeline_queries,

@@ -1,0 +1,169 @@
+"""Driver-visible operators over the INTERLEAVED span table (the
+BASELINE.json input_hint shape: ``doc_id`` +
+``spans: array<struct<kind,text,media_ref,offset>>``).
+
+The crawl engine produces this table for real (plans/frontier.py sink;
+schemas.SPAN; pytest span-sequence equality vs the sequential oracle),
+but its rows depend on the crawl loop, which DuckDB cannot replay — so
+those queries are rows-only.  This module closes that gap: it derives
+the SAME interleaved shape deterministically from ``documents.parquet``
+(10-token text spans, a media span after every 3rd text span, exact
+offsets) with pure JVM array expressions, so every step replays in
+DuckDB SQL and the driver's value-hash check covers the interleaved
+payload end-to-end.
+
+Scale: building + exploding spans is a pure per-row map over the
+parquet scan (no shuffle, no Python); the reconstruct check is a
+second map.  At 100 TB both are embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+CHUNK = 10  # tokens per text span
+MEDIA_EVERY = 3  # media span after every 3rd text span
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _span_array() -> Column:
+    """array<struct<kind,text,media_ref>> for one document; offsets are
+    assigned by position on explode (posexplode pos == offset)."""
+    t = F.split(F.col("text"), " ")
+    nchunks = (F.size(t) + F.lit(CHUNK - 1)) / F.lit(CHUNK)
+    nchunks = F.floor(nchunks).cast("int")
+
+    def text_span(i: Column) -> Column:
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(" ", F.slice(t, i * CHUNK + 1, CHUNK)).alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+
+    def media_span(i: Column) -> Column:
+        ref = F.concat(
+            F.lit("m://"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.floor(i / MEDIA_EVERY).cast("int").cast("string"),
+        )
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            ref.alias("media_ref"),
+        )
+
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.when(
+                i % MEDIA_EVERY == MEDIA_EVERY - 1,
+                F.array(text_span(i), media_span(i)),
+            ).otherwise(F.array(text_span(i))),
+        )
+    )
+
+
+def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved table itself, exploded to one row per span with
+    its offset — the input_hint shape made driver-checkable."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(_span_array()).alias("offset", "s"))
+        .select(
+            "doc_id",
+            F.col("offset").cast("int").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def span_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip invariant: concatenating the text spans in offset
+    order must reproduce the original document byte-for-byte
+    (md5-checked), and the media refs must be dense 0..k-1.  Any
+    interleave/ordering defect in either engine hash-mismatches."""
+    spans = _span_array()
+    texts = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    medias = F.filter(spans, lambda s: s["kind"] == F.lit("media"))
+    rebuilt = F.array_join(
+        F.transform(texts, lambda s: s["text"]), " "
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(rebuilt).alias("rebuilt_md5"),
+        (F.md5(rebuilt) == F.md5(F.col("text"))).cast("int").alias("reconstruct_ok"),
+        F.size(texts).alias("n_text_spans"),
+        F.size(medias).alias("n_media_spans"),
+        F.array_join(
+            F.transform(medias, lambda s: s["media_ref"]), ","
+        ).alias("media_refs"),
+    )
+
+
+QUERIES = {
+    "interleaved_spans": interleaved_spans,
+    "span_reconstruct_check": span_reconstruct_check,
+}
+
+_SQL_SPANS = f"""
+    SELECT doc_id, text,
+           flatten(list_transform(
+               generate_series(0, CAST((len(string_split(text, ' ')) + {CHUNK - 1})
+                                       // {CHUNK} AS INT) - 1),
+               i -> CASE WHEN i % {MEDIA_EVERY} = {MEDIA_EVERY - 1} THEN
+                   [{{'kind': 'text',
+                      'text': array_to_string(string_split(text, ' ')
+                                  [i*{CHUNK}+1 : i*{CHUNK}+{CHUNK}], ' '),
+                      'media_ref': ''}},
+                    {{'kind': 'media', 'text': '',
+                      'media_ref': 'm://' || CAST(doc_id AS VARCHAR) || '/' ||
+                                   CAST(i // {MEDIA_EVERY} AS VARCHAR)}}]
+               ELSE
+                   [{{'kind': 'text',
+                      'text': array_to_string(string_split(text, ' ')
+                                  [i*{CHUNK}+1 : i*{CHUNK}+{CHUNK}], ' '),
+                      'media_ref': ''}}]
+               END)) AS sp
+    FROM documents
+"""
+
+ORACLE_SQL = {
+    "interleaved_spans": f"""
+        WITH s AS ({_SQL_SPANS})
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS offset,
+               sp[i].kind AS kind,
+               sp[i].text AS text,
+               sp[i].media_ref AS media_ref
+        FROM s, unnest(generate_series(1, len(sp))) AS g(i)
+    """,
+    "span_reconstruct_check": f"""
+        WITH s AS ({_SQL_SPANS}),
+        r AS (
+            SELECT doc_id, text,
+                   array_to_string(list_transform(
+                       list_filter(sp, x -> x.kind = 'text'), x -> x.text),
+                       ' ') AS rebuilt,
+                   list_transform(
+                       list_filter(sp, x -> x.kind = 'media'),
+                       x -> x.media_ref) AS mrefs,
+                   len(list_filter(sp, x -> x.kind = 'text')) AS n_text
+            FROM s
+        )
+        SELECT doc_id,
+               md5(rebuilt) AS rebuilt_md5,
+               CASE WHEN md5(rebuilt) = md5(text) THEN 1 ELSE 0 END
+                   AS reconstruct_ok,
+               CAST(n_text AS INT) AS n_text_spans,
+               CAST(len(mrefs) AS INT) AS n_media_spans,
+               coalesce(array_to_string(mrefs, ','), '') AS media_refs
+        FROM r
+    """,
+}
