@@ -123,9 +123,54 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK = 10  # tokens per chunk for cross-document duplication
+
+
+def cross_doc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document repetition (RefinedWeb-style): split each doc
+    into non-overlapping 10-token chunks, count in how many DISTINCT
+    documents each chunk occurs, and report per doc the fraction of
+    its chunks that also appear elsewhere.  The shuffle is keyed by
+    chunk string — linear in corpus size, map-side partial agg; hot
+    boilerplate chunks are exactly what AQE skew-split handles (and a
+    df-cap filter drops them from the join back if needed)."""
+    docs = _docs(spark, sf_dir)
+    t = _tokens()
+    nchunks = F.floor((F.size(t) + F.lit(CHUNK - 1)) / F.lit(CHUNK)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * CHUNK + 1, CHUNK)),
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(F.array_distinct(chunk_arr)).alias("chunk")
+    )
+    df_counts = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("doc_freq")  # one row per (doc, chunk)
+    )
+    return (
+        chunks.join(df_counts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("doc_freq") > 1).cast("int")).cast("bigint").alias(
+                "n_shared_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(F.col("n_shared_chunks") / F.col("n_chunks"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_stats": repetition_stats,
+    "cross_doc_chunk_dup": cross_doc_chunk_dup,
 }
 
 _TS = "string_split(lower(text), ' ')"
@@ -167,6 +212,26 @@ ORACLE_SQL = {
                    AS contamination,
                CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS contaminated
         FROM hits
+    """,
+    "cross_doc_chunk_dup": f"""
+        WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
+        chunks AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ts[i*{CHUNK}+1 : i*{CHUNK}+{CHUNK}], ' ')
+                       AS chunk
+            FROM t, unnest(generate_series(0,
+                     CAST((len(ts) + {CHUNK - 1}) // {CHUNK} AS INT) - 1))
+                 AS g(i)
+        ),
+        dfreq AS (SELECT chunk, count(*) AS doc_freq FROM chunks GROUP BY chunk)
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN d.doc_freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_chunks,
+               round(sum(CASE WHEN d.doc_freq > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS shared_frac
+        FROM chunks c JOIN dfreq d USING (chunk)
+        GROUP BY c.doc_id
     """,
     "repetition_stats": f"""
         WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),

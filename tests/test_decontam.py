@@ -87,3 +87,19 @@ def test_contamination_joins_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cross_doc_chunk_dup_detects_copies(spark, tmp_path):
+    """Two docs sharing an identical 10-token chunk are both flagged;
+    a unique doc reports zero shared chunks."""
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared + " tail a b c", "en", "s", 10),
+        (2, shared + " other words here now", "en", "s", 10),
+        (3, "entirely unique tokens nothing here repeats at all ok fine", "en", "s", 10),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in decontam.cross_doc_chunk_dup(spark, d).collect()}
+    assert got[1]["n_shared_chunks"] >= 1
+    assert got[2]["n_shared_chunks"] >= 1
+    assert got[3]["n_shared_chunks"] == 0 and got[3]["shared_frac"] == 0.0
