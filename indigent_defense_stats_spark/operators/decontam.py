@@ -106,11 +106,26 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     bi = _ngrams(t, 2)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bi),
-            lambda x: F.size(F.filter(bi, lambda y: y == x)),
-        )
+    # Most-frequent-bigram count == longest equal-run in the SORTED
+    # bigram array: one O(d log d) sort + one O(d) fold, instead of the
+    # naive O(d^2) distinct x filter scan (measured 100x slower at
+    # sf0.1 — nested-lambda expression evals dominate).
+    top = F.aggregate(
+        F.array_sort(bi),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_frac = F.when(
         F.size(bi) > 0, top.cast("double") / F.size(bi).cast("double")
