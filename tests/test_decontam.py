@@ -103,3 +103,24 @@ def test_cross_doc_chunk_dup_detects_copies(spark, tmp_path):
     assert got[1]["n_shared_chunks"] >= 1
     assert got[2]["n_shared_chunks"] >= 1
     assert got[3]["n_shared_chunks"] == 0 and got[3]["shared_frac"] == 0.0
+
+
+def test_top_bigram_fold_matches_bruteforce(spark, tmp_path):
+    """The sorted run-length fold equals the brute-force most-frequent-
+    bigram count over a generated corpus (incl. repeats and ties)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", n))
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in decontam.repetition_stats(spark, d).collect()}
+    for i, text, *_ in rows:
+        toks = text.split(" ")
+        bis = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        expect = (max(Counter(bis).values()) / len(bis)) if bis else 0.0
+        assert abs(got[i]["top_bigram_frac"] - round(expect, 6)) < 1e-9, (i, text)
