@@ -182,10 +182,44 @@ def cross_doc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_TOKEN_MAX = 0.7
+TOP_BIGRAM_MAX = 0.2
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining filter — what an actual corpus build
+    runs: keep a document iff it is (a) the exact-dedup keeper for its
+    content hash (lowest doc_id wins), (b) not contaminated against
+    the eval split, and (c) under the repetition thresholds.  One
+    md5-keyed shuffle for the keeper window, the broadcast
+    decontamination join, and two map-side metric joins keyed by
+    doc_id — all linear at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    keeper = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        ),
+    ).where(F.col("rn") == 1)
+    cont = benchmark_contamination(spark, sf_dir).where(F.col("contaminated") == 0)
+    rep = repetition_stats(spark, sf_dir).where(
+        (F.col("dup_token_frac") <= DUP_TOKEN_MAX)
+        & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX)
+    )
+    return (
+        keeper.join(cont.select("doc_id"), "doc_id")
+        .join(rep.select("doc_id"), "doc_id")
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_stats": repetition_stats,
     "cross_doc_chunk_dup": cross_doc_chunk_dup,
+    "clean_corpus": clean_corpus,
 }
 
 _TS = "string_split(lower(text), ' ')"
@@ -270,3 +304,22 @@ ORACLE_SQL = {
         FROM bi
     """,
 }
+
+# clean_corpus composes the two filters above verbatim (as derived
+# tables) plus an exact-dedup keeper window — same composition the
+# Spark side performs.
+ORACLE_SQL["clean_corpus"] = f"""
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d
+    JOIN (SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM documents) k
+      ON d.doc_id = k.doc_id AND k.rn = 1
+    JOIN ({ORACLE_SQL["benchmark_contamination"]}) c
+      ON d.doc_id = c.doc_id AND c.contaminated = 0
+    JOIN ({ORACLE_SQL["repetition_stats"]}) r
+      ON d.doc_id = r.doc_id
+         AND r.dup_token_frac <= {DUP_TOKEN_MAX}
+         AND r.top_bigram_frac <= {TOP_BIGRAM_MAX}
+"""

@@ -124,3 +124,22 @@ def test_top_bigram_fold_matches_bruteforce(spark, tmp_path):
         bis = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         expect = (max(Counter(bis).values()) / len(bis)) if bis else 0.0
         assert abs(got[i]["top_bigram_frac"] - round(expect, 6)) < 1e-9, (i, text)
+
+
+def test_clean_corpus_composition(spark):
+    """clean_corpus == intersection of its three component filters."""
+    kept = {r["doc_id"] for r in decontam.clean_corpus(spark, SF_DIR).collect()}
+    cont_ok = {
+        r["doc_id"]
+        for r in decontam.benchmark_contamination(spark, SF_DIR).collect()
+        if r["contaminated"] == 0
+    }
+    rep_ok = {
+        r["doc_id"]
+        for r in decontam.repetition_stats(spark, SF_DIR).collect()
+        if r["dup_token_frac"] <= decontam.DUP_TOKEN_MAX
+        and r["top_bigram_frac"] <= decontam.TOP_BIGRAM_MAX
+    }
+    assert kept <= cont_ok & rep_ok
+    # eval split never leaks into the training corpus
+    assert all(d % decontam.EVAL_MOD != decontam.EVAL_REM for d in kept)
