@@ -158,11 +158,15 @@ ORACLE_SQL = {
             FROM k
         ),
         c AS (
+            -- DuckDB windowed sum() over integers returns HUGEINT (int128);
+            -- Spark's sum() returns BIGINT.  Cast at the source so every
+            -- column derived from cum_before hashes with the same dtype
+            -- (round-2 driver red row was exactly this).
             SELECT doc_id, shard, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
+                   CAST(coalesce(sum(n_tokens) OVER (
                        PARTITION BY shard ORDER BY h, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS cum_before
+                   ), 0) AS BIGINT) AS cum_before
             FROM s
         )
         SELECT doc_id, shard, n_tokens,

@@ -13,10 +13,12 @@ Two operators a pretraining pipeline runs right after dedup:
   doc_id — no skew).
 - ``repetition_stats`` — Gopher-style within-document repetition
   metrics (duplicate-token fraction, top-bigram fraction).  Computed
-  entirely with higher-order array functions inside whole-stage
-  codegen: per-row O(len^2) worst case on the distinct-gram scan, but
-  ZERO shuffle and zero Python — at 100 TB this is a pure map over the
-  parquet scan.
+  entirely with higher-order array functions: the top-bigram count is
+  an ``array_sort`` + run-length fold (max run of equal adjacent
+  grams), O(d log d) per document instead of the naive O(d^2)
+  distinct-gram scan (measured 22x at sf0.1, BENCH/NOTES.md), with
+  ZERO shuffle and zero Python — at 100 TB this is a pure map over
+  the parquet scan.
 
 Both have exact DuckDB oracles (same formulas over the same list
 functions); floats are single divisions of exact integers, rounded to

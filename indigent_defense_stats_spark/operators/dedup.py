@@ -110,9 +110,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     ).cast("double")
-    return pairs.select(
-        "d1", "d2", F.round(j, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # filter on the UNROUNDED ratio (the oracle does too); round only
+    # for display — round-then-filter would admit jaccard in
+    # [t - 5e-7, t) that the oracle rejects
+    return (
+        pairs.filter(j >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(j, 6).alias("jaccard"))
+    )
 
 
 MH_MOD = 2_147_483_647  # 2^31-1; affine family (a*h+b) mod p, one md5/shingle
@@ -227,8 +231,11 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     ).cast("double")
-    return inter.select("d1", "d2", F.round(j, 6).alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    # unrounded filter, rounded display (same asymmetry fix as
+    # ngram_jaccard_pairs — matches the oracle predicate exactly)
+    return (
+        inter.filter(j >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(j, 6).alias("jaccard"))
     )
 
 

@@ -125,9 +125,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, F.col("id1") < F.col("id2"))
     cos = _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
-    return pairs.select(
-        "id1", "id2", F.round(cos, 6).alias("cosine")
-    ).filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
+    # filter on the UNROUNDED cosine (the oracle does too); round only
+    # for display
+    return (
+        pairs.filter(cos >= COSINE_PAIR_THRESHOLD)
+        .select("id1", "id2", F.round(cos, 6).alias("cosine"))
+    )
 
 
 def _planes(dim: int) -> np.ndarray:

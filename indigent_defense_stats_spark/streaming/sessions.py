@@ -181,12 +181,15 @@ QUERIES = {
 ORACLE_SQL = {
     "session_windows": f"""
         WITH x AS (
-            -- integer-second gap arithmetic to mirror Spark's
-            -- cast(ts AS long) truncation exactly
+            -- integer-second gap arithmetic mirroring Spark's
+            -- cast(ts AS long) truncation: epoch_us // 1000000 is an
+            -- integer FLOOR division.  (epoch(ts)::BIGINT would ROUND
+            -- the fractional second — a latent boundary flip for
+            -- sub-second timestamps near the gap threshold.)
             SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts)::BIGINT
-                                - epoch(lag(ts) OVER w)::BIGINT
+                             OR epoch_us(ts) // 1000000
+                                - epoch_us(lag(ts) OVER w) // 1000000
                                 > {GAP_SECONDS}
                         THEN 1 ELSE 0 END AS new_sess
             FROM events

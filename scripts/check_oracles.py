@@ -15,6 +15,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+# oracles that bake data-derived constants (IVF centroids, LSH planes'
+# dim) read SPARK_GRAFT_ORACLE_SF_DIR — keep it in lockstep with the
+# directory this script evaluates at, or the baked constants would
+# come from a different scale factor than the Spark queries
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
