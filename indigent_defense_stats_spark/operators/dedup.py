@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from .textstats import md5_int
 
 JACCARD_THRESHOLD = 0.8
+T_NUM, T_DEN = 4, 5  # JACCARD_THRESHOLD as an exact integer fraction
+assert T_NUM / T_DEN == JACCARD_THRESHOLD
 N_MINHASH = 8
 LSH_BANDS = 4  # x 2 rows/band
 
@@ -45,26 +47,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles() -> Column:
     """Distinct word 3-gram shingles, document order irrelevant.
 
-    Built from three ``slice``s zipped together rather than
-    ``element_at(split(..), i)`` inside a ``transform`` lambda: higher-
-    order functions are interpreted (no whole-stage codegen), so an
-    outer-column reference inside the lambda re-evaluates the ``split``
-    once *per element* — O(tokens^2) per document.  With slices the
-    split is evaluated O(1) times per row (measured 9x faster at sf0.1).
+    ``transform`` over an index ``sequence`` with ``slice`` on a BOUND
+    token column: the inner reference must be a plain column (one
+    ``split`` per row, bound by the child projection), never the
+    ``split`` expression inline — higher-order functions are
+    interpreted, so an inline expression re-evaluates once *per
+    element*, O(tokens^2) per document (measured 9x slower at sf0.1).
+    The bound-column transform also beats the earlier triple
+    slice+zip_with chain (0.83 s vs 1.08 s warm at sf0.1): one slice
+    per gram instead of three array allocations + two zip passes.
     """
-    t = F.split(F.lower(F.col("text")), " ")
+    t = F.col("_toks")
     n = F.size(t)
-    s1 = F.slice(t, 1, n - 2)
-    s2 = F.slice(t, 2, n - 2)
-    s3 = F.slice(t, 3, n - 2)
-    sep = F.lit(" ")
-    grams = F.zip_with(
-        F.zip_with(s1, s2, lambda a, b: F.concat(a, sep, b)),
-        s3,
-        lambda ab, c: F.concat(ab, sep, c),
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
     )
     return F.when(n >= 3, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _with_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, sh) with the token split materialized as a real child
+    column so the transform lambda binds it once per row."""
+    return d.withColumn("_toks", F.split(F.lower(F.col("text")), " ")).select(
+        "doc_id", _shingles().alias("sh")
     )
 
 
@@ -82,30 +90,127 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", _shingles().alias("sh"))
-        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    return _with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard>=t near-dup pairs via inverted-index self-join."""
-    ex = _shingle_index(spark, sf_dir)
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
+    """EXACT Jaccard>=t near-dup pairs via PREFIX-FILTERED candidate
+    generation + exact verification.
+
+    The naive inverted-index self-join costs sum(df^2) over shingles
+    and is dominated by hot (high-document-frequency) shingles.
+    Prefix filtering (Chaudhuri et al. ICDE'06 SSJoin; Bayardo et al.
+    WWW'07 All-Pairs) keeps the result EXACT while joining only a
+    fraction of the index: order each document's shingles by global
+    (df, shingle) ascending — rarest first — and keep the first
+    ``p = n - ceil(t*n) + 1`` as its *prefix*.  Theorem: if
+    J(A,B) >= t, prefix(A) and prefix(B) intersect (if A's shingles in
+    the intersection all lay outside its prefix, then
+    |A∩B| <= n_A - p_A = ceil(t*n_A) - 1 < t*n_A <= t*|A∪B|, a
+    contradiction) — so the prefix self-join loses no true pair, and
+    exact-Jaccard verification on the full sets removes every false
+    candidate.  Hot shingles sort LAST and fall out of almost every
+    prefix, collapsing the sum(df^2) hot-key term; at t=0.8 the prefix
+    is ~20% of the index.  Two further EXACT candidate cuts from
+    PPJoin (Xiao et al. WWW'08):
+
+    - length filter: J >= t forces t*max(n1,n2) <= min(n1,n2), i.e.
+      ``T_NUM*n1 <= T_DEN*n2`` and vice versa;
+    - positional filter: if the first shared token sits at sorted
+      positions (ra, rb), the intersection is bounded by
+      ``1 + min(n1-ra, n2-rb)``, which must reach the equivalent
+      overlap bound ``alpha = ceil(t/(1+t)*(n1+n2))`` — as integers,
+      ``(T_NUM+T_DEN) * (1 + min(..)) >= T_NUM*(n1+n2)``.  ANY-token
+      semantics is sound: for a qualifying pair the FIRST common
+      token (in the global order) always passes the test.
+
+    All threshold arithmetic is integer (t = T_NUM/T_DEN), so no
+    float-ceil boundary can flip a prefix length or filter.  Unlike a
+    df-cap this is not a heuristic: adversarial corpora (e.g.
+    thousands of exact copies, where EVERY shingle is hot) still pair
+    correctly because identical docs have identical prefixes.
+    Equality with the brute-force join is pinned by pytest on both
+    the oracle corpus and an all-duplicates corpus.
+    """
+    from pyspark.sql import Window
+
+    # the shingle construction (interpreted HOF chain) feeds FOUR
+    # consumers (df table, prefix ranking, two verification sides) —
+    # materialize the compact per-doc array form once, as in
+    # minhash_lsh_neardup
+    arr = _with_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    ex = arr.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    # global document frequency per shingle (linear agg, map-side
+    # partial); join back is shuffle-on-shingle, same key as the old
+    # self-join but against an aggregated (small) side
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(df_tbl, "s").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    # integer ceil(t*n) = (T_NUM*n + T_DEN - 1) div T_DEN
+    ceil_tn = (F.lit(T_NUM) * F.col("n") + F.lit(T_DEN - 1)) / F.lit(T_DEN)
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.floor(ceil_tn) + 1
+    ).select("doc_id", "n", "r", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # equivalent-overlap positional bound, all-integer:
+    # 1 + min(n1-ra, n2-rb) >= ceil(T_NUM*(n1+n2)/(T_NUM+T_DEN))
+    pos_ok = (
+        F.lit(T_NUM + T_DEN)
+        * (
+            F.lit(1)
+            + F.least(
+                F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r")
+            )
+        )
+        >= F.lit(T_NUM) * (F.col("a.n") + F.col("b.n"))
+    )
+    len_ok = (
+        F.lit(T_DEN) * F.col("a.n") >= F.lit(T_NUM) * F.col("b.n")
+    ) & (F.lit(T_DEN) * F.col("b.n") >= F.lit(T_NUM) * F.col("a.n"))
+    cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_ok
+            & pos_ok,
         )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification on the candidate set only, against the COMPACT
+    # per-doc arrays (array_intersect is hash-based): two joins sized by
+    # |candidates| ~ true-pair count, instead of re-shuffling the full
+    # exploded index twice
+    pairs = (
+        cand.join(
+            arr.select(
+                F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")
+            ),
+            "d1",
         )
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.max("a.n").alias("n1"),
-            F.max("b.n").alias("n2"),
+        .join(
+            arr.select(
+                F.col("doc_id").alias("d2"), F.col("sh").alias("sh2")
+            ),
+            "d2",
         )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("inter"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
+        .filter(F.col("inter") > 0)
     )
     j = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
@@ -135,8 +240,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine), so at 100 TB it shuffles 8 longs per document,
     not the shingle sets."""
     ex = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode_outer(_shingles()).alias("sh"))
+        _with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", F.explode_outer("sh").alias("sh"))
         .withColumn("h", md5_int(F.col("sh")) % MH_MOD)
     )
     aggs = [
@@ -170,17 +275,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed candidates (4 bands x 2 rows) -> exact-Jaccard
     verification at t=0.8.  Precision 1.0 by construction; recall
     1-(1-t^2)^4 ~ 0.983 at the threshold (tested vs the exact pairs)."""
-    # the shingle CONSTRUCTION (interpreted HOF zip_with chain) feeds
-    # both the signature aggregate and the two verification sides —
+    # the shingle CONSTRUCTION (interpreted HOF chain) feeds both the
+    # signature aggregate and the two verification sides —
     # localCheckpoint materializes the compact per-doc array form once
     # (checkpointing the exploded index instead was measured slower:
     # materializing millions of exploded rows costs more than two cheap
     # re-explodes; at scale signatures/shingles are materialized tables)
-    arr = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _shingles().alias("sh"))
-        .localCheckpoint(eager=False)
-    )
+    arr = _with_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=False)
     ex = arr.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     # one pass over the signatures -> (band, bucket) rows via a single
     # explode (a per-band union would recompute the signature aggregate
@@ -273,9 +374,11 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the exact near-dup pair graph
-    (``ngram_jaccard_pairs`` at t=0.8): every document labeled with
+def neardup_components(
+    spark: SparkSession, sf_dir: str, edge_source: str = "exact"
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every
+    document labeled with
     the minimum doc_id reachable through near-dup edges — the
     canonical cluster id a dedup pipeline keys on (keep the rows
     where ``is_keeper``).  This is the step that turns *pairs* into
@@ -294,8 +397,26 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Connected Components in MapReduce and Beyond") — same join
     machinery, O(log n) rounds; the propagation loop is the right
     tool for the dedup-cluster topology.
+
+    ``edge_source`` selects where the pair graph comes from:
+    ``'exact'`` (default) uses the prefix-filtered exact
+    ``ngram_jaccard_pairs`` — the oracle-checkable baseline — while
+    ``'lsh'`` uses ``minhash_lsh_neardup``, the banded linear-shuffle
+    pair source, making the COMPOSED cluster-dedup path bucketed end
+    to end (the 100 TB shape; recall ≈ 1-(1-t^2)^4 ≈ 0.983 per pair
+    at t=0.8, and a pair missed by every band still merges whenever
+    any band links it transitively).  Both variants are registered as
+    driver queries with their own deterministic-replay oracles, and
+    pytest pins LSH-edge labels == exact-edge labels on the test
+    corpus.
     """
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    if edge_source == "lsh":
+        pair_df = minhash_lsh_neardup(spark, sf_dir)
+    elif edge_source == "exact":
+        pair_df = ngram_jaccard_pairs(spark, sf_dir)
+    else:
+        raise ValueError(f"edge_source must be 'exact' or 'lsh', got {edge_source!r}")
+    edges = pair_df.select("d1", "d2")
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=False)
@@ -334,6 +455,13 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`neardup_components` over the LSH edge source — the
+    composed, bucketed-end-to-end cluster-dedup path (driver query
+    with its own deterministic LSH-replay closure oracle)."""
+    return neardup_components(spark, sf_dir, edge_source="lsh")
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -341,6 +469,7 @@ QUERIES = {
     "minhash_lsh_neardup": minhash_lsh_neardup,
     "simhash_buckets": simhash_buckets,
     "neardup_components": neardup_components,
+    "neardup_components_lsh": neardup_components_lsh,
 }
 
 _SQL_SH = """
@@ -354,6 +483,50 @@ _SQL_SH = """
               ELSE [] END AS shingles
   FROM documents
 """
+
+# shared CTE chain producing the LSH candidate pairs with exact
+# intersection counts (ends at `pairs`); used by both the lsh pair
+# oracle and the lsh-edge components oracle
+_SQL_LSH_PAIR_CTES = f"""sh AS ({_SQL_SH}),
+        ex AS (
+            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+            FROM sh WHERE len(shingles) > 0
+        ),
+        hs AS (
+            SELECT doc_id,
+                   ('0x' || left(md5(s), 15))::BIGINT % {MH_MOD} AS h
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id,
+            {",".join(
+                f"min(({MH_A[i]} * h + {MH_B[i]}) % {MH_MOD}) AS mh{i}"
+                for i in range(N_MINHASH)
+            )}
+            FROM hs GROUP BY doc_id
+        ),
+        banded AS (
+            {" UNION ALL ".join(
+                f'''SELECT doc_id, {bnd} AS band,
+                    mh{2*bnd}::VARCHAR || ':' || mh{2*bnd+1}::VARCHAR AS bucket
+                    FROM sig'''
+                for bnd in range(LSH_BANDS)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT d1, d2, count(*) AS inter,
+                   max(ea.n) AS n1, max(eb.n) AS n2
+            FROM cand
+            JOIN ex ea ON cand.d1 = ea.doc_id
+            JOIN ex eb ON cand.d2 = eb.doc_id AND ea.s = eb.s
+            GROUP BY 1, 2
+        )"""
 
 ORACLE_SQL = {
     "exact_dedup_docs": """
@@ -396,46 +569,7 @@ ORACLE_SQL = {
     # set is a pure function of the corpus (md5 family, fixed bands),
     # so "approximate recall" does NOT preclude an exact oracle.
     "minhash_lsh_neardup": f"""
-        WITH sh AS ({_SQL_SH}),
-        ex AS (
-            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
-            FROM sh WHERE len(shingles) > 0
-        ),
-        hs AS (
-            SELECT doc_id,
-                   ('0x' || left(md5(s), 15))::BIGINT % {MH_MOD} AS h
-            FROM ex
-        ),
-        sig AS (
-            SELECT doc_id,
-            {",".join(
-                f"min(({MH_A[i]} * h + {MH_B[i]}) % {MH_MOD}) AS mh{i}"
-                for i in range(N_MINHASH)
-            )}
-            FROM hs GROUP BY doc_id
-        ),
-        banded AS (
-            {" UNION ALL ".join(
-                f'''SELECT doc_id, {bnd} AS band,
-                    mh{2*bnd}::VARCHAR || ':' || mh{2*bnd+1}::VARCHAR AS bucket
-                    FROM sig'''
-                for bnd in range(LSH_BANDS)
-            )}
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM banded a
-            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-                         AND a.doc_id < b.doc_id
-        ),
-        pairs AS (
-            SELECT d1, d2, count(*) AS inter,
-                   max(ea.n) AS n1, max(eb.n) AS n2
-            FROM cand
-            JOIN ex ea ON cand.d1 = ea.doc_id
-            JOIN ex eb ON cand.d2 = eb.doc_id AND ea.s = eb.s
-            GROUP BY 1, 2
-        )
+        WITH {_SQL_LSH_PAIR_CTES}
         SELECT d1, d2,
                round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
         FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
@@ -453,6 +587,27 @@ ORACLE_SQL = {
             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
+        edges AS (
+            SELECT d1, d2 FROM pairs
+            WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        ),
+        sym AS (
+            SELECT d1, d2 FROM edges
+            UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, s.d2 FROM reach r JOIN sym s ON r.dst = s.d1
+        )
+        SELECT src AS doc_id, min(dst) AS component_id,
+               (src = min(dst)) AS is_keeper
+        FROM reach GROUP BY src
+    """,
+    # Same closure, but the edge set is the deterministic LSH replay —
+    # ground truth for the composed bucketed cluster-dedup path.
+    "neardup_components_lsh": f"""
+        WITH RECURSIVE {_SQL_LSH_PAIR_CTES},
         edges AS (
             SELECT d1, d2 FROM pairs
             WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
