@@ -331,11 +331,31 @@ def ann_topk_ivf_indexed(
     return _cosine_topk(cand, q)
 
 
+def ann_topk_ivf_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper over the partition-pruned index path — the
+    actual 100 TB shape (VERDICT r2 item 7).  Builds the cluster_id-
+    partitioned layout into a deterministic temp dir (mode=overwrite,
+    so stale leftovers from a prior run are replaced, never trusted)
+    then probes it; the result is identical to :func:`ann_topk_ivf`
+    because the index materializes the same assignment, so it shares
+    that query's baked-centroid replay oracle.  Pruning itself (probed
+    directories only, via ``inputFiles()``) is asserted in pytest."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ids_ivf_index_{tag}")
+    cents = build_ivf_index(spark, sf_dir, index_dir)
+    q = _query_vector(spark, sf_dir)
+    return ann_topk_ivf_indexed(spark, index_dir, cents, q)
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_indexed": ann_topk_ivf_indexed_query,
 }
 
 _SQL_COS_Q = """
@@ -465,4 +485,7 @@ def ORACLE_SQL() -> dict[str, str]:
         """,
         "ann_topk_lsh": _lsh_oracle_sql(),
         "ann_topk_ivf": _ivf_oracle_sql(),
+        # the indexed path materializes the SAME assignment the inline
+        # query computes, so the same replay oracle is its ground truth
+        "ann_topk_ivf_indexed": _ivf_oracle_sql(),
     }
