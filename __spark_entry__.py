@@ -74,6 +74,9 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "neardup_components_lsh", # same edges as _star, same algo as exact
+    "ngram_jaccard_pairs",    # exact pair join replayed INSIDE the green
+                              # neardup_components closure oracle
     "minhash_signatures",     # construction step of minhash_lsh_neardup
     "span_reconstruct_check", # invariant companion of interleaved_spans
     "quality_score",          # constituent of quality_thresholds

@@ -68,6 +68,37 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+H_SPACE = 1 << 60  # md5_int range: bigint of md5's first 15 hex chars
+
+
+def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sampling path the module header names: per-language
+    hash THRESHOLD instead of an exact per-language rank.
+
+    ``h`` is md5-uniform on [0, 2^60), so keeping ``h < quota/n *
+    2^60`` yields ~quota docs per language — Binomial(n, quota/n),
+    i.e. quota ± sqrt(quota) — with NO window sort anywhere: one
+    map-side count aggregate per language, a broadcast threshold
+    join, and a plain filter (the plan contains no Window/Sort —
+    asserted in pytest).  The exact-rank :func:`stratified_sample`
+    stays as the oracle-checked exact variant; this is what replaces
+    it when a language has 10^9 rows and a per-language sort is the
+    bottleneck.  Deterministic: same corpus -> same kept set, and the
+    kept set is EXACTLY {h < threshold} (pinned by pytest)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", _shuffle_key().alias("h"))
+    thr = d.groupBy("lang").agg(
+        F.least(
+            F.lit(H_SPACE),
+            F.ceil(F.lit(float(SAMPLE_QUOTA * H_SPACE)) / F.count(F.lit(1))),
+        ).alias("thr")
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.col("h") < F.col("thr"))
+        .select("doc_id", "lang", "h")
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: within each hash shard,
     documents are laid out in deterministic (h, doc_id) order and the
@@ -126,6 +157,7 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stratified_sample": stratified_sample,
+    "stratified_sample_threshold": stratified_sample_threshold,
     "pack_sequences": pack_sequences,
     "corpus_interleave": corpus_interleave,
 }
@@ -145,6 +177,23 @@ ORACLE_SQL = {
         )
         SELECT doc_id, lang, sample_rank
         FROM r WHERE sample_rank <= {SAMPLE_QUOTA}
+    """,
+    "stratified_sample_threshold": f"""
+        WITH k AS (
+            SELECT doc_id, lang, {_SQL_H} AS h FROM documents
+        ),
+        t AS (
+            -- same double arithmetic as the Spark side: exact double
+            -- literal {float(SAMPLE_QUOTA * (1 << 60))!r}, double
+            -- division, ceil, BIGINT least
+            SELECT lang,
+                   least({1 << 60},
+                         CAST(ceil({float(SAMPLE_QUOTA * (1 << 60))!r}
+                                   / count(*)) AS BIGINT)) AS thr
+            FROM k GROUP BY lang
+        )
+        SELECT k.doc_id, k.lang, k.h
+        FROM k JOIN t USING (lang) WHERE k.h < t.thr
     """,
     "pack_sequences": f"""
         WITH k AS (

@@ -462,6 +462,105 @@ def neardup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(spark, sf_dir, edge_source="lsh")
 
 
+def _large_star(und: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): symmetrize, then connect every
+    strictly-larger neighbor of u to m(u) = min(neighbors(u) + {u})."""
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(und: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge (larger -> smaller), then
+    connect u and all its smaller neighbors to their minimum."""
+    hi = und.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = hi.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = hi.join(mins, "u").filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfs = mins.select("u", F.col("m").alias("v"))
+    return nbrs.union(selfs).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    10^10-edge path the propagation loop's docstring names.  Each
+    round is two groupBy+join passes over the CURRENT edge set, which
+    the algorithm provably SHRINKS toward per-component stars rooted
+    at the minimum node in O(log n) rounds — unlike min-label
+    propagation, whose round count is the graph diameter and whose
+    every round rejoins the full original edge set.  At web scale
+    (chains of boilerplate-linked near-dups can be long) that is the
+    difference between ~log2(cluster) and ~cluster rounds.
+
+    ``nodes``: one column ``doc_id``; ``edges``: columns ``d1, d2``
+    (undirected, any orientation).  Returns (doc_id, component_id,
+    is_keeper) with component_id = min reachable doc_id — identical
+    labels to :func:`neardup_components` (pinned by pytest on random
+    graphs vs a union-find oracle and on the test corpus)."""
+    und = (
+        edges.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_sig = None
+    while True:
+        und = _small_star(_large_star(und)).localCheckpoint(eager=False)
+        # convergence: the star edge set is a fixpoint of both rounds.
+        # One bounded driver-side aggregate (count + xor of row hashes)
+        # per round — O(1) rows collected, same as the loop's count.
+        sig = und.select(
+            F.count(F.lit(1)).alias("n"),
+            # pmod 2^31 keeps each term in [0, 2^31): the sum cannot
+            # overflow int64 below 2^32 edges (ANSI mode would throw)
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))), F.lit(0)
+            ).alias("x"),
+        ).collect()[0]
+        sig = (sig["n"], sig["x"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every non-root node has exactly one edge to its
+    # component's min (u > v star edges); roots/singletons label selves
+    root = und.select(
+        F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("m")
+    ).groupBy("doc_id").agg(F.min("m").alias("m"))
+    return (
+        nodes.join(root, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m"), F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component_id"))
+    )
+
+
+def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup with LSH edges + star-contraction components —
+    the fully scale-true composition (banded linear-shuffle pair
+    source, O(log n)-round shrinking component rounds)."""
+    edges = minhash_lsh_neardup(spark, sf_dir).select("d1", "d2")
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    return connected_components_star(spark, nodes, edges)
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -470,6 +569,7 @@ QUERIES = {
     "simhash_buckets": simhash_buckets,
     "neardup_components": neardup_components,
     "neardup_components_lsh": neardup_components_lsh,
+    "neardup_components_star": neardup_components_star,
 }
 
 _SQL_SH = """
@@ -587,6 +687,28 @@ ORACLE_SQL = {
             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
+        edges AS (
+            SELECT d1, d2 FROM pairs
+            WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        ),
+        sym AS (
+            SELECT d1, d2 FROM edges
+            UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, s.d2 FROM reach r JOIN sym s ON r.dst = s.d1
+        )
+        SELECT src AS doc_id, min(dst) AS component_id,
+               (src = min(dst)) AS is_keeper
+        FROM reach GROUP BY src
+    """,
+    # Star-contraction components over the SAME LSH edge replay: the
+    # algorithm must produce identical labels to the propagation loop,
+    # so the ground truth is the same recursive closure.
+    "neardup_components_star": f"""
+        WITH RECURSIVE {_SQL_LSH_PAIR_CTES},
         edges AS (
             SELECT d1, d2 FROM pairs
             WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8

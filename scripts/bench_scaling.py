@@ -59,6 +59,15 @@ JOBS = {
     "fetchparse": {"kind": "fetchparse"},
     "crawl": {"kind": "crawl", "n_days": N_DAYS},
     "crawl270": {"kind": "crawl", "n_days": 270},
+    # crawl540 (~1.3M URLs): the still-larger amortized point that
+    # tests the bandwidth-wall model — if the crawl270 2->8 gap is
+    # fixed-cost dilution, the bigger run's ratio should recover
+    # toward fetchparse's (r2 verdict item 5)
+    "crawl540": {"kind": "crawl", "n_days": 540},
+    # wall-clock politeness pacing (200 ms/host enforced): throughput
+    # should PIN to the 254-host analytic ceiling (1,270 URLs/s)
+    # independent of cores — the production regime is politeness-bound
+    "politeness": {"kind": "politeness"},
 }
 
 
@@ -121,6 +130,10 @@ def run_cell(job: str, cpus: int, args) -> dict:
     spark.range(1000).count()
     if cfg["kind"] == "fetchparse":
         res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
+    elif cfg["kind"] == "politeness":
+        from indigent_defense_stats_spark.plans import frontier as fr
+
+        res = fr.bench_politeness_throughput(spark, n_hosts=args.n_counties)
     else:
         res = job_crawl(spark, args.n_counties, cfg.get("n_days", args.n_days))
     res.update({"job": job, "cpus": cpus})
@@ -231,6 +244,20 @@ def main() -> None:
                 }
             )
 
+    # MERGE with the existing matrix: cells for (job, cpus) pairs not
+    # re-run this invocation are kept, so partial runs (one new job,
+    # one new level) extend scaling.json instead of clobbering it
+    path = os.path.join(args.out, "scaling.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        ran = {(c["job"], c["cpus"]) for c in cells}
+        cells = [
+            c for c in prev.get("cells", []) if (c["job"], c["cpus"]) not in ran
+        ] + cells
+        order = {j: i for i, j in enumerate(JOBS)}
+        cells.sort(key=lambda c: (order.get(c["job"], 99), c["cpus"]))
+
     report = {
         "cells": cells,
         "core_ceiling_Miters_per_core": ceiling,
@@ -243,12 +270,19 @@ def main() -> None:
     }
 
     def tput(job, cpus):
-        return next(c["tput"] for c in cells if c["job"] == job and c["cpus"] == cpus)
+        for c in cells:
+            if c["job"] == job and c["cpus"] == cpus:
+                return c["tput"]
+        return None
 
     effs = {}
-    for job in jobs:
-        for lo, hi in zip(levels, levels[1:]):
-            effs[f"{job}_{lo}to{hi}"] = round(tput(job, hi) / tput(job, lo) / (hi / lo), 3)
+    all_jobs = list(dict.fromkeys(c["job"] for c in cells))
+    all_levels = sorted({c["cpus"] for c in cells})
+    for job in all_jobs:
+        for lo, hi in zip(all_levels, all_levels[1:]):
+            t_lo, t_hi = tput(job, lo), tput(job, hi)
+            if t_lo and t_hi:
+                effs[f"{job}_{lo}to{hi}"] = round(t_hi / t_lo / (hi / lo), 3)
     report["efficiency"] = effs
     with open(os.path.join(args.out, "scaling.json"), "w") as f:
         json.dump(report, f, indent=2)
@@ -276,8 +310,14 @@ def write_md(out_dir: str, report: dict) -> None:
         f"{p['n_counties']} counties x {p['n_days']} days crawl with case-pool",
         f"scale {p['pool_scale']} (crawl); same registry x 270 days",
         "(crawl270 — the amortized-wave configuration, ~2.6x the URLs at",
-        "the same wave count).  Case pages are ~39 KB HTML parsed",
+        "the same wave count); same x 540 days (crawl540, ~1.3M URLs —",
+        "the bandwidth-wall probe).  Case pages are ~39 KB HTML parsed",
         "to spans in the fetch stage (reference fixture: ~40 KB).",
+        "The `politeness` job enforces REAL wall-clock 200 ms/host",
+        "spacing (254 hosts x 250 URLs, fetch side only): its ceiling",
+        "is analytic — 254 x 5 = 1,270 URLs/s — and its efficiency",
+        "SHOULD be ~1/4 per 4x cores: throughput pins to the politeness",
+        "ceiling, not the core count, which is the production regime.",
         "",
         "| job | cores | wall s | URLs/s |",
         "|---|---|---|---|",

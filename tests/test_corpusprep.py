@@ -158,3 +158,31 @@ def test_corpus_interleave_skewed_sources_cycle_while_nonempty(spark, tmp_path):
     for i in range(0, k, 2):
         assert {srcs[i], srcs[i + 1]} == {"big", "small"}
     assert set(srcs[k:]) == {"big"}
+
+
+def test_threshold_sample_concentration_and_no_sort(spark):
+    """Hash-threshold sampling (the 100 TB path): per-language sizes
+    concentrate at quota +- a few sqrt(quota), the kept set is exactly
+    {h < thr}, and the PLAN contains no Window/Sort — the whole point
+    versus the exact-rank variant."""
+    import math
+
+    df = corpusprep.stratified_sample_threshold(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan, plan
+    rows = df.collect()
+    pops = Counter(
+        r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("lang")
+        .collect()
+    )
+    got = Counter(r["lang"] for r in rows)
+    q = corpusprep.SAMPLE_QUOTA
+    for lang, n in pops.items():
+        expect = min(q, n)
+        tol = 5 * math.sqrt(q)
+        assert abs(got.get(lang, 0) - expect) <= tol, (lang, got.get(lang), n)
+    # determinism: re-run keeps the identical set
+    again = corpusprep.stratified_sample_threshold(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -356,3 +356,81 @@ def test_prefix_length_theorem_bounds():
         )
         p = n - ceil_tn + 1
         assert 1 <= p <= n
+
+
+# ---- large-star/small-star components vs union-find --------------------
+
+
+def _uf_labels(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label: min over each set
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,n,edges",
+    [
+        ("chain", 40, [(i, i + 1) for i in range(40 - 1)]),
+        ("two_cliques", 12, [(i, j) for i in range(6) for j in range(i + 1, 6)]
+         + [(i, j) for i in range(6, 12) for j in range(i + 1, 12)]),
+        ("star", 20, [(0, i) for i in range(1, 20)]),
+        ("singletons_plus_pair", 10, [(7, 3)]),
+        ("empty", 8, []),
+        # deterministic pseudo-random sparse graph (seeded arithmetic)
+        ("random_sparse", 60,
+         [((i * 7919) % 60, (i * 104729 + 13) % 60) for i in range(45)
+          if (i * 7919) % 60 != (i * 104729 + 13) % 60]),
+    ],
+)
+def test_star_components_match_unionfind(spark, name, n, edges):
+    """Alternating large-star/small-star labels == union-find ground
+    truth on graph shapes that stress it differently: long chains
+    (max rounds), cliques (max density), stars (already converged),
+    empties and singletons."""
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "d1 long, d2 long"
+    )
+    if not edges:
+        edges_df = edges_df.filter("d1 <> d2")  # empty edge set
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components_star(
+            spark, nodes_df, edges_df
+        ).collect()
+    }
+    want = _uf_labels(range(n), edges)
+    assert got == want
+
+
+def test_star_components_equal_propagation_on_corpus(spark):
+    """The two component algorithms (propagation loop, star
+    contraction) over the SAME LSH edge set must label identically."""
+    prop = {
+        (r["doc_id"], r["component_id"], r["is_keeper"])
+        for r in dedup.neardup_components_lsh(spark, SF_DIR).collect()
+    }
+    star = {
+        (r["doc_id"], r["component_id"], r["is_keeper"])
+        for r in dedup.neardup_components_star(spark, SF_DIR).collect()
+    }
+    assert prop == star
