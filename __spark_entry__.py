@@ -75,6 +75,8 @@ def _modules():
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
     "neardup_components_lsh", # same edges as _star, same algo as exact
+    "embedding_neardup_pairs",# exact O(n^2) baseline; ANN family (cosine/
+                              # lsh/ivf/ivf_indexed) evaluated in prefix
     "ngram_jaccard_pairs",    # exact pair join replayed INSIDE the green
                               # neardup_components closure oracle
     "minhash_signatures",     # construction step of minhash_lsh_neardup

@@ -150,12 +150,70 @@ def quality_thresholds(
     )
 
 
+# PII scrubbing: the redaction pass a training corpus runs before
+# release (the documents-table analog of the case-data redaction in
+# clean.py P14/P15).  Pattern discipline: only constructs with
+# IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB) — ASCII
+# classes, bounded repetition, \b word boundaries — so the oracle can
+# replay the scrub exactly.  Order matters (SSN before phone: both are
+# digit-dash shapes); applied as a fixed chain.
+PII_PATTERNS = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+]
+
+
+def pii_scrub_expr(text: Column) -> tuple[Column, list[Column]]:
+    """(scrubbed text, [per-kind match counts]) as pure JVM exprs —
+    at 100 TB this is a map over the scan, zero shuffle."""
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+            f"n_{kind}"
+        )
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, rep in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return scrubbed, counts
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: deterministically INJECT pii-shaped strings into
+    the synthetic docs (which contain none — verified digit-free),
+    then scrub, so the oracle validates real redaction on every row:
+    every even doc gets an SSN, every doc gets an email and a phone
+    derived from doc_id."""
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed, counts = pii_scrub_expr(injected)
+    return _docs(spark, sf_dir).select(
+        "doc_id", scrubbed.alias("clean_text"), *counts
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_thresholds": quality_thresholds,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "pii_scrub_docs": pii_scrub_docs,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -230,5 +288,35 @@ ORACLE_SQL = {
                                 % 1000000007)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
         FROM documents
+    """,
+    # exact replay of the injection + scrub chain; counts measured on
+    # the injected text BEFORE scrubbing, 'g' = replace ALL matches
+    # (Spark's regexp_replace default)
+    "pii_scrub_docs": f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id::VARCHAR
+                        || '@mail.example.com or 555-'
+                        || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || CASE WHEN doc_id % 2 = 0
+                                THEN ' ssn 123-45-'
+                                     || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                                ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               {" ".join(
+                   f"regexp_replace(" for _ in PII_PATTERNS
+               )}t{"".join(
+                   f", '{pat}', '{rep}', 'g')"
+                   for _, pat, rep in PII_PATTERNS
+               )} AS clean_text,
+               {", ".join(
+                   f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT)"
+                   f" AS n_{kind}"
+                   for kind, pat, _ in PII_PATTERNS
+               )}
+        FROM inj
     """,
 }

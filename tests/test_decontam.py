@@ -143,3 +143,34 @@ def test_clean_corpus_composition(spark):
     assert kept <= cont_ok & rep_ok
     # eval split never leaks into the training corpus
     assert all(d % decontam.EVAL_MOD != decontam.EVAL_REM for d in kept)
+
+
+def test_pii_scrub_redacts_and_preserves(spark):
+    """pii_scrub_expr: redacts emails/phones/SSNs, leaves lookalikes
+    (version strings, decimals, @handles without TLDs) intact."""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.operators.textstats import (
+        pii_scrub_expr,
+    )
+
+    cases = [
+        (1, "mail me at jo.doe+x@sub.example.org today"),
+        (2, "call 512-555-1234 or 512.555.9999"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "v1.2.3 released; price 3.14; ratio 10-20"),
+        (5, "@handle is not an email; 1234-56-789 not an ssn"),
+        (6, "a@b.co and 111-22-3333 and 999-888-7777 together"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    scrubbed, counts = pii_scrub_expr(F.col("text"))
+    got = {
+        r["doc_id"]: (r["out"], r["n_ssn"], r["n_phone"], r["n_email"])
+        for r in df.select("doc_id", scrubbed.alias("out"), *counts).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> today", 0, 0, 1)
+    assert got[2] == ("call <PHONE> or <PHONE>", 0, 2, 0)
+    assert got[3] == ("ssn <SSN> on file", 1, 0, 0)
+    assert got[4] == ("v1.2.3 released; price 3.14; ratio 10-20", 0, 0, 0)
+    assert got[5] == ("@handle is not an email; 1234-56-789 not an ssn", 0, 0, 0)
+    assert got[6] == ("<EMAIL> and <SSN> and <PHONE> together", 1, 1, 1)
