@@ -217,10 +217,69 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SUBSTRING statistics — the ExactSubstr
+    primitive of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL'22): a 13-token window that occurs
+    more than once ANYWHERE in the corpus marks its span; per doc we
+    report how many window starts are duplicated and what fraction of
+    its tokens is covered by the union of duplicated windows (the
+    quantity ExactSubstr would cut).
+
+    Shape at 100 TB: positional grams explode linearly; the occurrence
+    count is a map-side-partial aggregate on the gram; the df>1 filter
+    joins back on the same key (shuffle linear in corpus grams, no
+    all-pairs anywhere); coverage is per-doc array math.  The suffix
+    array of the paper answers ARBITRARY-length repeats; fixed-k
+    windows are the bounded-memory distributed stand-in (any repeat of
+    length >= k contains a duplicated k-window, so coverage is a
+    superset marker at granularity k).  Coverage here is computed as
+    distinct covered indices (O(dups x k) intermediate); swap for the
+    sorted interval-union fold when dup density is high."""
+    K = NGRAM
+    d = _docs(spark, sf_dir).withColumn("_toks", _tokens())
+    grams = d.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.posexplode(_ngrams(F.col("_toks"), K)).alias("pos", "gram"),
+    )
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(cnt.filter(F.col("c") > 1), "gram")
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list("pos"),
+                        lambda p: F.sequence(p, p + F.lit(K - 1)),
+                    )
+                )
+            )
+        ).alias("covered_tokens"),
+    )
+    return (
+        d.select("doc_id", F.size("_toks").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_stats": repetition_stats,
     "cross_doc_chunk_dup": cross_doc_chunk_dup,
+    "duplicate_span_stats": duplicate_span_stats,
     "clean_corpus": clean_corpus,
 }
 
@@ -310,6 +369,39 @@ ORACLE_SQL = {
 # clean_corpus composes the two filters above verbatim (as derived
 # tables) plus an exact-dedup keeper window — same composition the
 # Spark side performs.
+ORACLE_SQL["duplicate_span_stats"] = f"""
+    WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
+    g AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               unnest(generate_series(1, len(ts) - {NGRAM - 1})) AS i, ts
+        FROM t WHERE len(ts) >= {NGRAM}
+    ),
+    g2 AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ts[i:i+{NGRAM - 1}], ' ') AS gram
+        FROM g
+    ),
+    cnt AS (SELECT gram, count(*) AS c FROM g2 GROUP BY 1),
+    dup AS (
+        SELECT g2.doc_id, g2.pos FROM g2 JOIN cnt USING (gram)
+        WHERE cnt.c > 1
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_dup_grams,
+               CAST(len(list_distinct(flatten(list_transform(
+                   list(pos), p -> generate_series(p, p + {NGRAM - 1})
+               )))) AS INT) AS covered_tokens
+        FROM dup GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS INT) AS n_tokens,
+           coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(a.covered_tokens, 0) AS covered_tokens,
+           round(coalesce(a.covered_tokens, 0) * 1.0 / len(t.ts), 6)
+               AS dup_frac
+    FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
 ORACLE_SQL["clean_corpus"] = f"""
     SELECT d.doc_id, d.source, d.lang, d.n_chars
     FROM documents d

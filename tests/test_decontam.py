@@ -174,3 +174,66 @@ def test_pii_scrub_redacts_and_preserves(spark):
     assert got[4] == ("v1.2.3 released; price 3.14; ratio 10-20", 0, 0, 0)
     assert got[5] == ("@handle is not an email; 1234-56-789 not an ssn", 0, 0, 0)
     assert got[6] == ("<EMAIL> and <SSN> and <PHONE> together", 1, 1, 1)
+
+
+def test_duplicate_span_stats_hand_computed(spark, tmp_path):
+    """ExactSubstr-style duplicated-window marking: a 13-gram shared
+    across two docs marks exactly its 13 tokens in each; a fully
+    self-repeating doc is 100% covered; unique and short docs are 0."""
+    K = decontam.NGRAM
+    shared = " ".join(f"t{i}" for i in range(K))
+    rows = [
+        (1, shared + " xa xb xc", "en", "s", 16),   # 16 toks, 1 dup window
+        (2, shared + " ya yb", "en", "s", 15),      # 15 toks, 1 dup window
+        (3, " ".join(f"u{i}" for i in range(K + 1)), "en", "s", 14),  # unique
+        (4, " ".join(["r"] * (2 * K)), "en", "s", 26),  # all windows equal
+        (5, "too short", "en", "s", 2),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in decontam.duplicate_span_stats(spark, d).collect()}
+    assert (got[1]["n_dup_grams"], got[1]["covered_tokens"]) == (1, K)
+    assert got[1]["dup_frac"] == round(K / 16, 6)
+    assert (got[2]["n_dup_grams"], got[2]["covered_tokens"]) == (1, K)
+    assert (got[3]["n_dup_grams"], got[3]["covered_tokens"]) == (0, 0)
+    # doc 4: 2K tokens of "r" -> K+1 identical windows, full coverage
+    assert (got[4]["n_dup_grams"], got[4]["covered_tokens"]) == (K + 1, 2 * K)
+    assert got[4]["dup_frac"] == 1.0
+    assert (got[5]["n_dup_grams"], got[5]["covered_tokens"], got[5]["dup_frac"]) == (0, 0, 0.0)
+
+
+def test_duplicate_span_stats_matches_bruteforce(spark, tmp_path):
+    """Coverage equals a brute-force global 13-gram occurrence count
+    over a generated corpus with planted cross-doc and in-doc repeats."""
+    import random
+    from collections import Counter
+
+    K = decontam.NGRAM
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(9)]  # small vocab -> real collisions
+    rows = []
+    for i in range(30):
+        n = rng.randint(5, 60)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", n))
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in decontam.duplicate_span_stats(spark, d).collect()}
+
+    all_grams = Counter()
+    toks_by_doc = {}
+    for i, text, *_ in rows:
+        toks = text.lower().split(" ")
+        toks_by_doc[i] = toks
+        for j in range(len(toks) - K + 1):
+            all_grams[" ".join(toks[j : j + K])] += 1
+    for i, toks in toks_by_doc.items():
+        covered = set()
+        n_dup = 0
+        for j in range(len(toks) - K + 1):
+            if all_grams[" ".join(toks[j : j + K])] > 1:
+                n_dup += 1
+                covered.update(range(j, j + K))
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_dup_grams"] == n_dup, i
+        assert r["covered_tokens"] == len(covered), i
+        expect = round(len(covered) / len(toks), 6) if toks else 0.0
+        assert abs(r["dup_frac"] - expect) < 1e-9, i
