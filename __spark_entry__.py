@@ -74,6 +74,10 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "neardup_components_star",# same closure as neardup_components (eval'd);
+                              # star-contraction algo pinned equal by pytest
+    "stratified_sample_threshold", # hash-threshold variant of
+                              # stratified_sample (eval'd)
     "neardup_components_lsh", # same edges as _star, same algo as exact
     "embedding_neardup_pairs",# exact O(n^2) baseline; ANN family (cosine/
                               # lsh/ivf/ivf_indexed) evaluated in prefix

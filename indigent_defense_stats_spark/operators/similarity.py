@@ -29,9 +29,10 @@ Scale notes: brute force is one scan (linear, embarrassingly
 parallel) — right up to the point the *query set* is large; the LSH
 variant buckets both sides so each query probes O(corpus/2^bits).
 The IVF index turns the probe into partition pruning: ~nprobe/k of
-the corpus is *read*, not just filtered.  The pairs query is
-quadratic and exists as the small-corpus oracle baseline; at 100 TB
-one uses the LSH buckets for pairing too.
+the corpus is *read*, not just filtered.  The exact pairs query is
+quadratic and exists as the small-corpus oracle baseline;
+:func:`embedding_neardup_lsh` is the bucketed pairing that replaces
+it at 100 TB (linear shuffle, within-bucket quadratic only).
 """
 
 from __future__ import annotations
@@ -130,6 +131,62 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(cos >= COSINE_PAIR_THRESHOLD)
         .select("id1", "id2", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB scale path
+    for :func:`embedding_neardup_pairs`.  Candidates are pairs whose
+    hyperplane signatures differ in <= 1 bit (multi-probe banding);
+    each candidate is then verified with the EXACT cosine, so the
+    output is always a subset of the exact pairs (precision 1).
+
+    Matched-exactly-once join shape: the left side explodes each
+    vector to its own bucket plus the ``LSH_BITS`` Hamming-1 flips;
+    the right side keeps just its bucket.  A pair (i<j) at Hamming
+    distance 0 matches only via i's unflipped key, at distance 1 only
+    via i's single differing-bit flip — never twice — so no
+    distinct/dedup shuffle is needed before the verify.
+
+    Scale: the shuffle is (1 + LSH_BITS) x n rows keyed by bucket —
+    linear; the quadratic term is confined to within-bucket pairs, and
+    at 100 TB one raises LSH_BITS so expected bucket size stays
+    bounded (2^bits buckets for n vectors).  The exact theta-join
+    (:func:`embedding_neardup_pairs`) is O(n^2) and exists as the
+    oracle baseline; this is the plan you'd run.  Deterministic
+    (seeded planes), so the DuckDB oracle replays it exactly —
+    recall vs the exact pairs is pinned by pytest on planted clones."""
+    q = _query_vector(spark, sf_dir)  # bounded 1-row collect: dim only
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("bucket", lsh_bucket_expr(len(q)))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "bucket",
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    probes = F.explode(
+        F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in LSH_MASKS])
+    )
+    a = e.select(
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("nrm").alias("n1"),
+        probes.alias("key"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+        F.col("bucket").alias("key"),
+    )
+    pairs = a.join(b, ["key"]).filter(F.col("id1") < F.col("id2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    # filter on the UNROUNDED cosine (the oracle does too)
+    return pairs.filter(cos >= COSINE_PAIR_THRESHOLD).select(
+        "id1", "id2", F.round(cos, 6).alias("cosine")
     )
 
 
@@ -353,6 +410,7 @@ def ann_topk_ivf_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_indexed": ann_topk_ivf_indexed_query,
@@ -372,6 +430,41 @@ _SQL_COS_TAIL = f"""
     FROM cand
     ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
 """
+
+
+def _neardup_lsh_oracle_sql() -> str:
+    """Exact replay of the LSH pairs path: same plane constants, same
+    sign folds, same exploded Hamming<=1 probe keys, same exact-cosine
+    verify on the unrounded value."""
+    dim = _oracle_dim()
+    planes = _planes(dim)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_sql_arr(p)}) > 0"
+        f" THEN {1 << b} ELSE 0 END"
+        for b, p in enumerate(planes)
+    )
+    probes = ", ".join(f"xor(bucket, {m})" for m in LSH_MASKS)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        bk AS (SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM e),
+        a AS (
+            SELECT vec_id AS id1, v AS v1, nrm AS n1,
+                   unnest([{probes}]) AS key
+            FROM bk
+        ),
+        b AS (SELECT vec_id AS id2, v AS v2, nrm AS n2, bucket AS key FROM bk)
+        SELECT id1, id2,
+               round(list_dot_product(v1, v2) / (n1 * n2), 6) AS cosine
+        FROM a JOIN b USING (key)
+        WHERE id1 < id2
+          AND list_dot_product(v1, v2) / (n1 * n2)
+              >= {COSINE_PAIR_THRESHOLD}
+    """
 
 
 def _lsh_oracle_sql() -> str:
@@ -483,6 +576,7 @@ def ORACLE_SQL() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
                   >= {COSINE_PAIR_THRESHOLD}
         """,
+        "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         "ann_topk_lsh": _lsh_oracle_sql(),
         "ann_topk_ivf": _ivf_oracle_sql(),
         # the indexed path materializes the SAME assignment the inline

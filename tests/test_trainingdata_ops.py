@@ -434,3 +434,36 @@ def test_star_components_equal_propagation_on_corpus(spark):
         for r in dedup.neardup_components_star(spark, SF_DIR).collect()
     }
     assert prop == star
+
+
+def test_embedding_neardup_lsh_subset_and_clone_recall(spark, tmp_path):
+    """The LSH pairs path is (a) a strict subset of the exact pairs
+    with identical cosines (candidates are exact-verified), and
+    (b) recall 1 on planted near-clones (the case it exists for:
+    tiny perturbations almost never flip a hyperplane sign)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    bases = [rng.standard_normal(32) for _ in range(40)]
+    clones = [bases[i] + 1e-3 * rng.standard_normal(32) for i in range(10)]
+    vecs = bases + clones  # clone i is vec_id 40+i, pair (i, 40+i)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    exact = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs(spark, d).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in similarity.embedding_neardup_lsh(spark, d).collect()
+    }
+    # exactly-once join shape: no duplicate pairs possible by
+    # construction, and every LSH pair is an exact pair, same cosine
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == c for p, c in lsh.items())
+    # every planted clone pair survives bucketing (cosine ~0.999+)
+    for i in range(10):
+        assert (i, 40 + i) in lsh, (i, sorted(lsh))
