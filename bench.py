@@ -39,6 +39,10 @@ OPTIONAL = [
     "token_stats",
     "lang_id",
     "session_windows",
+    # round-3 scale paths: LSH-bucketed embedding pairing (replaces the
+    # O(n^2) theta join) and the ExactSubstr duplicate-span primitive
+    "embedding_neardup_lsh",
+    "duplicate_span_stats",
 ]
 
 

@@ -109,3 +109,29 @@ def collect_list_salted(df: DataFrame, key: str, col: str, n_salt: int = 8) -> D
         n_salt=n_salt,
     )
     return out
+
+
+def salted_range_partition(
+    df: DataFrame, n: int, cluster_col: str, salt_col: str
+) -> DataFrame:
+    """Salted range partitioning for skew-proof clustered sinks
+    (north rule: span tables "salted and range-partitioned to defuse
+    the heavy skew from large counties").
+
+    Ranges over ``(cluster_col, xxhash64(salt_col))``: output files
+    stay clustered by ``cluster_col`` (a downstream county predicate
+    touches a contiguous range of files), while a hot cluster — one
+    county holding most of the corpus — spans MANY consecutive ranges
+    because the hashed secondary spreads its rows uniformly across
+    its share of the boundaries.  Plain ``repartition(cluster_col)``
+    would hash the hot county into ONE writer task; plain
+    ``repartitionByRange(cluster_col)`` would bound it to adjacent
+    boundaries but still sample only cluster values.  The salt column
+    should be a high-cardinality stable key (``doc_id``), never
+    ``rand()`` — reruns must produce the same layout.
+
+    Cost: one range-boundary sampling pass over ``df`` (cheap when
+    the input is cached, as the wave sink's is)."""
+    return df.repartitionByRange(
+        n, F.col(cluster_col), F.xxhash64(F.col(salt_col))
+    )

@@ -59,3 +59,49 @@ def test_salting_spreads_the_hot_key(spark, skewed):
         .count()
     )
     assert n == 8  # the hot key occupies all salt lanes
+
+
+def test_salted_range_partition_spreads_hot_cluster(spark):
+    """One county holding 90% of rows must span many writer
+    partitions (no fat straggler file), while partitions remain
+    county-clustered (most hold a single county)."""
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit("hays"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 9).cast("string")))
+        .alias("county"),
+        F.col("id").cast("string").alias("doc_id"),
+    )
+    out = skew.salted_range_partition(df, 16, "county", "doc_id")
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("county").alias("n_counties"),
+        )
+        .collect()
+    )
+    counts = [r["n"] for r in per_part]
+    mean = sum(counts) / len(counts)
+    # balance: no partition more than 2x the mean (hash repartition by
+    # county alone would put 9,000 of 10,000 rows in ONE partition)
+    assert max(counts) <= 2 * mean, sorted(counts)
+    # the hot county spans many ranges
+    hot_parts = (
+        out.filter(F.col("county") == "hays")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert hot_parts >= 8, hot_parts
+    # clustering: ranges are (county, hash)-ordered, so each county's
+    # rows land in a CONTIGUOUS run of partitions (a county predicate
+    # touches a contiguous range of output files)
+    by_county = (
+        out.select("county", F.spark_partition_id().alias("pid"))
+        .groupBy("county")
+        .agg(F.collect_set("pid").alias("pids"))
+        .collect()
+    )
+    for r in by_county:
+        pids = sorted(r["pids"])
+        assert pids == list(range(pids[0], pids[-1] + 1)), (r["county"], pids)
