@@ -39,6 +39,7 @@ def _modules():
         dedup,
         interleaved,
         pipeline_queries,
+        ranking,
         relational,
         similarity,
         textstats,
@@ -49,6 +50,7 @@ def _modules():
     return [
         relational,
         textstats,
+        ranking,
         decontam,
         dedup,
         interleaved,
@@ -78,6 +80,13 @@ _TAIL = [
                               # star-contraction algo pinned equal by pytest
     "stratified_sample_threshold", # hash-threshold variant of
                               # stratified_sample (eval'd)
+    "media_resize_dims",      # media-plumbing family: media_dimensions +
+                              # media_features stay eval'd
+    "media_frame_sample",     # media-plumbing family (same)
+    "ann_topk_ivf",           # ann_topk_ivf_indexed (eval'd) materializes
+                              # the SAME assignment; shares its oracle
+    "next_version_per_customer", # publish_versions (eval'd) covers the
+                              # J5/A5 max+1 version family
     "neardup_components_lsh", # same edges as _star, same algo as exact
     "embedding_neardup_pairs",# exact O(n^2) baseline; ANN family (cosine/
                               # lsh/ivf/ivf_indexed) evaluated in prefix

@@ -271,6 +271,28 @@ def _signatures_from_index(ex: DataFrame) -> DataFrame:
     return h.groupBy("doc_id").agg(*aggs)
 
 
+def _banded_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature frame — one pass
+    via a single explode (a per-band union would recompute the
+    signature aggregate once per band per join side)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat_ws(
+                            ":", F.col(f"mh{2*bnd}"), F.col(f"mh{2*bnd+1}")
+                        ).alias("bucket"),
+                    )
+                    for bnd in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed candidates (4 bands x 2 rows) -> exact-Jaccard
     verification at t=0.8.  Precision 1.0 by construction; recall
@@ -287,22 +309,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode (a per-band union would recompute the signature aggregate
     # once per band per join side)
     sig = _signatures_from_index(ex)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.concat_ws(
-                            ":", F.col(f"mh{2*bnd}"), F.col(f"mh{2*bnd+1}")
-                        ).alias("bucket"),
-                    )
-                    for bnd in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded_from_sig(sig)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -561,6 +568,112 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(spark, nodes, edges)
 
 
+INC_NEW_MOD = 3  # new batch = doc_id % 3 == 2 (~1/3 of the corpus)
+INC_COPY_MOD = 50  # every 50th HISTORICAL doc is refetched unchanged
+INC_COPY_OFFSET = 1_000_000
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe a NEW crawl batch against the EXISTING corpus without
+    re-pairing the corpus with itself — the operation every wave of a
+    production crawl runs (reference analog: the updater's
+    skip-already-published check, updater/__init__.py:92-105,
+    generalized from exact id-match to exact + near content match).
+
+    Split (deterministic): historical = ``doc_id % 3 != 2``; new batch
+    = the rest PLUS injected refetches (every 50th historical doc
+    reappears unchanged under ``doc_id + 1_000_000`` — the corpus has
+    no natural exact dups, so refetches are the exact-dup class;
+    near-dups across the split occur naturally).
+
+    Per new doc: ``dup_exact`` (md5 matches some historical doc),
+    ``dup_near`` (LSH-candidate historical doc verifies at
+    Jaccard >= 0.8), ``keep`` = neither.
+
+    Scale shape: the historical side's signatures/banded buckets and
+    content hashes are PRECOMPUTED artifacts in production (written
+    once per wave, read thereafter) — per wave the work is
+    O(new batch): hash-join new hashes against the corpus hash index,
+    join new (band, bucket) rows against the corpus bucket index
+    (linear shuffle, same keys as :func:`minhash_lsh_neardup`), and
+    verify only the candidate pairs.  Nothing re-pairs the corpus
+    against itself, so a 100 TB corpus costs per-wave what the WAVE
+    weighs, not what the corpus weighs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % INC_NEW_MOD != INC_NEW_MOD - 1)
+    new = docs.filter(F.col("doc_id") % INC_NEW_MOD == INC_NEW_MOD - 1).union(
+        hist.filter(F.col("doc_id") % INC_COPY_MOD == 0).select(
+            (F.col("doc_id") + F.lit(INC_COPY_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    # exact: shuffle join on content hash (hist side distinct => <=1
+    # match per new doc, no fanout)
+    hist_hash = hist.select(F.md5("text").alias("h")).distinct()
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(hist_hash.withColumn("dup_exact", F.lit(True)), "h", "left")
+        .select("doc_id", F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"))
+    )
+    # near: band the two sides separately, join new buckets against
+    # hist buckets (the incremental form of the self-join), verify
+    # candidates exactly
+    arr_new = _with_shingles(new).localCheckpoint(eager=False)
+    arr_hist = _with_shingles(hist).localCheckpoint(eager=False)
+    ex_new = arr_new.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    ex_hist = arr_hist.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    bn = _banded_from_sig(_signatures_from_index(ex_new)).alias("bn")
+    bh = _banded_from_sig(_signatures_from_index(ex_hist)).alias("bh")
+    cand = (
+        bn.join(
+            bh,
+            (F.col("bn.band") == F.col("bh.band"))
+            & (F.col("bn.bucket") == F.col("bh.bucket")),
+        )
+        .select(
+            F.col("bn.doc_id").alias("d_new"), F.col("bh.doc_id").alias("d_hist")
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(ex_new.alias("en"), F.col("d_new") == F.col("en.doc_id"))
+        .join(
+            ex_hist.alias("eh"),
+            (F.col("d_hist") == F.col("eh.doc_id"))
+            & (F.col("en.s") == F.col("eh.s")),
+        )
+        .groupBy("d_new", "d_hist")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("en.n").alias("n1"),
+            F.max("eh.n").alias("n2"),
+        )
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    ).cast("double")
+    near = (
+        pairs.filter(j >= JACCARD_THRESHOLD)
+        .select("d_new")
+        .distinct()
+        .withColumn("dup_near", F.lit(True))
+    )
+    return (
+        exact.join(near, exact["doc_id"] == near["d_new"], "left")
+        .select(
+            "doc_id",
+            "dup_exact",
+            F.coalesce("dup_near", F.lit(False)).alias("dup_near"),
+            (
+                ~(F.col("dup_exact") | F.coalesce("dup_near", F.lit(False)))
+            ).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -570,9 +683,12 @@ QUERIES = {
     "neardup_components": neardup_components,
     "neardup_components_lsh": neardup_components_lsh,
     "neardup_components_star": neardup_components_star,
+    "incremental_dedup": incremental_dedup,
 }
 
-_SQL_SH = """
+def _sql_sh_from(src: str) -> str:
+    """Shingle CTE body over any (doc_id, text) relation."""
+    return f"""
   SELECT doc_id,
          CASE WHEN len(string_split(lower(text), ' ')) >= 3
               THEN list_distinct(list_transform(
@@ -581,8 +697,39 @@ _SQL_SH = """
                           string_split(lower(text),' ')[i+1] || ' ' ||
                           string_split(lower(text),' ')[i+2]))
               ELSE [] END AS shingles
-  FROM documents
+  FROM {src}
 """
+
+
+_SQL_SH = _sql_sh_from("documents")
+
+
+def _sql_sig_banded(tag: str, ex: str) -> str:
+    """CTE pair ``sig{tag}``/``band{tag}`` replaying minhash
+    signatures + LSH banding over an exploded shingle index CTE
+    ``{ex}`` (doc_id, s, n)."""
+    return f"""
+        hs{tag} AS (
+            SELECT doc_id,
+                   ('0x' || left(md5(s), 15))::BIGINT % {MH_MOD} AS h
+            FROM {ex}
+        ),
+        sig{tag} AS (
+            SELECT doc_id,
+            {",".join(
+                f"min(({MH_A[i]} * h + {MH_B[i]}) % {MH_MOD}) AS mh{i}"
+                for i in range(N_MINHASH)
+            )}
+            FROM hs{tag} GROUP BY doc_id
+        ),
+        band{tag} AS (
+            {" UNION ALL ".join(
+                f'''SELECT doc_id, {bnd} AS band,
+                    mh{2*bnd}::VARCHAR || ':' || mh{2*bnd+1}::VARCHAR AS bucket
+                    FROM sig{tag}'''
+                for bnd in range(LSH_BANDS)
+            )}
+        )"""
 
 # shared CTE chain producing the LSH candidate pairs with exact
 # intersection counts (ends at `pairs`); used by both the lsh pair
@@ -629,6 +776,58 @@ _SQL_LSH_PAIR_CTES = f"""sh AS ({_SQL_SH}),
         )"""
 
 ORACLE_SQL = {
+    # deterministic replay of split + injection + cross-side banding +
+    # exact verification (same arithmetic as the Spark plan)
+    "incremental_dedup": f"""
+        WITH hist AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {INC_NEW_MOD} != {INC_NEW_MOD - 1}
+        ),
+        newb AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {INC_NEW_MOD} = {INC_NEW_MOD - 1}
+            UNION ALL
+            SELECT doc_id + {INC_COPY_OFFSET} AS doc_id, text FROM hist
+            WHERE doc_id % {INC_COPY_MOD} = 0
+        ),
+        shn AS ({_sql_sh_from("newb")}),
+        shh AS ({_sql_sh_from("hist")}),
+        exn AS (
+            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+            FROM shn WHERE len(shingles) > 0
+        ),
+        exh AS (
+            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+            FROM shh WHERE len(shingles) > 0
+        ),
+        {_sql_sig_banded("n", "exn")},
+        {_sql_sig_banded("h", "exh")},
+        cand AS (
+            SELECT DISTINCT bn.doc_id AS d_new, bh.doc_id AS d_hist
+            FROM bandn bn
+            JOIN bandh bh ON bn.band = bh.band AND bn.bucket = bh.bucket
+        ),
+        pairs AS (
+            SELECT d_new, d_hist, count(*) AS inter,
+                   max(en.n) AS n1, max(eh.n) AS n2
+            FROM cand
+            JOIN exn en ON cand.d_new = en.doc_id
+            JOIN exh eh ON cand.d_hist = eh.doc_id AND en.s = eh.s
+            GROUP BY 1, 2
+        ),
+        near AS (
+            SELECT DISTINCT d_new FROM pairs
+            WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        ),
+        hh AS (SELECT DISTINCT md5(text) AS h FROM hist)
+        SELECT n.doc_id,
+               (hh.h IS NOT NULL) AS dup_exact,
+               (near.d_new IS NOT NULL) AS dup_near,
+               NOT (hh.h IS NOT NULL OR near.d_new IS NOT NULL) AS keep
+        FROM newb n
+        LEFT JOIN hh ON md5(n.text) = hh.h
+        LEFT JOIN near ON n.doc_id = near.d_new
+    """,
     "exact_dedup_docs": """
         SELECT md5(text) AS content_md5,
                min(doc_id) AS keeper_doc_id,

@@ -407,6 +407,91 @@ def ann_topk_ivf_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf_indexed(spark, index_dir, cents, q)
 
 
+SEMDEDUP_T = 0.95
+SEMDEDUP_INJECT_MOD = 7
+SEMDEDUP_INJECT_OFFSET = 1_000_000
+SEMDEDUP_INJECT_SCALE = 1.01
+
+
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings (as double) plus deterministic injected near-copies:
+    every ``vec_id % 7 == 0`` vector reappears scaled by 1.01 under
+    ``vec_id + 1_000_000`` — the refetched-unchanged-page analog (the
+    synthetic corpus has no natural semantic dups: max within-cluster
+    cosine is ~0.47).  Scaling preserves direction, so copy↔source
+    cosine ≈ 1; the arithmetic (float→double cast, one double multiply
+    per element) replays exactly in DuckDB."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    inj = base.filter(F.col("vec_id") % SEMDEDUP_INJECT_MOD == 0).select(
+        (F.col("vec_id") + F.lit(SEMDEDUP_INJECT_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(SEMDEDUP_INJECT_SCALE)
+        ).alias("embedding"),
+    )
+    return base.union(inj)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then mark as duplicate any vector whose
+    cosine to a LOWER-vec_id member of its OWN cluster reaches
+    ``SEMDEDUP_T`` (the deterministic keep-lowest variant of the
+    paper's keep-one-per-group rule).
+
+    Shape: centroid assignment is the same map-side fold as
+    :func:`ann_topk_ivf` (centroids are plan literals); the only wide
+    exchange is one shuffle on cluster_id; the within-cluster pairwise
+    join is O(Σ cluster²) — bounded because k is chosen ∝ corpus size
+    (the paper runs k=50k on LAION so clusters stay ~10³), which makes
+    the pairwise term linear-with-constant, never all-pairs.  The
+    max-over-lower-members aggregate is order-independent, so the
+    unrounded threshold compare is engine-stable."""
+    cents = _train_centroids(spark, sf_dir)
+    corpus = _semdedup_corpus(spark, sf_dir)
+    asg = (
+        corpus.withColumn("cluster_id", ivf_assign_expr(cents))
+        .withColumn(
+            "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = asg.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster_id",
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster_id",
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    mx = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") > F.col("b_id"))
+        .select("a_id", cos.alias("cos"))
+        .groupBy("a_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        asg.select("vec_id", "cluster_id")
+        .join(mx, asg["vec_id"] == mx["a_id"], "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(F.col("max_cos"), 6).alias("max_cosine_lower"),
+            F.coalesce(
+                F.col("max_cos") >= F.lit(SEMDEDUP_T), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -414,6 +499,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_indexed": ann_topk_ivf_indexed_query,
+    "semantic_dedup": semantic_dedup,
 }
 
 _SQL_COS_Q = """
@@ -507,6 +593,39 @@ def _oracle_dim() -> int:
     return len(_oracle_embeddings()["embedding"].iloc[0])
 
 
+def _oracle_centroids() -> np.ndarray:
+    """Centroids trained HERE with the same Python code the Spark
+    query runs at evaluation time, on the same oracle-sf sample."""
+    df = _oracle_embeddings()
+    vecs = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in df.head(IVF_SAMPLE)["embedding"]
+        ]
+    )
+    return _ivf_centroids(vecs)
+
+
+def _sql_assign_ctes(cents: np.ndarray, src: str) -> str:
+    """CTE chain replaying the ordered-fold nearest-centroid
+    assignment over ``src`` (columns vec_id, v); ends at
+    ``asg`` (vec_id, v, cluster_id)."""
+    cells = ", ".join(
+        f"struct_pack(d2 := vv - 2 * list_dot_product(v, {_sql_arr(c)})"
+        f" + {repr(_seq_dot(c, c))}, cid := {j})"
+        for j, c in enumerate(cents)
+    )
+    return f"""d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM {src}),
+        s AS (SELECT vec_id, v, unnest([{cells}]) AS sc FROM d),
+        r AS (
+            SELECT vec_id, v, sc.cid AS cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sc.d2, sc.cid) AS rn
+            FROM s
+        ),
+        asg AS (SELECT vec_id, v, cid AS cluster_id FROM r WHERE rn = 1)"""
+
+
 def _ivf_oracle_sql() -> str:
     """Exact replay of the IVF probe at the oracle scale factor: the
     centroids and probe list are computed HERE with the same Python
@@ -515,35 +634,56 @@ def _ivf_oracle_sql() -> str:
     the per-row assignment replays the ordered-fold d2 + (d2, cid)
     argmin in SQL."""
     df = _oracle_embeddings()
-    sample = df.head(IVF_SAMPLE)
-    vecs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample["embedding"]]
-    )
-    cents = _ivf_centroids(vecs)
+    cents = _oracle_centroids()
     q = [float(x) for x in df.loc[df["vec_id"] == 0, "embedding"].iloc[0]]
     probe = _ivf_probes(cents, q)
-    cells = ", ".join(
-        f"struct_pack(d2 := vv - 2 * list_dot_product(v, {_sql_arr(c)})"
-        f" + {repr(_seq_dot(c, c))}, cid := {j})"
-        for j, c in enumerate(cents)
-    )
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
-        s AS (SELECT vec_id, v, unnest([{cells}]) AS sc FROM d),
-        r AS (
-            SELECT vec_id, v, sc.cid AS cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY sc.d2, sc.cid) AS rn
-            FROM s
-        ),
-        asg AS (SELECT vec_id, v, cid AS cluster_id FROM r WHERE rn = 1),
+        {_sql_assign_ctes(cents, "e")},
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         cand AS (
             SELECT vec_id, v FROM asg
             WHERE cluster_id IN ({", ".join(str(p) for p in probe)})
         )
         {_SQL_COS_TAIL}
+    """
+
+
+def _semdedup_oracle_sql() -> str:
+    """SemDeDup replay: injection + baked-centroid assignment + the
+    within-cluster lower-id max-cosine, all in the same arithmetic
+    order as the Spark plan."""
+    cents = _oracle_centroids()
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        inj AS (
+            SELECT vec_id + {SEMDEDUP_INJECT_OFFSET} AS vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x * {SEMDEDUP_INJECT_SCALE!r}::DOUBLE) AS v
+            FROM embeddings WHERE vec_id % {SEMDEDUP_INJECT_MOD} = 0
+        ),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM inj),
+        {_sql_assign_ctes(cents, "corpus")},
+        n AS (
+            SELECT vec_id, v, cluster_id,
+                   sqrt(list_dot_product(v, v)) AS nrm
+            FROM asg
+        ),
+        mx AS (
+            SELECT a.vec_id AS a_id,
+                   max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+                       AS max_cos
+            FROM n a JOIN n b ON a.cluster_id = b.cluster_id
+                             AND a.vec_id > b.vec_id
+            GROUP BY 1
+        )
+        SELECT n.vec_id, n.cluster_id,
+               round(mx.max_cos, 6) AS max_cosine_lower,
+               coalesce(mx.max_cos >= {SEMDEDUP_T!r}::DOUBLE, false)
+                   AS is_dup
+        FROM n LEFT JOIN mx ON n.vec_id = mx.a_id
     """
 
 
@@ -582,4 +722,5 @@ def ORACLE_SQL() -> dict[str, str]:
         # the indexed path materializes the SAME assignment the inline
         # query computes, so the same replay oracle is its ground truth
         "ann_topk_ivf_indexed": _ivf_oracle_sql(),
+        "semantic_dedup": _semdedup_oracle_sql(),
     }
