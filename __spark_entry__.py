@@ -76,6 +76,12 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "cross_doc_chunk_dup",    # chunk-df measurement CONSTITUENT of
+                              # line_dedup (eval'd), which computes the
+                              # same df join and then rewrites the docs
+    "simhash_buckets",        # near-dup bucketing variant; the eval'd
+                              # minhash_lsh_neardup covers the banded
+                              # bucket-join dedup component
     "neardup_components_star",# same closure as neardup_components (eval'd);
                               # star-contraction algo pinned equal by pytest
     "stratified_sample_threshold", # hash-threshold variant of

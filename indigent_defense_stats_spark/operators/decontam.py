@@ -275,9 +275,67 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line-level deduplication WITH document rewrite:
+    split each document into its dedup units (C4 uses newline-delimited
+    lines; the synthetic corpus has no newlines, so the unit is the
+    same non-overlapping ``CHUNK``-token chunk ``cross_doc_chunk_dup``
+    counts), keep only the globally FIRST occurrence of every chunk —
+    first by (doc_id, position), the same keep-first rule the exact
+    dedup keeper uses — and reassemble each document from its surviving
+    chunks.  This is the op that actually *edits* the corpus, where
+    ``cross_doc_chunk_dup`` only measures it.
+
+    Scale shape: one map-side chunking (no explode of token arrays —
+    chunks are built with ``transform`` over ``sequence``), a
+    ``row_number`` window keyed by chunk string (linear shuffle, same
+    key profile as the chunk-df aggregate; hot boilerplate chunks are
+    AQE skew-split), and one groupBy doc_id for reassembly (dense
+    unskewed keys).  No all-pairs anywhere; both shuffles are linear in
+    corpus size, so the plan survives 100 TB unchanged.
+
+    Reference analog: generalizes the reference's keep-first dedup
+    semantics (updater drop-duplicates, SURVEY.md §2 D3) from whole
+    records to intra-document spans.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens()
+    nchunks = F.floor((F.size(t) + F.lit(CHUNK - 1)) / F.lit(CHUNK)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * CHUNK + 1, CHUNK)),
+    )
+    ch = docs.select("doc_id", F.posexplode(chunk_arr).alias("pos", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    reasm = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = docs.select("doc_id", nchunks.cast("bigint").alias("n_chunks"))
+    return totals.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_stats": repetition_stats,
+    "line_dedup": line_dedup,
     "cross_doc_chunk_dup": cross_doc_chunk_dup,
     "duplicate_span_stats": duplicate_span_stats,
     "clean_corpus": clean_corpus,
@@ -365,6 +423,36 @@ ORACLE_SQL = {
         FROM bi
     """,
 }
+
+ORACLE_SQL["line_dedup"] = f"""
+    WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
+    chunks AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(ts[i*{CHUNK}+1 : i*{CHUNK}+{CHUNK}], ' ')
+                   AS chunk
+        FROM t, unnest(generate_series(0,
+                 CAST((len(ts) + {CHUNK - 1}) // {CHUNK} AS INT) - 1))
+             AS g(i)
+    ),
+    kept AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, pos) AS rn
+        FROM chunks
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) AS new_text
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(ts) + {CHUNK - 1}) // {CHUNK} AS BIGINT) AS n_chunks,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST((len(ts) + {CHUNK - 1}) // {CHUNK}
+                - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(a.new_text, '') AS new_text
+    FROM t LEFT JOIN agg a USING (doc_id)
+"""
 
 # clean_corpus composes the two filters above verbatim (as derived
 # tables) plus an exact-dedup keeper window — same composition the

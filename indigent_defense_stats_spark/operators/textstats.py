@@ -207,6 +207,70 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_VOCAB_K = 40  # top-K unigram model; tail tokens score as OOV
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score: fit a top-K
+    unigram model on the corpus (token -> ln(count/N), deterministic
+    top-K by count desc / token asc; out-of-vocabulary tokens get the
+    smoothed ``ln(0.5/N)``), then score every document by the ordered
+    left-fold of its per-token log-probs.  Low ``avg_logprob`` = the
+    perplexity-style "looks nothing like the corpus" signal the CCNet
+    / RedPajama quality buckets threshold on.
+
+    Scale shape: the model fit is one explode + vocabulary-sized
+    hash aggregate (map-side partial, one long per distinct token);
+    the top-K table is BOUNDED by construction (``LM_VOCAB_K``) — at
+    100 TB it is the trained LM artifact (a KenLM table) broadcast to
+    executors, which is exactly what the bounded ``collect`` here
+    stands in for.  Scoring is a pure map over the corpus: a map
+    literal lookup + ``aggregate`` fold per row, zero shuffle, zero
+    Python.
+
+    Determinism contract: per-token log-probs are rounded to 6 places
+    FIRST, so both engines fold bit-identical doubles in the same
+    left-to-right order (Spark ``aggregate`` init 0.0 + x == x; DuckDB
+    ``list_reduce`` over the same list) — the final sums are
+    bit-identical before their own rounding.
+    """
+    import math
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens()
+    stats = (
+        docs.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_total = stats.agg(F.sum("cnt")).collect()[0][0]  # one scalar
+    model = (
+        stats.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(LM_VOCAB_K)
+        .select(
+            "tok",
+            F.round(F.log(F.col("cnt") * F.lit(1.0) / F.lit(float(n_total))), 6).alias(
+                "logp"
+            ),
+        )
+        .collect()  # bounded: LM_VOCAB_K rows (the broadcast model)
+    )
+    pairs: list = []
+    for row in model:
+        pairs += [F.lit(row["tok"]), F.lit(float(row["logp"]))]
+    m = F.create_map(*pairs)
+    oov = round(math.log(0.5 / float(n_total)), 6)
+    lp = lambda tk: F.coalesce(m[tk], F.lit(oov))  # noqa: E731
+    score = F.aggregate(t, F.lit(0.0), lambda acc, tk: acc + lp(tk))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda tk: m[tk].isNull())).alias("n_oov"),
+        F.round(score, 6).alias("logprob"),
+        F.round(score / F.size(t), 6).alias("avg_logprob"),
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_thresholds": quality_thresholds,
@@ -214,6 +278,7 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "pii_scrub_docs": pii_scrub_docs,
+    "unigram_lm_score": unigram_lm_score,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -288,6 +353,47 @@ ORACLE_SQL = {
                                 % 1000000007)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
         FROM documents
+    """,
+    # exact replay of the LM fit + ordered-fold scoring: same top-K
+    # selection (cnt desc, tok asc), same 6-place per-token rounding
+    # BEFORE the fold, same left-fold order (list_reduce with a 0.0
+    # head == Spark aggregate's 0.0 init) -> bit-identical sums
+    "unigram_lm_score": f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+        cnts AS (
+            SELECT u.tok, count(*) AS cnt
+            FROM t, unnest(ts) AS u(tok) GROUP BY u.tok
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+        model AS (
+            SELECT tok,
+                   round(ln(cnt * 1.0 / (SELECT n FROM tot)), 6) AS logp
+            FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {LM_VOCAB_K}
+        ),
+        toks AS (
+            SELECT t.doc_id, g.i AS ord, t.ts[g.i] AS tok
+            FROM t, unnest(generate_series(1, len(ts))) AS g(i)
+        ),
+        scored AS (
+            SELECT k.doc_id, k.ord,
+                   coalesce(m.logp,
+                            round(ln(0.5 / (SELECT n FROM tot)), 6)) AS lp,
+                   CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+            FROM toks k LEFT JOIN model m ON m.tok = k.tok
+        )
+        SELECT doc_id, n_tokens, n_oov,
+               round(s, 6) AS logprob,
+               round(s / n_tokens, 6) AS avg_logprob
+        FROM (
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(is_oov) AS INT) AS n_oov,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(lp ORDER BY ord)),
+                       (a, b) -> a + b) AS s
+            FROM scored GROUP BY doc_id
+        )
     """,
     # exact replay of the injection + scrub chain; counts measured on
     # the injected text BEFORE scrubbing, 'g' = replace ALL matches
