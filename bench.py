@@ -43,6 +43,13 @@ OPTIONAL = [
     # O(n^2) theta join) and the ExactSubstr duplicate-span primitive
     "embedding_neardup_lsh",
     "duplicate_span_stats",
+    # round-3 ranking + dedup additions
+    "tfidf_topk",
+    "bm25_search",
+    "semantic_dedup",
+    "incremental_dedup",
+    "line_dedup",
+    "unigram_lm_score",
 ]
 
 
