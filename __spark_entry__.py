@@ -107,6 +107,9 @@ _TAIL = [
     "dedup_first_event",      # keep-first variant of exact_dedup_docs
     "first_1000_orders",      # bounded export; top5_orders eval'd
     "days_elapsed",           # window family: event_sequence eval'd
+    "stream_exact_dedup",     # streaming form of exact_dedup_docs
+                              # (eval'd); stream surface covered by
+                              # stream_event_window_counts (eval'd)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -47,16 +47,28 @@ def _as_source_dir(sf_dir: str, table: str) -> str:
         table,
     )
     os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, f"{table}.parquet")
-    # race-safe (two concurrent sessions may point at the same dir):
-    # create the symlink under a unique name, then atomically rename
-    # over the destination — os.replace handles an existing dst, and a
-    # dangling prior link is replaced rather than skipped
-    tmp = os.path.join(d, f".{table}.{os.getpid()}.tmp")
-    if os.path.lexists(tmp):
-        os.unlink(tmp)
-    os.symlink(os.path.join(sf_dir, f"{table}.parquet"), tmp)
-    os.replace(tmp, dst)
+
+    def _link(src_file: str, dst: str) -> None:
+        # race-safe (two concurrent sessions may point at the same
+        # dir): create the symlink under a unique name, then atomically
+        # rename over the destination — os.replace handles an existing
+        # dst, and a dangling prior link is replaced rather than skipped
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(src_file, tmp)
+        os.replace(tmp, dst)
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        # Spark-written table: a DIRECTORY of part files.  The file
+        # stream source does not follow a symlinked directory, so link
+        # each part file individually.
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".parquet"):
+                _link(os.path.join(src, name), os.path.join(d, name))
+    else:
+        _link(src, os.path.join(d, f"{table}.parquet"))
     return d
 
 
@@ -168,8 +180,34 @@ def stream_running_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the continuous form of
+    ``exact_dedup_docs``: micro-batch ingest of documents with a
+    running per-content-hash aggregate (keeper = min doc_id, copy
+    count).  Drained with availableNow the result is deterministic and
+    equals the batch group-by.  In production this runs beside the
+    crawl: each landed wave streams through, and the state store keyed
+    by content hash IS the incremental URL/content-seen aggregate —
+    keys hash-partition across executors, state size is bounded by the
+    number of distinct documents (compact: one hash + two longs per
+    key).
+    """
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_source_dir(sf_dir, "documents"))
+    )
+    agg = src.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return _run_available_now(agg, "exact_dedup_stream")
+
+
 QUERIES = {
     "stream_event_window_counts": stream_event_window_counts,
+    "stream_exact_dedup": stream_exact_dedup,
 }
 
 ORACLE_SQL = {
@@ -178,5 +216,12 @@ ORACLE_SQL = {
                count(*) AS n, round(sum(value), 2) AS value_sum
         FROM events
         GROUP BY 1, 2
+    """,
+    "stream_exact_dedup": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
     """,
 }

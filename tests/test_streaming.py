@@ -102,3 +102,43 @@ def test_session_windows_stream_matches_batch_closed_sessions(spark, tmp_path):
     b = sorted(key(r) for r in closed_batch.collect())
     assert len(a) > 0
     assert a == b
+
+
+def test_stream_exact_dedup_matches_batch(spark):
+    """The streaming per-content-hash aggregate drained with
+    availableNow equals the batch group-by, and duplicate groups keep
+    the minimum doc_id."""
+    streamed = ingest.stream_exact_dedup(spark, SF_DIR)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    a = {tuple(map(str, r)) for r in streamed.collect()}
+    b = {tuple(map(str, r)) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_exact_dedup_keeps_min_doc_id(spark, tmp_path):
+    """On a corpus with planted duplicates the streaming aggregate
+    keeps the minimum doc_id and counts the copies."""
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (5, "same text twice", "en", "s", 15),
+            (2, "same text twice", "en", "s", 15),
+            (9, "unique text", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["content_md5"]: r
+        for r in ingest.stream_exact_dedup(spark, d).collect()
+    }
+    assert len(out) == 2
+    by_copies = sorted(out.values(), key=lambda r: -r["n_copies"])
+    assert by_copies[0]["n_copies"] == 2 and by_copies[0]["keeper_doc_id"] == 2
+    assert by_copies[1]["n_copies"] == 1 and by_copies[1]["keeper_doc_id"] == 9
