@@ -91,6 +91,10 @@ _TAIL = [
     "media_frame_sample",     # media-plumbing family (same)
     "ann_topk_ivf",           # ann_topk_ivf_indexed (eval'd) materializes
                               # the SAME assignment; shares its oracle
+    "ann_topk_lsh",           # ANN family: cosine + ivf_indexed eval'd;
+                              # the hyperplane-bucket machinery is eval'd
+                              # via embedding_neardup_lsh (same planes,
+                              # same sign-fold SQL replay)
     "next_version_per_customer", # publish_versions (eval'd) covers the
                               # J5/A5 max+1 version family
     "neardup_components_lsh", # same edges as _star, same algo as exact

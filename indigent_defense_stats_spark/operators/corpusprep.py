@@ -155,11 +155,75 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_FRACTION = 0.5  # mixture token budget as a fraction of corpus tokens
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (the DoReMi-style data-mixture
+    primitive): give every source a target token WEIGHT, then keep
+    documents per source — in the deterministic shuffle-key order —
+    while the tokens accumulated BEFORE each document are under the
+    source's quota, so the quota-crossing document is included and
+    every positive quota yields at least one document.
+
+    Weights are proportional to (source index + 1) parsed from the
+    source name, normalized over the sources actually present, so the
+    query is scale-free (no baked source list); the token budget is
+    ``MIX_FRACTION`` of the corpus total.  In production the weight
+    table is the tuned mixture (e.g. DoReMi output) broadcast as a
+    small dim — here the arithmetic stands in for it.
+
+    Scale shape: one map over the corpus, ONE single-row total-tokens
+    aggregate and ONE source-count-sized aggregate (both broadcast
+    back), and per-source cumulative-sum windows — source keys
+    parallelize and no global sort exists.  Dtype discipline: the
+    windowed sum is cast to BIGINT on both engines (DuckDB windowed
+    sums are HUGEINT — the round-2 hash-mismatch class)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        _shuffle_key().alias("h"),
+    )
+    keyed = d.withColumn(
+        "sidx", F.regexp_extract("source", r"(\d+)$", 1).cast("int") + F.lit(1)
+    )
+    tot = keyed.agg(F.sum("n_tokens").alias("total_toks"))
+    sw = (
+        keyed.select("source", "sidx")
+        .distinct()
+        .agg(F.sum("sidx").alias("sum_idx"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    quota = F.floor(
+        F.col("sidx").cast("double")
+        / F.col("sum_idx")
+        * F.lit(MIX_FRACTION)
+        * F.col("total_toks")
+    ).cast("bigint")
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sw))
+        .withColumn("cum_before", cum_before)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("quota", quota)
+        .filter(F.col("cum_before") < F.col("quota"))
+        .select("doc_id", "source", "n_tokens", "mix_rank", "cum_before", "quota")
+    )
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "stratified_sample_threshold": stratified_sample_threshold,
     "pack_sequences": pack_sequences,
     "corpus_interleave": corpus_interleave,
+    "mixture_sample": mixture_sample,
 }
 
 _SQL_H = "('0x' || left(md5('shuf:' || doc_id), 15))::BIGINT"
@@ -243,5 +307,40 @@ ORACLE_SQL = {
         SELECT doc_id, source,
                (rk - 1) * (SELECT n_src FROM n) + src_ord AS global_pos
         FROM r
+    """,
+    # same double-arithmetic order as the Spark side:
+    # ((sidx/sum_idx) * fraction) * total — and windowed sum cast to
+    # BIGINT at the source (DuckDB HUGEINT hazard)
+    "mixture_sample": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   {_SQL_H} AS h,
+                   CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) + 1
+                       AS sidx
+            FROM documents
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_toks FROM d),
+        sw AS (SELECT CAST(sum(sidx) AS BIGINT) AS sum_idx
+               FROM (SELECT DISTINCT source, sidx FROM d)),
+        c AS (
+            SELECT doc_id, source, n_tokens, sidx,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS mix_rank
+            FROM d
+        ),
+        q AS (
+            SELECT c.*,
+                   CAST(floor(c.sidx * 1.0 / sw.sum_idx
+                              * {MIX_FRACTION} * tot.total_toks)
+                        AS BIGINT) AS quota
+            FROM c, sw, tot
+        )
+        SELECT doc_id, source, n_tokens, mix_rank, cum_before, quota
+        FROM q WHERE cum_before < quota
     """,
 }

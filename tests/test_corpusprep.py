@@ -186,3 +186,41 @@ def test_threshold_sample_concentration_and_no_sort(spark):
     # determinism: re-run keeps the identical set
     again = corpusprep.stratified_sample_threshold(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---- mixture_sample (round 3) ------------------------------------------
+
+
+def test_mixture_sample_token_quotas(spark, tmp_path):
+    """Two sources with weights 2:3 over a 200-token corpus at
+    MIX_FRACTION=0.5: quotas are 40 and 60 tokens; with 10-token docs
+    that keeps exactly 4 and 6 documents, mix_rank is consecutive, and
+    cum_before stays under the quota for every kept row."""
+    text = " ".join(["t"] * 10)  # 10 tokens
+    rows = [(i, text, "en", "src1", 10) for i in range(10)]
+    rows += [(100 + i, text, "en", "src2", 10) for i in range(10)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = corpusprep.mixture_sample(spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["cum_before"] < r["quota"]
+    assert len(by_src["src1"]) == 4  # floor(2/5 * 100) = 40 tokens
+    assert len(by_src["src2"]) == 6  # floor(3/5 * 100) = 60 tokens
+    for rows_ in by_src.values():
+        ranks = sorted(r["mix_rank"] for r in rows_)
+        assert ranks == list(range(1, len(rows_) + 1))
+
+
+def test_mixture_sample_crossing_doc_included(spark, tmp_path):
+    """A document that straddles the quota boundary is kept (the rule
+    is cum_before < quota), so a positive quota always yields at least
+    one document even when the first doc alone exceeds it."""
+    big = " ".join(["t"] * 50)
+    rows = [(1, big, "en", "src1", 50), (2, big, "en", "src2", 50)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = corpusprep.mixture_sample(spark, d).collect()
+    # total=100, quotas = floor(2/5*50)=20 and floor(3/5*50)=30: each
+    # source's single 50-token doc crosses its quota but is kept
+    assert sorted(r["source"] for r in out) == ["src1", "src2"]
+    assert all(r["cum_before"] == 0 for r in out)
