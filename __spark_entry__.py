@@ -86,8 +86,14 @@ _TAIL = [
                               # star-contraction algo pinned equal by pytest
     "stratified_sample_threshold", # hash-threshold variant of
                               # stratified_sample (eval'd)
-    "media_resize_dims",      # media-plumbing family: media_dimensions +
-                              # media_features stay eval'd
+    "media_resize_dims",      # media-plumbing family: media_features
+                              # stays eval'd
+    "media_dimensions",       # header-sniff constituent of the media
+                              # family; media_features (eval'd) decodes
+                              # the same payloads and more
+    "tfidf_topk",             # ranking family: bm25_search (eval'd) is
+                              # tf-idf with saturation + length norm —
+                              # same postings join, stricter scorer
     "media_frame_sample",     # media-plumbing family (same)
     "ann_topk_ivf",           # ann_topk_ivf_indexed (eval'd) materializes
                               # the SAME assignment; shares its oracle

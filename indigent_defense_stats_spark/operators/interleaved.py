@@ -20,7 +20,9 @@ second map.  At 100 TB both are embarrassingly parallel.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from .corpusprep import N_SHARDS, SEQ_BUDGET, _shuffle_key
 
 CHUNK = 10  # tokens per text span
 MEDIA_EVERY = 3  # media span after every 3rd text span
@@ -107,9 +109,105 @@ def span_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_TOKENS = 64  # fixed token budget a media span costs in a sequence
+
+
+def media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption mining over the interleaved span table: for every media
+    span, emit (media_ref, caption) where the caption is the TEXT span
+    immediately preceding it in document order — the standard way
+    image/text pairs are harvested from interleaved web documents for
+    multimodal training (the reference's case pages interleave document
+    images with the text rows that describe them; see
+    /root/reference/src/scraper/__init__.py events/dispositions loop).
+
+    Scale shape: pure per-row array expressions — the caption lookup is
+    ``element_at(spans, i)`` (the span before position ``i``), so there
+    is NO explode, NO window, NO shuffle: a 100 TB corpus streams
+    through as a map-only plan."""
+    sp = _span_array()
+    pairs = F.filter(
+        F.transform(
+            sp,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["media_ref"].alias("media_ref"),
+                # element_at is 1-based: position i IS the previous
+                # span.  transform evaluates BEFORE the media filter,
+                # so guard i=0 (the first span is always text, never
+                # media — the guarded value is unreachable).
+                F.element_at(sp, F.greatest(i, F.lit(1)))["text"].alias(
+                    "caption"
+                ),
+            ),
+        ),
+        lambda p: p["kind"] == F.lit("media"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(pairs).alias("media_ord", "p"))
+        .select(
+            "doc_id",
+            F.col("media_ord").cast("int").alias("media_ord"),
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.caption").alias("caption"),
+            F.size(F.split(F.col("p.caption"), " ")).cast("int").alias(
+                "n_caption_tokens"
+            ),
+        )
+    )
+
+
+def pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing: like
+    :func:`corpusprep.pack_sequences`, but each document's cost is its
+    TEXT tokens plus ``IMG_TOKENS`` per media span (vision-language
+    trainers budget a fixed number of positions per image).  Documents
+    are packed greedily in deterministic shuffle-key order into
+    sequences of ``SEQ_BUDGET`` positions per shard.
+
+    Scale shape: the cost is a per-row array fold over the span array
+    (no explode); packing reuses the per-shard cumulative-sum window —
+    shards parallelize, no global sort.  Dtype discipline: every
+    windowed sum is cast to BIGINT on both engines (DuckDB windowed
+    sums are HUGEINT)."""
+    sp = _span_array()
+    n_text = F.aggregate(
+        F.filter(sp, lambda s: s["kind"] == F.lit("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + F.size(F.split(s["text"], " ")),
+    )
+    n_media = F.size(F.filter(sp, lambda s: s["kind"] == F.lit("media")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (n_text + n_media.cast("bigint") * F.lit(IMG_TOKENS)).alias("cost"),
+        _shuffle_key().alias("h"),
+    )
+    d = d.withColumn("shard", (F.col("h") % N_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    cum_before = F.coalesce(
+        F.sum("cost").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        d.withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            "shard",
+            "cost",
+            F.floor(F.col("cum_before") / SEQ_BUDGET)
+            .cast("bigint")
+            .alias("seq_id"),
+            (F.col("cum_before") % SEQ_BUDGET).alias("offset_in_seq"),
+        )
+    )
+
+
 QUERIES = {
     "interleaved_spans": interleaved_spans,
     "span_reconstruct_check": span_reconstruct_check,
+    "media_caption_pairs": media_caption_pairs,
+    "pack_interleaved": pack_interleaved,
 }
 
 _SQL_SPANS = f"""
@@ -134,7 +232,59 @@ _SQL_SPANS = f"""
     FROM documents
 """
 
+# hash idiom kept in lockstep with corpusprep (same shuffle key)
+from .corpusprep import _SQL_H  # noqa: E402
+
 ORACLE_SQL = {
+    "media_caption_pairs": f"""
+        WITH s AS ({_SQL_SPANS}),
+        e AS (
+            SELECT doc_id, i, sp[i].media_ref AS media_ref,
+                   sp[i - 1].text AS caption
+            FROM s, unnest(generate_series(1, len(sp))) AS g(i)
+            WHERE sp[i].kind = 'media'
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                    AS INT) AS media_ord,
+               media_ref, caption,
+               CAST(len(string_split(caption, ' ')) AS INT)
+                   AS n_caption_tokens
+        FROM e
+    """,
+    "pack_interleaved": f"""
+        WITH s AS ({_SQL_SPANS}),
+        k AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                            list_filter(sp, x -> x.kind = 'text'),
+                            x -> len(string_split(x.text, ' '))))
+                        AS BIGINT)
+                   + {IMG_TOKENS} * len(list_filter(
+                            sp, x -> x.kind = 'media')) AS cost,
+                   {_SQL_H} AS h
+            FROM s
+        ),
+        sh AS (
+            SELECT doc_id, cost, h, CAST(h % {N_SHARDS} AS INT) AS shard
+            FROM k
+        ),
+        c AS (
+            -- DuckDB windowed sum() over integers is HUGEINT; cast at
+            -- the source so derived columns hash as BIGINT (the
+            -- round-2 driver red-row class)
+            SELECT doc_id, shard, cost,
+                   CAST(coalesce(sum(cost) OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM sh
+        )
+        SELECT doc_id, shard, cost,
+               CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+               cum_before % {SEQ_BUDGET} AS offset_in_seq
+        FROM c
+    """,
     "interleaved_spans": f"""
         WITH s AS ({_SQL_SPANS})
         SELECT doc_id,

@@ -40,3 +40,68 @@ def test_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_caption_pairs_precede_media(spark):
+    """Every media span's caption is the text span at offset-1, and
+    media_ord is dense 0..k-1 per document."""
+    spans = {
+        (r["doc_id"], r["offset"]): r
+        for r in interleaved.interleaved_spans(spark, SF_DIR).collect()
+    }
+    pairs = interleaved.media_caption_pairs(spark, SF_DIR).collect()
+    assert pairs
+    by_doc: dict[int, list] = {}
+    for p in pairs:
+        by_doc.setdefault(p["doc_id"], []).append(p)
+        # the media span itself exists at SOME offset with this ref;
+        # its caption is the text span right before it
+        m = [
+            (k, s)
+            for (k, s) in spans.items()
+            if k[0] == p["doc_id"] and s["media_ref"] == p["media_ref"]
+        ]
+        assert len(m) == 1
+        (doc, off), _ = m[0]
+        prev = spans[(doc, off - 1)]
+        assert prev["kind"] == "text"
+        assert p["caption"] == prev["text"]
+        assert p["n_caption_tokens"] == len(p["caption"].split(" "))
+    for rows in by_doc.values():
+        assert sorted(r["media_ord"] for r in rows) == list(range(len(rows)))
+
+
+def test_caption_pairs_plan_map_only(spark):
+    plan = (
+        interleaved.media_caption_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pack_interleaved_cost_and_budget(spark):
+    """Cost = text tokens + IMG_TOKENS per media span; within a shard,
+    consecutive docs in (h, doc_id) order tile the position stream
+    (cum_before is the running sum) and offset_in_seq < SEQ_BUDGET."""
+    from indigent_defense_stats_spark.operators.corpusprep import SEQ_BUDGET
+
+    recon = {
+        r["doc_id"]: r
+        for r in interleaved.span_reconstruct_check(spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    out = interleaved.pack_interleaved(spark, SF_DIR).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        want = len(docs[r["doc_id"]].split(" ")) + interleaved.IMG_TOKENS * (
+            recon[r["doc_id"]]["n_media_spans"]
+        )
+        assert r["cost"] == want
+        assert 0 <= r["offset_in_seq"] < SEQ_BUDGET
+        assert r["seq_id"] >= 0
