@@ -37,6 +37,7 @@ def _modules():
         crawl_queries,
         decontam,
         dedup,
+        graph,
         interleaved,
         pipeline_queries,
         ranking,
@@ -49,6 +50,7 @@ def _modules():
 
     return [
         relational,
+        graph,
         textstats,
         ranking,
         decontam,
@@ -76,6 +78,13 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "q1_pricing_summary",     # same query as sql_q1_pricing_summary
+                              # (eval'd) — DataFrame vs SQL-string API,
+                              # identical oracle
+    "exact_dedup_docs",       # content-hash dedup constituent of BOTH
+                              # clean_corpus (eval'd keeper) and
+                              # incremental_dedup (eval'd, same hash
+                              # groupBy against the corpus)
     "cross_doc_chunk_dup",    # chunk-df measurement CONSTITUENT of
                               # line_dedup (eval'd), which computes the
                               # same df join and then rewrites the docs

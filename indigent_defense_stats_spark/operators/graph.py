@@ -1,0 +1,182 @@
+"""Link-graph analytics over the click stream — the crawl tier's
+classic iterative workload.
+
+The reference scraper walks a link graph implicitly (county portal →
+search page → case page; scraper/__init__.py's nested loop IS a
+breadth-first traversal).  At web scale the same graph is *analyzed*,
+not just walked: PageRank over the link/navigation graph is the
+canonical crawl-priority signal.  Here the graph is derived
+deterministically from the ``events`` table: each user's consecutive
+events (ordered by ts, event_id) form a navigation edge between the
+pages in ``props.k`` — a click graph.
+
+Cross-engine determinism: PageRank is usually float arithmetic, whose
+SUM ORDER differs between engines (Spark's partial aggregation vs
+DuckDB's sequential scan), so value-hash comparison would flake in the
+last ulp.  This implementation therefore runs in FIXED-POINT integer
+arithmetic: ranks are BIGINTs scaled by 10^12, every step is integer
+division (``div`` / ``//``) and integer sums, which are associative
+and order-independent — bit-identical on any engine, any partitioning.
+The damping step is the rational form (15·base + 85·Σcontrib) div 100.
+Dangling pages (no out-edges) leak their rank mass — the bounded
+"leak" formulation, documented rather than redistributed, identical on
+both engines.
+
+Scale shape (10^10-edge graph):
+- edge building: one window per user (shuffle by user_id, linear) +
+  one (src, dst) aggregate (linear, map-side partial);
+- the per-src out-weight is joined ONCE and the weighted edge list is
+  ``localCheckpoint``-ed, so each iteration re-reads a materialized
+  edge table instead of recomputing the window lineage;
+- each iteration is one shuffle of the rank table keyed by page (the
+  edge side stays put) + one linear contribution aggregate keyed by
+  dst; hub-page skew is AQE-split (skew-join) and the rank table is
+  orders of magnitude smaller than the edge table, so at cluster scale
+  the rank side broadcasts;
+- lineage is truncated per iteration with ``localCheckpoint`` (the
+  iterative-algorithm idiom; without it the plan doubles every round).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+SCALE = 10**12  # fixed-point denominator for rank mass
+N_ITERS = 5
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a rational
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def click_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted navigation edges: consecutive events per user (ts,
+    event_id order) link page ``props.k`` to the next page; self-loops
+    dropped; weight = transition count; ``ow`` = total out-weight of
+    the source page (the PageRank denominator)."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("dst", F.lead("page").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("page")))
+        .groupBy(F.col("page").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    return edges.join(ow, "src").select("src", "dst", "w", "ow")
+
+
+def click_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the click graph, N_ITERS iterations.
+
+    Returns (page, pr_scaled) where pr_scaled is the rank in units of
+    1/SCALE — BIGINT, bit-identical across engines (see module
+    docstring)."""
+    edges = click_graph_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("page"))
+        .union(edges.select(F.col("dst").alias("page")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar aggregate — bounded driver state
+    base = SCALE // n
+    ranks = nodes.select("page", F.lit(base).cast("bigint").alias("pr"))
+    for _ in range(N_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["page"])
+            .select("dst", F.expr("(pr div ow) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["page"] == contrib["dst"], "left")
+            .select(
+                "page",
+                F.expr(
+                    f"CAST(({DAMP_DEN - DAMP_NUM} * CAST({base} AS BIGINT)"
+                    f" + {DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                    f" div {DAMP_DEN} AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("page", F.col("pr").alias("pr_scaled"))
+
+
+QUERIES = {
+    "click_graph_edges": click_graph_edges,
+    "click_pagerank": click_pagerank,
+}
+
+_SQL_EDGES = """
+    e0 AS (
+        SELECT user_id, event_id, ts,
+               CAST(json_extract_string(props, '$.k') AS INT) AS page
+        FROM events
+    ),
+    ed AS (
+        SELECT page AS src,
+               lead(page) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+        FROM e0
+    ),
+    e AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        FROM ed WHERE dst IS NOT NULL AND dst <> src
+        GROUP BY src, dst
+    ),
+    o AS (
+        SELECT src AS osrc, CAST(sum(w) AS BIGINT) AS ow
+        FROM e GROUP BY src
+    ),
+    ew AS (
+        SELECT src, dst, w, ow FROM e JOIN o ON e.src = o.osrc
+    )
+"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled N_ITERS-iteration fixed-point PageRank (same integer
+    arithmetic as the Spark side; DuckDB // is integer division and
+    sums are cast back to BIGINT at every step)."""
+    parts = [
+        f"WITH {_SQL_EDGES}",
+        """,
+    n AS (SELECT DISTINCT page FROM
+          (SELECT src AS page FROM e UNION SELECT dst FROM e)),
+    cnt AS (SELECT count(*) AS nn FROM n)""",
+        f""",
+    r0 AS (SELECT page, CAST({SCALE} // nn AS BIGINT) AS pr FROM n, cnt)""",
+    ]
+    for i in range(N_ITERS):
+        parts.append(
+            f""",
+    c{i + 1} AS (
+        SELECT ew.dst, CAST(sum((r.pr // ew.ow) * ew.w) AS BIGINT) AS s
+        FROM ew JOIN r{i} r ON ew.src = r.page
+        GROUP BY ew.dst
+    ),
+    r{i + 1} AS (
+        SELECT n.page,
+               CAST(({DAMP_DEN - DAMP_NUM} * CAST({SCALE} // cnt.nn AS BIGINT)
+                     + {DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN}
+                    AS BIGINT) AS pr
+        FROM n CROSS JOIN cnt
+        LEFT JOIN c{i + 1} c ON n.page = c.dst
+    )"""
+        )
+    parts.append(f"\n    SELECT page, pr AS pr_scaled FROM r{N_ITERS}")
+    return "".join(parts)
+
+
+ORACLE_SQL = {
+    "click_graph_edges": f"WITH {_SQL_EDGES} SELECT src, dst, w, ow FROM ew",
+    "click_pagerank": _pagerank_sql(),
+}

@@ -1,0 +1,85 @@
+"""Click-graph PageRank: fixed-point semantics + plan shape.
+(Exact DuckDB-oracle equality is covered by the driver and
+scripts/check_oracles.py.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from indigent_defense_stats_spark.operators import graph
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tiny_events(spark, tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, k)."""
+    df = spark.createDataFrame(
+        [
+            (eid, ts, uid, "view", 1.0, '{"k": %d}' % k)
+            for (eid, ts, uid, k) in rows
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    return str(tmp_path)
+
+
+def test_pagerank_hand_graph(spark, tmp_path):
+    """One user walks 1 -> 2 -> 3 -> 2: edges (1->2), (2->3), (3->2).
+    Fixed-point iteration by hand for 1 step from uniform base:
+    base = SCALE//3; r1(1) = 15*base//100 (no in-edges),
+    r1(2) = (15*base + 85*(base + base))//100, r1(3) = (15*base +
+    85*base)//100.  Page 1 keeps exactly the no-in-edge rank after
+    every iteration."""
+    d = _tiny_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:01", 7, 1),
+            (2, "2024-01-01 00:00:02", 7, 2),
+            (3, "2024-01-01 00:00:03", 7, 3),
+            (4, "2024-01-01 00:00:04", 7, 2),
+        ],
+    )
+    edges = {
+        (r["src"], r["dst"]): (r["w"], r["ow"])
+        for r in graph.click_graph_edges(spark, d).collect()
+    }
+    assert edges == {(1, 2): (1, 1), (2, 3): (1, 1), (3, 2): (1, 1)}
+    pr = {r["page"]: r["pr_scaled"] for r in graph.click_pagerank(spark, d).collect()}
+    base = graph.SCALE // 3
+    leaf = (15 * base) // 100
+    assert pr[1] == leaf  # no in-edges: base term only, every iteration
+    assert pr[2] > pr[3] > pr[1]  # 2 has two in-edges incl. the cycle
+    # rank mass never exceeds the scale (leak formulation loses mass
+    # only to integer floors and dangling pages; here there are none
+    # dangling, so only floor loss)
+    assert sum(pr.values()) <= graph.SCALE
+
+
+def test_pagerank_mass_and_determinism(spark):
+    out = graph.click_pagerank(spark, SF_DIR)
+    rows = {r["page"]: r["pr_scaled"] for r in out.collect()}
+    assert rows and all(v >= 0 for v in rows.values())
+    # total fixed-point mass is bounded by SCALE and close to it
+    # (floor + dangling leak only)
+    assert sum(rows.values()) <= graph.SCALE
+    assert sum(rows.values()) > graph.SCALE * 0.5
+    again = {
+        r["page"]: r["pr_scaled"]
+        for r in graph.click_pagerank(spark, SF_DIR).collect()
+    }
+    assert rows == again  # bit-identical re-run (integer arithmetic)
+
+
+def test_edges_weights_consistent(spark):
+    rows = graph.click_graph_edges(spark, SF_DIR).collect()
+    assert rows
+    by_src: dict[int, int] = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        by_src[r["src"]] = by_src.get(r["src"], 0) + r["w"]
+    for r in rows:
+        assert r["ow"] == by_src[r["src"]]
