@@ -85,6 +85,11 @@ _TAIL = [
                               # clean_corpus (eval'd keeper) and
                               # incremental_dedup (eval'd, same hash
                               # groupBy against the corpus)
+    "repetition_stats",       # its repetition thresholds are applied
+                              # INSIDE the evaluated clean_corpus
+                              # composition; gopher_quality_filters
+                              # (eval'd) carries the same paper's
+                              # absolute document rules
     "cross_doc_chunk_dup",    # chunk-df measurement CONSTITUENT of
                               # line_dedup (eval'd), which computes the
                               # same df join and then rewrites the docs

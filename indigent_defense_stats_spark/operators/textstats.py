@@ -271,8 +271,52 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher document-quality rule set (Rae et al. 2021, arXiv:2112.11446
+# §A.1.1): published absolute thresholds, applied per document.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10  # mean word length bounds
+GOPHER_MIN_STOP = 2  # distinct stopwords required
+
+
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-level quality rules with per-rule flags:
+    word-count bounds, mean-word-length bounds, and the >=2-distinct-
+    stopwords requirement (the repetition rules of the same paper are
+    :func:`decontam.repetition_stats`).
+
+    Float discipline: the mean-word-length RULE is evaluated as exact
+    integer comparisons (``chars >= 3*n and chars <= 10*n``) so the
+    keep decision can never flake on float rounding; the reported mean
+    is a single division, rounded for display.  Zero shuffle — pure
+    per-row array folds over the parquet scan; at 100 TB this is a
+    map-only pass like the rest of this module."""
+    t = _tokens()
+    n = F.size(t)
+    chars = F.aggregate(
+        t, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    stop_lits = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop = F.size(
+        F.array_distinct(F.filter(t, lambda w: F.array_contains(stop_lits, w)))
+    )
+    pass_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    pass_mwl = (chars >= GOPHER_MIN_MWL * n) & (chars <= GOPHER_MAX_MWL * n)
+    pass_stop = n_stop >= GOPHER_MIN_STOP
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(chars.cast("double") / n, 6).alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_stop).alias("keep"),
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "gopher_quality_filters": gopher_quality_filters,
     "quality_thresholds": quality_thresholds,
     "quality_score": quality_score,
     "lang_id": lang_id,
@@ -289,7 +333,40 @@ def _sql_hits(words: list[str]) -> str:
     return f"len(list_filter({_SQL_TOKENS}, t -> list_contains({arr}, t)))"
 
 
+_SQL_STOP_DISTINCT = (
+    "len(list_distinct(list_filter({toks}, t -> list_contains({arr}, t))))"
+)
+
 ORACLE_SQL = {
+    "gopher_quality_filters": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKENS}) AS INT) AS n_words,
+                   CAST(list_sum(list_transform({_SQL_TOKENS},
+                                                w -> len(w))) AS BIGINT)
+                       AS chars,
+                   CAST({_SQL_STOP_DISTINCT.format(
+                       toks=_SQL_TOKENS,
+                       arr="[" + ",".join(f"'{w}'" for w in EN_STOP) + "]",
+                   )} AS INT) AS n_stop_distinct
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               round(chars * 1.0 / n_words, 6) AS mean_word_len,
+               n_stop_distinct,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}) AS pass_word_count,
+               (chars >= {GOPHER_MIN_MWL} * n_words
+                AND chars <= {GOPHER_MAX_MWL} * n_words)
+                   AS pass_mean_word_len,
+               (n_stop_distinct >= {GOPHER_MIN_STOP}) AS pass_stopwords,
+               ((n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS})
+                AND (chars >= {GOPHER_MIN_MWL} * n_words
+                     AND chars <= {GOPHER_MAX_MWL} * n_words)
+                AND n_stop_distinct >= {GOPHER_MIN_STOP}) AS keep
+        FROM d
+    """,
     "quality_thresholds": f"""
         WITH q AS (
             SELECT source,

@@ -25,3 +25,51 @@ def test_approx_percentiles_track_exact(spark):
             assert abs(a[p] - e[p]) <= 0.1, (src, p, a[p], e[p])
         # medians must be close in rank: p10 <= p50 <= p90 always
         assert a["p10"] <= a["p50"] <= a["p90"]
+
+
+def test_gopher_filters_rules(spark):
+    """Per-rule flags recompute from the row's own reported stats, the
+    mean-word-length rule agrees with its exact integer form, and the
+    word-count rule actually discriminates on this corpus."""
+    from indigent_defense_stats_spark.operators import textstats
+
+    rows = textstats.gopher_quality_filters(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)  # both outcomes occur
+    for r in rows:
+        assert r["pass_word_count"] == (
+            textstats.GOPHER_MIN_WORDS
+            <= r["n_words"]
+            <= textstats.GOPHER_MAX_WORDS
+        )
+        assert r["pass_stopwords"] == (
+            r["n_stop_distinct"] >= textstats.GOPHER_MIN_STOP
+        )
+        # reported mean is consistent with the integer-form rule
+        if r["pass_mean_word_len"]:
+            assert (
+                textstats.GOPHER_MIN_MWL
+                <= r["mean_word_len"]
+                <= textstats.GOPHER_MAX_MWL
+            )
+        assert r["keep"] == (
+            r["pass_word_count"]
+            and r["pass_mean_word_len"]
+            and r["pass_stopwords"]
+        )
+
+
+def test_gopher_filters_plan_map_only(spark):
+    from indigent_defense_stats_spark.operators import textstats
+
+    plan = (
+        textstats.gopher_quality_filters(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
