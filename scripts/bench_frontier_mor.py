@@ -95,8 +95,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--waves", type=int, default=6)
     ap.add_argument("--wave-size", type=int, default=5000)
-    ap.add_argument("--small", type=int, default=100_000)
-    ap.add_argument("--big", type=int, default=1_000_000)
+    ap.add_argument(
+        "--sizes",
+        type=int,
+        nargs="+",
+        default=[100_000, 1_000_000, 10_000_000],
+        help="pending-set sizes; each decade the wave latency must stay flat",
+    )
     args = ap.parse_args()
 
     from indigent_defense_stats_spark.session import get_spark
@@ -104,16 +109,19 @@ def main() -> None:
     spark = get_spark(app_name="mor-bench", master="local[8]")
     spark.range(1000).count()  # warm
     cells = [
-        run_cell(spark, args.small, args.waves, args.wave_size),
-        run_cell(spark, args.big, args.waves, args.wave_size),
+        run_cell(spark, n, args.waves, args.wave_size) for n in args.sizes
     ]
-    small, big = cells
+    small, big = cells[0], cells[-1]
     out = {
         "cells": cells,
-        "frontier_ratio": round(args.big / args.small, 1),
+        "frontier_ratio": round(big["n_pending"] / small["n_pending"], 1),
         "wave_latency_ratio": round(
             big["wave_wall_median"] / small["wave_wall_median"], 3
         ),
+        "wave_latency_ratio_per_decade": [
+            round(b["wave_wall_median"] / a["wave_wall_median"], 3)
+            for a, b in zip(cells, cells[1:])
+        ],
         "note": (
             "wave_latency_ratio ~1.0 => frontier transition is O(wave);"
             " read_wall scales with pending (merge-on-read, by design —"
