@@ -235,7 +235,15 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length >= k contains a duplicated k-window, so coverage is a
     superset marker at granularity k).  Coverage here is computed as
     distinct covered indices (O(dups x k) intermediate); swap for the
-    sorted interval-union fold when dup density is high."""
+    sorted interval-union fold when dup density is high.
+
+    Shuffle-key note (measured, round 3): hashing each gram to a
+    60-bit int before the explode cuts shuffle bytes ~10x, but at
+    sf0.1/local[32] it is a net LOSS (2.2 s -> 2.9 s warm — the
+    md5+conv per gram costs more than the memory-speed local shuffle
+    saves), so the string key stays; on a real network-shuffled
+    cluster the hash wins and is a two-line change here plus the same
+    md5 idiom in the oracle."""
     K = NGRAM
     d = _docs(spark, sf_dir).withColumn("_toks", _tokens())
     grams = d.select(
