@@ -180,6 +180,18 @@ def main() -> None:
         default=2,
         help="clean runs per cell; cell value = best (samples recorded)",
     )
+    ap.add_argument(
+        "--submit",
+        action="store_true",
+        help=(
+            "run each cell via `spark-submit --master local[N] --py-files"
+            " <pkg zip>` from a copy of this script OUTSIDE the repo, so"
+            " the package is imported from the shipped zip — the exact"
+            " deployment mode BASELINE.json's north_rule names.  Cells"
+            " are recorded under `<job>@submit` so they extend the"
+            " in-process matrix instead of replacing it."
+        ),
+    )
     args = ap.parse_args()
 
     if args.job and args.cpus:
@@ -195,14 +207,38 @@ def main() -> None:
     env["SPARK_GRAFT_CASE_POOL_SCALE"] = str(POOL_SCALE)
     import statistics
 
+    submit_dir = None
+    if args.submit:
+        # Package the engine the way a cluster deployment ships it and
+        # strip the repo from PYTHONPATH: the only import path for
+        # indigent_defense_stats_spark in the cell is the --py-files zip.
+        import shutil
+        import tempfile
+
+        spark_submit = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+        if not os.path.exists(spark_submit):
+            raise SystemExit(f"--submit: {spark_submit} not found")
+        submit_dir = tempfile.mkdtemp(prefix="ids-submit-")
+        zip_path = shutil.make_archive(
+            os.path.join(submit_dir, "ids_spark"),
+            "zip",
+            root_dir=REPO,
+            base_dir="indigent_defense_stats_spark",
+        )
+        driver_script = os.path.join(submit_dir, "bench_cell.py")
+        shutil.copy(os.path.abspath(__file__), driver_script)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p
+            for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and p != REPO
+        )
+
     jobs = [j for j in args.jobs.split(",") if j]
     levels = [int(x) for x in args.cpu_levels.split(",") if x]
     cells = []
     for job in jobs:
         for cpus in levels:
-            cmd = [
-                sys.executable,
-                os.path.abspath(__file__),
+            cell_args = [
                 "--job",
                 job,
                 "--cpus",
@@ -214,6 +250,17 @@ def main() -> None:
                 "--n-days",
                 str(args.n_days),
             ]
+            if args.submit:
+                cmd = [
+                    spark_submit,
+                    "--master",
+                    f"local[{cpus}]",
+                    "--py-files",
+                    zip_path,
+                    driver_script,
+                ] + cell_args
+            else:
+                cmd = [sys.executable, os.path.abspath(__file__)] + cell_args
             tputs, wall_samples = [], []
             for rep in range(args.repeat):
                 print(f">>> {job} @ local[{cpus}] run {rep + 1}/{args.repeat}", flush=True)
@@ -234,7 +281,7 @@ def main() -> None:
             # All samples are recorded; median is derivable from them.
             cells.append(
                 {
-                    "job": job,
+                    "job": job + "@submit" if args.submit else job,
                     "cpus": cpus,
                     "tput": round(max(tputs), 1),
                     "wall": round(min(wall_samples), 1),
@@ -256,7 +303,9 @@ def main() -> None:
             c for c in prev.get("cells", []) if (c["job"], c["cpus"]) not in ran
         ] + cells
         order = {j: i for i, j in enumerate(JOBS)}
-        cells.sort(key=lambda c: (order.get(c["job"], 99), c["cpus"]))
+        cells.sort(
+            key=lambda c: (order.get(c["job"].split("@")[0], 99), c["job"], c["cpus"])
+        )
 
     report = {
         "cells": cells,
@@ -318,6 +367,15 @@ def write_md(out_dir: str, report: dict) -> None:
         "is analytic — 254 x 5 = 1,270 URLs/s — and its efficiency",
         "SHOULD be ~1/4 per 4x cores: throughput pins to the politeness",
         "ceiling, not the core count, which is the production regime.",
+        "",
+        "`fetchparse@submit` is the SAME fetchparse job run in the north",
+        "rule's literal deployment mode: `spark-submit --master local[N]",
+        "--py-files ids_spark.zip` from a driver script copied OUTSIDE",
+        "the repo with the repo stripped from PYTHONPATH, so the engine",
+        "is imported from the shipped zip exactly as a cluster submit",
+        "would (`bench_scaling.py --submit`).  Its N->4N numbers carry",
+        "the same machine ceiling as the in-process cells; 2->8 is the",
+        "pair below the SMT knee and is the rule's evidence row.",
         "",
         "| job | cores | wall s | URLs/s |",
         "|---|---|---|---|",
