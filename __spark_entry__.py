@@ -108,6 +108,12 @@ _TAIL = [
     "tfidf_topk",             # ranking family: bm25_search (eval'd) is
                               # tf-idf with saturation + length norm —
                               # same postings join, stricter scorer
+    "inverted_index",         # ranking family: materializes the SAME
+                              # tf/df aggregates tfidf_topk/bm25_search
+                              # (eval'd) compute, as the index artifact
+    "media_caption_dedup",    # composition of media_caption_pairs
+                              # (eval'd) + the exact-dedup window shape
+                              # (clean_corpus keeper, eval'd)
     "media_frame_sample",     # media-plumbing family (same)
     "ann_topk_ivf",           # ann_topk_ivf_indexed (eval'd) materializes
                               # the SAME assignment; shares its oracle

@@ -209,11 +209,39 @@ def pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-hash media dedup over the interleaved span table: two
+    media spans whose mined captions are byte-identical are treated as
+    duplicates (the LAION-style text-side dedup of an image/text
+    corpus — identical alt-text overwhelmingly means the same asset
+    re-embedded).  Keeper = lexicographically smallest media_ref in
+    the caption group (ASCII refs, so min() agrees byte-for-byte
+    across engines).
+
+    Scale shape: one linear shuffle keyed by the caption hash (the
+    exact-dedup shape from ``dedup.exact_dedup_docs`` applied to the
+    media axis); boilerplate captions form hot keys, which AQE
+    skew-split handles — and at 100 TB the same banding used by
+    ``minhash_lsh_neardup`` extends this to NEAR-duplicate captions."""
+    p = media_caption_pairs(spark, sf_dir).withColumn(
+        "caption_md5", F.md5(F.col("caption"))
+    )
+    w = Window.partitionBy("caption_md5")
+    return p.select(
+        "doc_id",
+        "media_ref",
+        "caption_md5",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.col("media_ref") == F.min("media_ref").over(w)).alias("is_keeper"),
+    )
+
+
 QUERIES = {
     "interleaved_spans": interleaved_spans,
     "span_reconstruct_check": span_reconstruct_check,
     "media_caption_pairs": media_caption_pairs,
     "pack_interleaved": pack_interleaved,
+    "media_caption_dedup": media_caption_dedup,
 }
 
 _SQL_SPANS = f"""
@@ -290,6 +318,23 @@ ORACLE_SQL = {
                CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
                cum_before % {SEQ_BUDGET} AS offset_in_seq
         FROM c
+    """,
+    "media_caption_dedup": f"""
+        WITH s AS ({_SQL_SPANS}),
+        e AS (
+            SELECT doc_id, i, sp[i].media_ref AS media_ref,
+                   sp[i - 1].text AS caption
+            FROM s, unnest(generate_series(1, len(sp))) AS g(i)
+            WHERE sp[i].kind = 'media'
+        ),
+        p AS (
+            SELECT doc_id, media_ref, md5(caption) AS caption_md5 FROM e
+        )
+        SELECT doc_id, media_ref, caption_md5,
+               count(*) OVER (PARTITION BY caption_md5) AS n_copies,
+               media_ref = min(media_ref) OVER (PARTITION BY caption_md5)
+                   AS is_keeper
+        FROM p
     """,
     "interleaved_spans": f"""
         WITH s AS ({_SQL_SPANS})

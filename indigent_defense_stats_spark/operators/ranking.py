@@ -159,9 +159,92 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stop-list rule: a term is stop-listed when it appears in more than
+# 1/INDEX_STOP_DEN of all documents — compared in exact integer form
+# (df * INDEX_STOP_DEN > n_docs) so both engines decide identically
+INDEX_STOP_DEN = 10
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-engine index-build op:
+    one output row per vocabulary term (unigrams AND word bigrams, the
+    shingle index a phrase-capable engine builds) with document
+    frequency, total term frequency, and a postings list
+    ``"doc:tf doc:tf ..."`` sorted by doc_id (serialized as a string
+    so the value is byte-identical across engines; a production sink
+    would write the struct array).
+
+    Terms in more than ``1/INDEX_STOP_DEN`` of all documents are
+    STOP-LISTED: their postings are NULL (df/total_tf still reported).
+    That is both the standard index policy (a stopword's postings list
+    is as long as the corpus and useless for retrieval) and the skew
+    guard: by Zipf the stop set is tiny, so it broadcasts, and the
+    heavy postings aggregation never materializes a hot term's list.
+    The rule is a document-count FRACTION, not an absolute cap, so it
+    classifies identically at every scale factor.
+
+    Scale shape: tf aggregate (partial+final, one long per distinct
+    (term,doc)) -> vocabulary-sized df aggregate -> broadcast ANTI
+    join of tf against the stop set (the seen-filter shape from the
+    frontier) -> per-term sorted postings fold.  All shuffles are
+    keyed by term and linear in postings; per-key materialization is
+    bounded by the stop rule.  At 100 TB you additionally range-bucket
+    the output by term for merge-friendly segment files.
+
+    Reference analog: the charge-term statistics family (SURVEY.md §2
+    P13/F12) materialized as the retrieval artifact instead of a scan.
+    """
+    t = F.col("_toks")
+    # bigrams: zip tokens with themselves shifted by one; zip_with
+    # pads the shorter side with null, so the final pair concats to
+    # null and the explode-side filter drops it
+    bigrams = F.zip_with(
+        t,
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    toks = (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", _tokens())
+        .select("doc_id", F.explode(F.concat(t, bigrams)).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    n_docs = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * INDEX_STOP_DEN > F.col("n_docs"))
+        .select("term")
+    )
+    postings = (
+        tf.join(F.broadcast(stop), "term", "left_anti")
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat(
+                        s["doc_id"].cast("string"),
+                        F.lit(":"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(postings, "term", "left").select(
+        "term", "df", "total_tf", "postings"
+    )
+
+
 QUERIES = {
     "tfidf_topk": tfidf_topk,
     "bm25_search": bm25_search,
+    "inverted_index": inverted_index,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -220,5 +303,38 @@ ORACLE_SQL = {
                )}, 6) AS score
         FROM base CROSS JOIN stats
         ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP_K}
+    """,
+    # total_tf: DuckDB sum(BIGINT) is HUGEINT — cast (dtype contract)
+    "inverted_index": f"""
+        WITH tt AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+        toks AS (
+            SELECT doc_id, unnest(list_concat(
+                t,
+                list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])
+            )) AS term
+            FROM tt
+        ),
+        tf AS (
+            SELECT term, doc_id, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT term, count(*) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        p AS (
+            SELECT term,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                              CAST(tf AS VARCHAR), ' ' ORDER BY doc_id)
+                       AS postings
+            FROM tf GROUP BY 1
+        )
+        SELECT agg.term, df, total_tf,
+               CASE WHEN df * {INDEX_STOP_DEN} <= n.n_docs
+                    THEN p.postings END AS postings
+        FROM agg JOIN p USING (term) CROSS JOIN n
     """,
 }

@@ -105,3 +105,38 @@ def test_pack_interleaved_cost_and_budget(spark):
         assert r["cost"] == want
         assert 0 <= r["offset_in_seq"] < SEQ_BUDGET
         assert r["seq_id"] >= 0
+
+
+def test_media_caption_dedup_groups_and_keeper(spark, tmp_path):
+    """Two docs sharing an aligned caption chunk -> their media spans
+    group on the caption hash; keeper = smallest media_ref; exactly
+    one keeper per group."""
+    C, M = interleaved.CHUNK, interleaved.MEDIA_EVERY
+    shared = " ".join(f"s{i}" for i in range(C * M))  # identical 3 chunks
+    tail_a = " ".join(f"a{i}" for i in range(C * M))
+    tail_b = " ".join(f"b{i}" for i in range(C * M))
+    solo = " ".join(f"z{i}" for i in range(C * M))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (1, f"{shared} {tail_a}", "en", "s", 10),
+            (2, f"{shared} {tail_b}", "en", "s", 10),
+            (3, solo, "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = interleaved.media_caption_dedup(spark, d).collect()
+    by_ref = {r["media_ref"]: r for r in rows}
+    # docs 1 and 2 share the caption before their FIRST media span
+    assert by_ref["m://1/0"]["caption_md5"] == by_ref["m://2/0"]["caption_md5"]
+    assert by_ref["m://1/0"]["n_copies"] == 2
+    assert by_ref["m://1/0"]["is_keeper"] and not by_ref["m://2/0"]["is_keeper"]
+    # second media spans have diverged captions -> singleton groups
+    assert by_ref["m://1/1"]["caption_md5"] != by_ref["m://2/1"]["caption_md5"]
+    assert by_ref["m://3/0"]["n_copies"] == 1 and by_ref["m://3/0"]["is_keeper"]
+    # exactly one keeper per caption group
+    groups: dict[str, int] = {}
+    for r in rows:
+        groups[r["caption_md5"]] = groups.get(r["caption_md5"], 0) + r["is_keeper"]
+    assert all(v == 1 for v in groups.values())

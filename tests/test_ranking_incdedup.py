@@ -156,3 +156,43 @@ def test_incremental_near_dups_verify_against_bruteforce(spark, tmp_path):
     assert set(out) == {2, 5, 1_000_000}  # new batch + refetch of doc 0
     assert out[2]["dup_near"] and not out[2]["dup_exact"] and not out[2]["keep"]
     assert out[5]["keep"] and not out[5]["dup_near"] and not out[5]["dup_exact"]
+
+
+def test_inverted_index_postings_and_stop_rule(spark, tmp_path):
+    """Hand corpus: postings are doc_id-sorted doc:tf entries over
+    unigrams AND bigrams; a term in > 1/INDEX_STOP_DEN of docs is
+    stop-listed (NULL postings) while keeping df/total_tf."""
+    # 11 docs; "hot" appears in 2 (2*10 > 11 -> stop-listed);
+    # "cold" in 1; bigram "cold snap" in 1
+    rows = [(1, "hot cold snap", "en", "s", 10), (2, "hot hot end", "en", "s", 10)]
+    rows += [(i, f"u{i} filler{i}", "en", "s", 10) for i in range(3, 12)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["term"]: r for r in ranking.inverted_index(spark, d).collect()}
+    assert out["hot"]["df"] == 2 and out["hot"]["total_tf"] == 3
+    assert out["hot"]["postings"] is None  # stop-listed: 2*10 > 11
+    assert out["cold"]["postings"] == "1:1"
+    assert out["cold snap"]["postings"] == "1:1"  # bigram indexed
+    assert out["hot hot"]["postings"] == "2:1"
+    # postings sorted by doc_id and tf correct for a multi-doc term
+    assert all(
+        r["postings"] is None
+        or [int(p.split(":")[0]) for p in r["postings"].split(" ")]
+        == sorted(int(p.split(":")[0]) for p in r["postings"].split(" "))
+        for r in out.values()
+    )
+
+
+def test_inverted_index_df_equals_postings_len(spark):
+    """On real testdata: every non-stop term's postings length == df,
+    and every stop-listed term exceeds the document-fraction rule."""
+    out = ranking.inverted_index(spark, SF_DIR)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = out.collect()
+    assert any(r["postings"] is None for r in rows)  # both branches
+    assert any(r["postings"] is not None for r in rows)
+    for r in rows:
+        if r["postings"] is None:
+            assert r["df"] * ranking.INDEX_STOP_DEN > n_docs
+        else:
+            assert r["df"] * ranking.INDEX_STOP_DEN <= n_docs
+            assert len(r["postings"].split(" ")) == r["df"]
