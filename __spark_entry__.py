@@ -43,6 +43,7 @@ def _modules():
         ranking,
         relational,
         similarity,
+        temporal,
         textstats,
     )
     from indigent_defense_stats_spark.sources import views
@@ -50,6 +51,7 @@ def _modules():
 
     return [
         relational,
+        temporal,
         graph,
         textstats,
         ranking,
@@ -78,6 +80,12 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "click_graph_edges",      # edge-builder CONSTITUENT of the eval'd
+                              # click_pagerank (pagerank consumes the
+                              # same lead-window edges + out-weights)
+    "earliest_date_per_order",# min-date-per-group family: the eval'd
+                              # cleaned_cases computes the same earliest
+                              # -date aggregate inside the clean stage
     "q1_pricing_summary",     # same query as sql_q1_pricing_summary
                               # (eval'd) — DataFrame vs SQL-string API,
                               # identical oracle

@@ -55,6 +55,10 @@ OPTIONAL = [
     "pack_interleaved",
     "click_pagerank",
     "mixture_sample",
+    # round-3 temporal joins (as-of = single-shuffle window re-expression)
+    "asof_attribution",
+    "range_attribution",
+    "inverted_index",
 ]
 
 

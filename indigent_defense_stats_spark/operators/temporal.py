@@ -1,0 +1,189 @@
+"""Temporal join operators over the ``events`` table: AS-OF join and
+RANGE join — the two standard time-alignment joins Spark's optimizer
+has no native operator for (both degrade to a per-key theta join if
+written naively, which is O(n·m) per key and unusable at 100 TB).
+
+- :func:`asof_attribution` — marketing-attribution as-of join: for
+  each ``purchase`` event, the same user's most recent ``click`` at or
+  before it.  Distributed re-expression: tag both sides, UNION them,
+  and run ONE hash shuffle on ``user_id`` with a per-key time sort;
+  ``last(click, ignorenulls)`` over the unbounded-preceding window
+  carries the latest click forward to every purchase.  Shuffle bytes
+  are linear in the event count, there is no range explosion and no
+  join at all — the window IS the join.  (DuckDB grew a native
+  ``ASOF JOIN`` for exactly this pattern; the oracle uses it, so the
+  engine is checked against a first-class independent implementation.)
+
+- :func:`range_attribution` — bounded-window range join: for each
+  ``signup`` event, how many ``click`` events the same user produced
+  in the following hour.  Distributed re-expression: bucket both sides
+  into window-sized time bins; a signup's matches can only live in its
+  own bin or the next one, so exploding the anchor side to 2 bins
+  turns the range predicate into an EQUI-join on ``(user_id, bin)``
+  followed by an exact range filter — linear shuffle, bounded
+  amplification (2x on the small side), never a theta join.  Bin skew
+  (flash-crowd hours) is AQE skew-split territory; the bin width is
+  chosen equal to the window so the 2-bin cover is exact.
+
+Determinism contract: ``(user_id, ts)`` is unique in the events table
+(no as-of ties to break); output timestamps are epoch SECONDS via
+floor division on both engines (Spark ``cast(ts as long)`` truncates,
+DuckDB ``epoch_us(ts) // 1000000`` floors — identical post-1970).
+
+Reference analog: the reference aligns charge dates to events by
+scanning within one case record (SURVEY.md §2 A3/W2 family,
+reference: src/cleaner/__init__.py earliest-charge-date loop); these
+operators are that alignment generalized to corpus-scale temporal
+joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+ASOF_LEFT_TYPE = "purchase"  # rows being attributed
+ASOF_RIGHT_TYPE = "click"  # rows attributed to
+RANGE_ANCHOR_TYPE = "signup"
+RANGE_MATCH_TYPE = "click"
+RANGE_WINDOW_S = 3600  # bin width == window length -> 2-bin cover
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet ts is TIMESTAMP_NTZ, which Spark refuses to cast to long;
+    # cast to (LTZ) timestamp first — the harness session runs UTC, so
+    # epoch seconds agree with DuckDB's naive-as-UTC epoch_us (same
+    # idiom as streaming/sessions.py)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent prior click per purchase (as-of join), via the
+    union + per-key sort + ``last(ignorenulls)`` window — one shuffle,
+    no theta join."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id",
+        "ts",
+        # side orders clicks before purchases at equal ts so an
+        # exactly-simultaneous click would be visible (ts are unique
+        # per user in this table; kept for semantic completeness)
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "side",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(
+            F.when(F.col("click_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    ts_s = F.col("ts").cast("long")
+    return merged.filter(F.col("side") == 1).select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        ts_s.alias("ts_s"),
+        "click_id",
+        (ts_s - F.col("click_ts").cast("long")).alias("lag_s"),
+    )
+
+
+def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks per user within ``RANGE_WINDOW_S`` after each signup
+    (range join), via window-sized time bins: explode the anchor to
+    (bin, bin+1), equi-join on (user_id, bin), exact-filter the range."""
+    ev = _events(spark, sf_dir)
+    bin_of = (F.col("ts").cast("long") / RANGE_WINDOW_S).cast("long")
+    s = ev.filter(F.col("event_type") == RANGE_ANCHOR_TYPE).select(
+        F.col("event_id").alias("sid"),
+        "user_id",
+        F.col("ts").alias("sts"),
+        bin_of.alias("sbin"),
+    )
+    c = ev.filter(F.col("event_type") == RANGE_MATCH_TYPE).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        bin_of.alias("cbin"),
+    )
+    probe = s.withColumn(
+        "b", F.explode(F.array(F.col("sbin"), F.col("sbin") + 1))
+    )
+    matched = (
+        probe.join(
+            c, (probe["user_id"] == c["c_user"]) & (probe["b"] == c["cbin"])
+        )
+        .filter(
+            (F.col("cts") >= F.col("sts"))
+            & (F.col("cts") < F.col("sts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        s.join(matched, "sid", "left")
+        .select(
+            F.col("sid").alias("event_id"),
+            "user_id",
+            F.col("sts").cast("long").alias("ts_s"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks_1h"),
+        )
+    )
+
+
+QUERIES = {
+    "asof_attribution": asof_attribution,
+    "range_attribution": range_attribution,
+}
+
+# epoch seconds idiom: epoch_us // 1000000 floors exactly like Spark's
+# cast(ts as long) (ADVICE round-2: epoch(ts)::BIGINT ROUNDS — wrong)
+_EPOCH = "CAST(epoch_us({0}) // 1000000 AS BIGINT)"
+
+ORACLE_SQL = {
+    # the oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    # first-class implementation of the operator, not a replay of the
+    # engine's own plan
+    "asof_attribution": f"""
+        WITH p AS (SELECT * FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'),
+        c AS (SELECT * FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}')
+        SELECT p.event_id, p.user_id,
+               {_EPOCH.format('p.ts')} AS ts_s,
+               c.event_id AS click_id,
+               {_EPOCH.format('p.ts')} - {_EPOCH.format('c.ts')} AS lag_s
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "range_attribution": f"""
+        SELECT s.event_id, s.user_id,
+               {_EPOCH.format('s.ts')} AS ts_s,
+               count(c.event_id) AS n_clicks_1h
+        FROM events s LEFT JOIN events c
+          ON c.user_id = s.user_id
+         AND c.event_type = '{RANGE_MATCH_TYPE}'
+         AND c.ts >= s.ts
+         AND c.ts < s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = '{RANGE_ANCHOR_TYPE}'
+        GROUP BY 1, 2, 3
+    """,
+}
