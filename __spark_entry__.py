@@ -86,6 +86,13 @@ _TAIL = [
     "earliest_date_per_order",# min-date-per-group family: the eval'd
                               # cleaned_cases computes the same earliest
                               # -date aggregate inside the clean stage
+    "event_type_day_rollup",  # grouping-sets form of the aggregation
+                              # family (stats_orders /
+                              # priority_severity_rollup eval'd); the
+                              # rollup NULL-marker surface is pinned by
+                              # pytest + local oracle
+    "event_type_pivot",       # pivot form of the same counting
+                              # aggregate family (explicit value list)
     "q1_pricing_summary",     # same query as sql_q1_pricing_summary
                               # (eval'd) — DataFrame vs SQL-string API,
                               # identical oracle

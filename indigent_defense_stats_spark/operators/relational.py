@@ -449,11 +449,60 @@ def user_events_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (the hypertable continuous-aggregate
+    shape): event counts + distinct users at (event_type, day), per
+    event_type subtotal, and grand total in ONE pass via
+    ``rollup()`` — Spark expands the grouping sets inside a single
+    aggregate (partial+final), so the three granularities cost one
+    shuffle, not three jobs.  Measures are exact integers only (count,
+    count distinct); a float sum here would be combine-order-dependent
+    and flake the cross-engine hash.  NULL group markers are the
+    engine-portable rollup indicator (both engines emit NULL for
+    rolled-up levels)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_users",
+    )
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-user event counts spread into one column per
+    event type (explicit value list, so the plan is a single partial+
+    final aggregate — Spark never runs the extra distinct-values job
+    and the output schema is static, which is what you want at scale).
+    Counts are exact integers; missing cells are 0."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — keys match QUERIES
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "event_type_day_rollup": event_type_day_rollup,
+    "event_type_pivot": event_type_pivot,
     "q1_pricing_summary": q1_pricing_summary,
     "stats_orders": stats_orders,
     "dismissed_count_analog": dismissed_count_analog,
@@ -480,6 +529,24 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "event_type_day_rollup": """
+        SELECT event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY ROLLUP (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS n_purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY 1
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                          AS sum_qty,

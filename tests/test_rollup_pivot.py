@@ -1,0 +1,52 @@
+"""ROLLUP (grouping sets) and PIVOT aggregation surfaces
+(operators/relational.py).  Cross-engine value equality is covered by
+scripts/check_oracles.py; these pin the grouping semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from indigent_defense_stats_spark.operators import relational
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rollup_levels_are_consistent(spark):
+    rows = relational.event_type_day_rollup(spark, SF_DIR).collect()
+    detail = [r for r in rows if r["event_type"] is not None and r["day"] is not None]
+    subtotal = {r["event_type"]: r for r in rows
+                if r["event_type"] is not None and r["day"] is None}
+    grand = [r for r in rows if r["event_type"] is None and r["day"] is None]
+    # exactly one grand total; no (NULL, day) rows in a rollup
+    assert len(grand) == 1
+    assert not [r for r in rows if r["event_type"] is None and r["day"] is not None]
+    # per-type subtotal == sum of its day details
+    for t, s in subtotal.items():
+        assert s["n_events"] == sum(
+            r["n_events"] for r in detail if r["event_type"] == t
+        )
+    assert grand[0]["n_events"] == sum(r["n_events"] for r in detail)
+    # distinct users do NOT sum across days (re-aggregated, not added)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert grand[0]["n_users"] == ev.select("user_id").distinct().count()
+
+
+def test_pivot_matches_groupby(spark):
+    out = {r["user_id"]: r for r in relational.event_type_pivot(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    base = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    users = {u for (u, _) in base}
+    assert set(out) == users
+    for (u, t), n in base.items():
+        assert out[u][f"n_{t}"] == n
+    # absent cells are 0, and the row total equals the user's events
+    totals = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for u, r in out.items():
+        row_sum = sum(r[f"n_{t}"] for t in ("click", "error", "purchase", "signup", "view"))
+        assert row_sum == totals[u]
