@@ -76,3 +76,41 @@ def test_parse_stage_has_zero_shuffles(spark):
     )
     p = _plan(parse_documents(docs))
     assert "Exchange" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join contract (sources/bucketed.py): two COLD tables
+    bucketed+sorted on the same (key, n_buckets) must SortMergeJoin
+    with ZERO ShuffleExchange and zero explicit Sort; the identical
+    unbucketed layout shuffles both sides.  (Broadcast disabled so the
+    planner can't sidestep the comparison.)"""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.sources import bucketed
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bucketed.write_bucketed(ev, "bkt_ev_t", f"{tmp_path}/ev", "user_id", 8)
+    bucketed.write_bucketed(agg, "bkt_us_t", f"{tmp_path}/us", "user_id", 8)
+    # unbucketed control: same data, plain parquet, re-read cold
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/ev_plain")
+    agg.write.mode("overwrite").parquet(f"{tmp_path}/us_plain")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed.colocated_join(spark, "bkt_ev_t", "bkt_us_t", "user_id")
+        p = _plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # no shuffle AND no broadcast
+        assert j.count() == ev.count()  # every event matched its agg row
+
+        ctrl = spark.read.parquet(f"{tmp_path}/ev_plain").join(
+            spark.read.parquet(f"{tmp_path}/us_plain"), "user_id"
+        )
+        pc = _plan(ctrl)
+        assert pc.count("Exchange") >= 2  # both sides shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_ev_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_us_t")
