@@ -93,6 +93,12 @@ _TAIL = [
                               # pytest + local oracle
     "event_type_pivot",       # pivot form of the same counting
                               # aggregate family (explicit value list)
+    "clicked_never_purchased",# set-operator (EXCEPT/INTERSECT) form of
+                              # the anti/semi join family
+                              # (customers_without_big_orders eval'd)
+    "daily_event_series",     # gap-filled resample; window/aggregate
+                              # family (event_sequence eval'd) with a
+                              # sequence()+posexplode calendar
     "q1_pricing_summary",     # same query as sql_q1_pricing_summary
                               # (eval'd) — DataFrame vs SQL-string API,
                               # identical oracle

@@ -496,6 +496,62 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (EXCEPT / INTERSECT): users who clicked but
+    never purchased, tagged 'click_only', unioned with users who did
+    both, tagged 'click_and_buy'.  ``exceptAll``/``intersect`` compile
+    to the same hash aggregate + join shapes as anti/semi joins — one
+    linear shuffle per side, broadcastable when one side is small."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    only = clickers.distinct().exceptAll(buyers.distinct()).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    both = clickers.intersect(buyers).select(
+        "user_id", F.lit("click_and_buy").alias("cohort")
+    )
+    return only.unionByName(both)
+
+
+def daily_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap filling): per-user daily event
+    counts over the user's OWN active range, with missing days emitted
+    as zero — the resample/gap-fill primitive a monitoring rollup
+    needs (dashboards can't tell 'no data' from 'no row' otherwise).
+
+    Shape: one aggregate for per-user (min_day, max_day, per-day
+    counts), then the calendar is generated per user with
+    ``sequence(min_day, max_day)`` + ``posexplode`` — rows expand to
+    user-days, which is the OUTPUT size, so the plan is linear in what
+    it must emit; the count join-back is a shuffle on (user, day).
+    Nothing is driver-side; no global calendar table is broadcast
+    (each user carries only its own range)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    per_day = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    ranges = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = ranges.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    return (
+        calendar.join(per_day, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — keys match QUERIES
 # ---------------------------------------------------------------------------
@@ -503,6 +559,8 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "event_type_day_rollup": event_type_day_rollup,
     "event_type_pivot": event_type_pivot,
+    "clicked_never_purchased": clicked_never_purchased,
+    "daily_event_series": daily_event_series,
     "q1_pricing_summary": q1_pricing_summary,
     "stats_orders": stats_orders,
     "dismissed_count_analog": dismissed_count_analog,
@@ -546,6 +604,41 @@ ORACLE_SQL = {
                count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         FROM events GROUP BY 1
+    """,
+    "clicked_never_purchased": """
+        SELECT user_id, 'click_only' AS cohort FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT user_id, 'click_and_buy' AS cohort FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    "daily_event_series": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        per_day AS (
+            SELECT user_id, day, count(*) AS n_events FROM e GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1
+        ),
+        cal AS (
+            SELECT user_id, unnest(generate_series(d0, d1,
+                                                   INTERVAL 1 DAY))::DATE
+                       AS day
+            FROM r
+        )
+        SELECT cal.user_id,
+               strftime(cal.day, '%Y-%m-%d') AS day,
+               coalesce(per_day.n_events, 0) AS n_events
+        FROM cal LEFT JOIN per_day
+          ON cal.user_id = per_day.user_id AND cal.day = per_day.day
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

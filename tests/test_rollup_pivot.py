@@ -50,3 +50,39 @@ def test_pivot_matches_groupby(spark):
     for u, r in out.items():
         row_sum = sum(r[f"n_{t}"] for t in ("click", "error", "purchase", "signup", "view"))
         assert row_sum == totals[u]
+
+
+def test_set_operator_cohorts_partition_clickers(spark):
+    rows = relational.clicked_never_purchased(spark, SF_DIR).collect()
+    only = {r["user_id"] for r in rows if r["cohort"] == "click_only"}
+    both = {r["user_id"] for r in rows if r["cohort"] == "click_and_buy"}
+    assert not (only & both)  # cohorts disjoint
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clickers = {r["user_id"] for r in ev.filter("event_type='click'")
+                .select("user_id").distinct().collect()}
+    buyers = {r["user_id"] for r in ev.filter("event_type='purchase'")
+              .select("user_id").distinct().collect()}
+    assert only == clickers - buyers
+    assert both == clickers & buyers
+    assert len(rows) == len(only) + len(both)  # no dup rows
+
+
+def test_daily_series_is_dense_and_conservative(spark):
+    import datetime
+
+    rows = relational.daily_event_series(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    totals = {r["user_id"]: r["n"] for r in ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for u, rs in by_user.items():
+        days = sorted(datetime.date.fromisoformat(r["day"]) for r in rs)
+        # dense: every calendar day between min and max present once
+        assert len(days) == (days[-1] - days[0]).days + 1
+        assert len(set(days)) == len(days)
+        # conservative: series total == user's event count
+        assert sum(r["n_events"] for r in rs) == totals[u]
+    # zero-fill actually occurs somewhere in the test data
+    assert any(r["n_events"] == 0 for r in rows)
