@@ -68,6 +68,10 @@ JOBS = {
     # should PIN to the 254-host analytic ceiling (1,270 URLs/s)
     # independent of cores — the production regime is politeness-bound
     "politeness": {"kind": "politeness"},
+    # crawl1080 (~2.6M URLs): round-3 extension of the scale trend —
+    # one more doubling past crawl540 to confirm throughput keeps
+    # rising as per-wave fixed cost amortizes toward the 10^10 regime
+    "crawl1080": {"kind": "crawl", "n_days": 1080},
 }
 
 
