@@ -158,6 +158,9 @@ _TAIL = [
     "dedup_first_event",      # keep-first variant of exact_dedup_docs
     "first_1000_orders",      # bounded export; top5_orders eval'd
     "days_elapsed",           # window family: event_sequence eval'd
+    "sliding_window_counts",  # sliding form of the windowed-count
+                              # family (stream_event_window_counts
+                              # eval'd covers the tumbling aggregate)
     "stream_exact_dedup",     # streaming form of exact_dedup_docs
                               # (eval'd); stream surface covered by
                               # stream_event_window_counts (eval'd)

@@ -205,9 +205,44 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "exact_dedup_stream")
 
 
+SLIDE_WIN_S = 600  # sliding-window length (10 min)
+SLIDE_STEP_S = 300  # slide (5 min) — every event lands in exactly 2 windows
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (the overlap complement of the tumbling stream
+    query above): event counts per 10-minute window sliding every 5
+    minutes.  ``F.window(ts, len, slide)`` expands each event into
+    ``len/slide`` window copies BEFORE the aggregate — a bounded 2x
+    map-side amplification here, and the aggregate stays one
+    partial+final shuffle keyed by (window, type).  Counts only:
+    integer measures keep the cross-engine hash exact.  The streaming
+    form is this same groupBy behind ``readStream`` + a watermark
+    (see :func:`stream_event_window_counts`); batch form keeps the
+    oracle deterministic."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIN_S} seconds", f"{SLIDE_STEP_S} seconds"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "stream_event_window_counts": stream_event_window_counts,
     "stream_exact_dedup": stream_exact_dedup,
+    "sliding_window_counts": sliding_window_counts,
 }
 
 ORACLE_SQL = {
@@ -223,5 +258,24 @@ ORACLE_SQL = {
                count(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    # every event belongs to exactly WIN/STEP = 2 sliding windows:
+    # starts k*STEP and k*STEP - STEP where k = epoch // STEP
+    "sliding_window_counts": f"""
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events
+        ),
+        w AS (
+            SELECT event_type,
+                   (s // {SLIDE_STEP_S}) * {SLIDE_STEP_S} AS win_start_s
+            FROM e
+            UNION ALL
+            SELECT event_type,
+                   (s // {SLIDE_STEP_S}) * {SLIDE_STEP_S} - {SLIDE_STEP_S}
+            FROM e
+        )
+        SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type,
+               count(*) AS n_events
+        FROM w GROUP BY 1, 2
     """,
 }

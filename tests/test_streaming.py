@@ -142,3 +142,16 @@ def test_stream_exact_dedup_keeps_min_doc_id(spark, tmp_path):
     by_copies = sorted(out.values(), key=lambda r: -r["n_copies"])
     assert by_copies[0]["n_copies"] == 2 and by_copies[0]["keeper_doc_id"] == 2
     assert by_copies[1]["n_copies"] == 1 and by_copies[1]["keeper_doc_id"] == 9
+
+
+def test_sliding_windows_cover_each_event_twice(spark):
+    """Every event lands in exactly WIN/STEP = 2 sliding windows, so
+    the window-count total is exactly 2x the event count; each window
+    start is STEP-aligned and windows overlap by construction."""
+    from indigent_defense_stats_spark.streaming import ingest
+
+    out = ingest.sliding_window_counts(spark, SF_DIR)
+    rows = out.collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == 2 * n_events
+    assert all(r["win_start_s"] % ingest.SLIDE_STEP_S == 0 for r in rows)
