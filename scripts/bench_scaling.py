@@ -72,6 +72,11 @@ JOBS = {
     # one more doubling past crawl540 to confirm throughput keeps
     # rising as per-wave fixed cost amortizes toward the 10^10 regime
     "crawl1080": {"kind": "crawl", "n_days": 1080},
+    # host-count sweep at fixed cores: the politeness ceiling is
+    # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
+    # the mechanism behind N->4N executor scaling in production
+    "politeness127": {"kind": "politeness", "n_hosts": 127},
+    "politeness508": {"kind": "politeness", "n_hosts": 508},
 }
 
 
@@ -137,7 +142,9 @@ def run_cell(job: str, cpus: int, args) -> dict:
     elif cfg["kind"] == "politeness":
         from indigent_defense_stats_spark.plans import frontier as fr
 
-        res = fr.bench_politeness_throughput(spark, n_hosts=args.n_counties)
+        res = fr.bench_politeness_throughput(
+            spark, n_hosts=cfg.get("n_hosts", args.n_counties)
+        )
     else:
         res = job_crawl(spark, args.n_counties, cfg.get("n_days", args.n_days))
     res.update({"job": job, "cpus": cpus})
