@@ -135,6 +135,10 @@ _TAIL = [
     "media_caption_dedup",    # composition of media_caption_pairs
                               # (eval'd) + the exact-dedup window shape
                               # (clean_corpus keeper, eval'd)
+    "interleaved_quality_filters", # multimodal analog of the eval'd
+                              # gopher_quality_filters over the eval'd
+                              # interleaved_spans table (same fold
+                              # shape, integer rules)
     "media_frame_sample",     # media-plumbing family (same)
     "ann_topk_ivf",           # ann_topk_ivf_indexed (eval'd) materializes
                               # the SAME assignment; shares its oracle

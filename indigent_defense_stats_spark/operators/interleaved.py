@@ -236,12 +236,81 @@ def media_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multimodal document-quality rules (integer-form so engines agree):
+# a trainable interleaved doc needs enough text per image and not a
+# wall of images — the multimodal analog of the Gopher absolute rules
+MM_MIN_TEXT_SPANS = 3
+MM_MAX_MEDIA_DEN = 10  # keep if media <= text (den/num form: m*10 <= t*10)
+MM_MIN_CAPTION_TOKENS = 3  # every media span needs a real caption
+
+
+def interleaved_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style ABSOLUTE quality rules for INTERLEAVED documents
+    (the multimodal analog of ``textstats.gopher_quality_filters``):
+    per-doc span composition stats with one flag per rule plus the
+    composed keep —
+
+    - ``ok_text``: at least ``MM_MIN_TEXT_SPANS`` text spans (a bare
+      image gallery carries no language-modeling signal);
+    - ``ok_density``: media spans do not outnumber text spans
+      (integer compare, no float ratio);
+    - ``ok_captions``: the MINIMUM caption length across the doc's
+      media spans is ≥ ``MM_MIN_CAPTION_TOKENS`` tokens (every image
+      is anchored by usable text; vacuously true with no media).
+
+    Scale shape: all three rules fold over the span array per row —
+    zero shuffle, map-only, same plan class as the text Gopher rules.
+    """
+    sp = F.col("spans")
+    texts = F.filter(sp, lambda s: s["kind"] == F.lit("text"))
+    n_text = F.size(texts)
+    n_media = F.size(sp) - n_text
+    # caption of media at position i (0-based) = span i-1, always text
+    caption_lens = F.filter(
+        F.transform(
+            sp,
+            lambda s, i: F.when(
+                s["kind"] == F.lit("media"),
+                F.size(
+                    F.split(
+                        F.element_at(sp, F.greatest(i, F.lit(1)))["text"], " "
+                    )
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    min_cap = F.array_min(caption_lens)
+    ok_text = n_text >= MM_MIN_TEXT_SPANS
+    ok_density = n_media <= n_text
+    ok_captions = F.coalesce(
+        min_cap >= MM_MIN_CAPTION_TOKENS, F.lit(True)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("spans", _span_array())
+        .select(
+            "doc_id",
+            n_text.cast("int").alias("n_text_spans"),
+            n_media.cast("int").alias("n_media_spans"),
+            F.coalesce(min_cap, F.lit(-1)).cast("int").alias(
+                "min_caption_tokens"
+            ),
+            ok_text.alias("ok_text"),
+            ok_density.alias("ok_density"),
+            ok_captions.alias("ok_captions"),
+            (ok_text & ok_density & ok_captions).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "interleaved_spans": interleaved_spans,
     "span_reconstruct_check": span_reconstruct_check,
     "media_caption_pairs": media_caption_pairs,
     "pack_interleaved": pack_interleaved,
     "media_caption_dedup": media_caption_dedup,
+    "interleaved_quality_filters": interleaved_quality_filters,
 }
 
 _SQL_SPANS = f"""
@@ -318,6 +387,33 @@ ORACLE_SQL = {
                CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
                cum_before % {SEQ_BUDGET} AS offset_in_seq
         FROM c
+    """,
+    "interleaved_quality_filters": f"""
+        WITH s AS ({_SQL_SPANS}),
+        k AS (
+            SELECT doc_id,
+                   len(list_filter(sp, x -> x.kind = 'text')) AS n_text,
+                   len(sp) - len(list_filter(sp, x -> x.kind = 'text'))
+                       AS n_media,
+                   list_min(list_transform(
+                       list_filter(generate_series(1, len(sp)),
+                                   i -> sp[i].kind = 'media'),
+                       i -> len(string_split(sp[i - 1].text, ' '))
+                   )) AS min_cap
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(n_text AS INT) AS n_text_spans,
+               CAST(n_media AS INT) AS n_media_spans,
+               CAST(coalesce(min_cap, -1) AS INT) AS min_caption_tokens,
+               n_text >= {MM_MIN_TEXT_SPANS} AS ok_text,
+               n_media <= n_text AS ok_density,
+               coalesce(min_cap >= {MM_MIN_CAPTION_TOKENS}, TRUE)
+                   AS ok_captions,
+               (n_text >= {MM_MIN_TEXT_SPANS}) AND (n_media <= n_text)
+                   AND coalesce(min_cap >= {MM_MIN_CAPTION_TOKENS}, TRUE)
+                   AS keep
+        FROM k
     """,
     "media_caption_dedup": f"""
         WITH s AS ({_SQL_SPANS}),

@@ -140,3 +140,31 @@ def test_media_caption_dedup_groups_and_keeper(spark, tmp_path):
     for r in rows:
         groups[r["caption_md5"]] = groups.get(r["caption_md5"], 0) + r["is_keeper"]
     assert all(v == 1 for v in groups.values())
+
+
+def test_interleaved_quality_rules_recompute(spark):
+    """Each flag recomputes from the reported stats; composed keep is
+    the conjunction; caption rule is vacuous without media."""
+    rows = interleaved.interleaved_quality_filters(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["ok_text"] == (r["n_text_spans"] >= interleaved.MM_MIN_TEXT_SPANS)
+        assert r["ok_density"] == (r["n_media_spans"] <= r["n_text_spans"])
+        if r["n_media_spans"] == 0:
+            assert r["min_caption_tokens"] == -1 and r["ok_captions"]
+        else:
+            assert r["ok_captions"] == (
+                r["min_caption_tokens"] >= interleaved.MM_MIN_CAPTION_TOKENS
+            )
+        assert r["keep"] == (r["ok_text"] and r["ok_density"] and r["ok_captions"])
+
+
+def test_interleaved_quality_plan_is_map_only(spark):
+    plan = (
+        interleaved.interleaved_quality_filters(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
