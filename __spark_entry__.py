@@ -148,6 +148,9 @@ _TAIL = [
                               # same sign-fold SQL replay)
     "next_version_per_customer", # publish_versions (eval'd) covers the
                               # J5/A5 max+1 version family
+    "snapshot_changes",       # CDC diff DERIVED from the eval'd
+                              # publish_versions two-batch replay
+                              # (same CTEs + per-case max diff)
     "neardup_components_lsh", # same edges as _star, same algo as exact
     "embedding_neardup_pairs",# exact O(n^2) baseline; ANN family (cosine/
                               # lsh/ivf/ivf_indexed) evaluated in prefix

@@ -249,6 +249,61 @@ class _UnionTarget:
         return 0
 
 
+def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between two snapshots of the published table —
+    the Iceberg ``table_changes`` / incremental-read surface: an
+    incremental consumer (index refresher, export job) reads WHICH
+    cases changed between snapshot v1 (after batch 1) and v2 (after
+    batch 2) instead of rescanning the table.
+
+    Emits one row per CHANGED case: ``added`` (case absent from v1) or
+    ``updated`` (max version grew); unchanged cases are filtered out —
+    a changelog's whole point is being small.  ``removed`` cannot
+    occur on this append-only versioned table (deletes live in the
+    DeltaTable merge-on-read layer, sources/catalog.py).
+
+    Scale shape: two per-case max aggregates (partial+final) + one
+    outer join on case_number; cost is O(cases touched), never a full
+    diff of row pairs.  In production both aggregates prune to the
+    snapshot delta files (Iceberg incremental scan), so the changelog
+    is O(changes)."""
+    from ..sources.catalog import SnapshotTable
+
+    d = tempfile.mkdtemp(prefix="ids-cdc-query-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    target = SnapshotTable(spark, d, None, "overwrite")
+    publish.publish(_pub_batch(spark, sf_dir, 5), target, "01-01-2026")
+    v1 = target.read()
+    inserted = publish.publish(
+        _pub_batch(spark, sf_dir, 6), _UnionTarget(target, v1), "02-01-2026"
+    )
+    v2 = v1.select("case_number", "version").unionByName(
+        inserted.select("case_number", "version")
+    )
+    a = v1.groupBy("case_number").agg(F.max("version").alias("v1_version"))
+    b = v2.groupBy("case_number").agg(F.max("version").alias("v2_version"))
+    return (
+        b.join(a, "case_number", "left")
+        .filter(
+            F.col("v1_version").isNull()
+            | (F.col("v2_version") > F.col("v1_version"))
+        )
+        .select(
+            "case_number",
+            F.col("v1_version").cast("int").alias("v1_version"),
+            F.col("v2_version").cast("int").alias("v2_version"),
+            F.when(F.col("v1_version").isNull(), F.lit("added"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+            (
+                F.col("v2_version") - F.coalesce(F.col("v1_version"), F.lit(0))
+            )
+            .cast("int")
+            .alias("n_new_versions"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal layer over testdata (VERDICT r1 item 9: driver-side signal)
 #
@@ -337,6 +392,7 @@ QUERIES = {
     "money_parse_total": money_parse_total,
     "cleaned_cases": cleaned_cases,
     "publish_versions": publish_versions,
+    "snapshot_changes": snapshot_changes,
     "media_dimensions": media_dimensions,
     "media_resize_dims": media_resize_dims,
     "media_frame_sample": media_frame_sample,
@@ -460,5 +516,51 @@ ORACLE_SQL = {
                fresh.case_number || ':' || county || ':02-01-2026' || html_hash
                    AS id
         FROM fresh LEFT JOIN base USING (case_number)
+    """,
+    # same two-batch replay as publish_versions, extended with the
+    # per-case snapshot diff (v1 max vs v2 max)
+    "snapshot_changes": """
+        WITH b1 AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS case_number,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS html_hash
+            FROM orders WHERE o_orderkey % 7 < 5
+        ), b1v AS (
+            SELECT case_number,
+                   row_number() OVER (PARTITION BY case_number
+                                      ORDER BY html_hash) AS version
+            FROM b1
+        ), base AS (
+            SELECT case_number, max(version) AS base_version
+            FROM b1v GROUP BY case_number
+        ), b2 AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS case_number,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS html_hash
+            FROM orders WHERE o_orderkey % 7 < 6
+        ), fresh AS (
+            SELECT * FROM b2
+            WHERE html_hash NOT IN (SELECT html_hash FROM b1)
+        ), f2 AS (
+            SELECT fresh.case_number,
+                   coalesce(base.base_version, 0)
+                   + row_number() OVER (PARTITION BY fresh.case_number
+                                        ORDER BY html_hash) AS version
+            FROM fresh LEFT JOIN base USING (case_number)
+        ), v2 AS (
+            SELECT case_number, max(version) AS v2_version FROM (
+                SELECT case_number, version FROM b1v
+                UNION ALL
+                SELECT case_number, version FROM f2
+            ) GROUP BY 1
+        )
+        SELECT v2.case_number,
+               CAST(base.base_version AS INT) AS v1_version,
+               CAST(v2.v2_version AS INT) AS v2_version,
+               CASE WHEN base.base_version IS NULL THEN 'added'
+                    ELSE 'updated' END AS change_type,
+               CAST(v2.v2_version - coalesce(base.base_version, 0) AS INT)
+                   AS n_new_versions
+        FROM v2 LEFT JOIN base ON v2.case_number = base.case_number
+        WHERE base.base_version IS NULL
+           OR v2.v2_version > base.base_version
     """,
 }

@@ -180,3 +180,29 @@ def test_export_archive_round_trip(spark, tmp_path):
                     rows.append(json.loads(line))
     assert sorted(r["id"] for r in rows) == list(range(20))
     assert {r["val"] for r in rows} == {f"v{i}" for i in range(20)}
+
+
+def test_snapshot_changes_is_a_consistent_changelog(spark):
+    """CDC semantics: every 'added' case absent from v1; every
+    'updated' case grew its max version by exactly n_new_versions;
+    no unchanged case appears; changelog keys ⊆ v2 keys."""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.operators import pipeline_queries as pq
+
+    sf = "/root/testdata/sf0.001"
+    rows = pq.snapshot_changes(spark, sf).collect()
+    assert rows
+    added = [r for r in rows if r["change_type"] == "added"]
+    updated = [r for r in rows if r["change_type"] == "updated"]
+    assert len(added) + len(updated) == len(rows)
+    for r in added:
+        assert r["v1_version"] is None and r["n_new_versions"] == r["v2_version"]
+    for r in updated:
+        assert r["v2_version"] > r["v1_version"]
+        assert r["n_new_versions"] == r["v2_version"] - r["v1_version"]
+    # cross-check against the publish_versions query (batch-2 inserts):
+    # cases in the changelog == distinct cases among inserted rows
+    ins = pq.publish_versions(spark, sf)
+    cases = {r["case_number"] for r in ins.select("case_number").distinct().collect()}
+    assert {r["case_number"] for r in rows} == cases

@@ -73,3 +73,22 @@ def test_gopher_filters_plan_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_hll_cardinality_tracks_exact(spark):
+    """The 100 TB cardinality path is the HyperLogLog sketch
+    (approx_count_distinct: mergeable, fixed memory, one pass) with
+    the exact distinct aggregate as its oracle — same contract as the
+    approx_percentile/t-digest pair above.  Default rsd=0.05; assert
+    the estimate lands within 3 sigma on both a dense key (user_id)
+    and a high-cardinality key (content md5)."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df, col in ((ev, F.col("user_id")), (docs, F.md5("text"))):
+        exact = df.select(col.alias("k")).distinct().count()
+        approx = df.agg(
+            F.approx_count_distinct(col).alias("a")
+        ).collect()[0]["a"]
+        assert abs(approx - exact) <= max(3, 0.15 * exact), (exact, approx)
