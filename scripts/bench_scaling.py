@@ -134,7 +134,18 @@ def run_cell(job: str, cpus: int, args) -> dict:
     from indigent_defense_stats_spark.session import get_spark
 
     cfg = JOBS[job]
-    spark = get_spark(app_name=f"scaling-{job}-{cpus}", master=f"local[{cpus}]")
+    # --cluster: `cpus` counts EXECUTORS (separate worker JVMs with 4
+    # cores each — real executor processes, real shuffle/broadcast
+    # over the network stack), the literal unit of the N->4N rule
+    if getattr(args, "cluster", False):
+        master = f"local-cluster[{cpus},4,3072]"
+        extra = {"spark.executor.memory": "2g"}
+    else:
+        master = f"local[{cpus}]"
+        extra = None
+    spark = get_spark(
+        app_name=f"scaling-{job}-{cpus}", master=master, extra_conf=extra
+    )
     # warm the JVM/codegen/python-worker paths so the cell is steady-state
     spark.range(1000).count()
     if cfg["kind"] == "fetchparse":
@@ -203,7 +214,21 @@ def main() -> None:
             " in-process matrix instead of replacing it."
         ),
     )
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help=(
+            "multi-EXECUTOR mode: implies --submit, but each cell runs"
+            " under `--master local-cluster[E,4,3072]` where E is the"
+            " --cpu-levels value — E separate worker JVMs x 4 cores, real"
+            " executor processes exchanging shuffle/broadcast blocks, the"
+            " closest a single machine gets to N vs 4N executors.  Cells"
+            " are recorded under `<job>@cluster` with cpus = E."
+        ),
+    )
     args = ap.parse_args()
+    if args.cluster:
+        args.submit = True
 
     if args.job and args.cpus:
         print(json.dumps(run_cell(args.job, args.cpus, args)))
@@ -262,19 +287,29 @@ def main() -> None:
                 str(args.n_days),
             ]
             if args.submit:
+                master = (
+                    f"local-cluster[{cpus},4,3072]"
+                    if args.cluster
+                    else f"local[{cpus}]"
+                )
                 cmd = [
                     spark_submit,
                     "--master",
-                    f"local[{cpus}]",
+                    master,
                     "--py-files",
                     zip_path,
                     driver_script,
                 ] + cell_args
+                if args.cluster:
+                    cmd.append("--cluster")
             else:
                 cmd = [sys.executable, os.path.abspath(__file__)] + cell_args
             tputs, wall_samples = [], []
+            label = (
+                f"local-cluster[{cpus}x4cores]" if args.cluster else f"local[{cpus}]"
+            )
             for rep in range(args.repeat):
-                print(f">>> {job} @ local[{cpus}] run {rep + 1}/{args.repeat}", flush=True)
+                print(f">>> {job} @ {label} run {rep + 1}/{args.repeat}", flush=True)
                 p = subprocess.run(cmd, capture_output=True, text=True, env=env)
                 line = [l for l in p.stdout.splitlines() if l.startswith("{")]
                 if not line:
@@ -290,9 +325,10 @@ def main() -> None:
             # interference-robust estimator of intrinsic cost (the
             # same argument as timeit's documented min-of-repeats).
             # All samples are recorded; median is derivable from them.
+            suffix = "@cluster" if args.cluster else "@submit" if args.submit else ""
             cells.append(
                 {
-                    "job": job + "@submit" if args.submit else job,
+                    "job": job + suffix,
                     "cpus": cpus,
                     "tput": round(max(tputs), 1),
                     "wall": round(min(wall_samples), 1),
@@ -338,8 +374,16 @@ def main() -> None:
     effs = {}
     all_jobs = list(dict.fromkeys(c["job"] for c in cells))
     all_levels = sorted({c["cpus"] for c in cells})
+    # adjacent pairs, plus every exact 4x pair (the rule's N->4N span —
+    # for the @cluster executor levels 1/2/4 that is 1->4)
+    level_pairs = list(zip(all_levels, all_levels[1:])) + [
+        (lo, hi)
+        for i, lo in enumerate(all_levels)
+        for hi in all_levels[i + 1 :]
+        if hi == lo * 4 and (lo, hi) not in zip(all_levels, all_levels[1:])
+    ]
     for job in all_jobs:
-        for lo, hi in zip(all_levels, all_levels[1:]):
+        for lo, hi in level_pairs:
             t_lo, t_hi = tput(job, lo), tput(job, hi)
             if t_lo and t_hi:
                 effs[f"{job}_{lo}to{hi}"] = round(t_hi / t_lo / (hi / lo), 3)
@@ -388,11 +432,25 @@ def write_md(out_dir: str, report: dict) -> None:
         "the same machine ceiling as the in-process cells; 2->8 is the",
         "pair below the SMT knee and is the rule's evidence row.",
         "",
+        "`fetchparse@cluster` goes one step further: `spark-submit",
+        "--master local-cluster[E,4,3072]` launches E SEPARATE worker",
+        "JVMs (real executor processes — serialized task dispatch, real",
+        "shuffle/broadcast block transfers between processes), the",
+        "closest a single machine gets to executor-count scaling.  Its",
+        "`cores` column counts EXECUTORS (x4 cores each); the rule's",
+        "N->4N span is the 1 -> 4 row: 4x the executors on the same",
+        "job and input.",
+        "",
         "| job | cores | wall s | URLs/s |",
         "|---|---|---|---|",
     ]
     for c in cells:
-        lines.append(f"| {c['job']} | local[{c['cpus']}] | {c['wall']} | {c['tput']} |")
+        mode = (
+            f"local-cluster[{c['cpus']} execs x 4]"
+            if c["job"].endswith("@cluster")
+            else f"local[{c['cpus']}]"
+        )
+        lines.append(f"| {c['job']} | {mode} | {c['wall']} | {c['tput']} |")
     pair_rows = []
     pairs = sorted(
         {
@@ -404,7 +462,12 @@ def write_md(out_dir: str, report: dict) -> None:
         vals = " | ".join(
             str(effs.get(f"{j}_{lo}to{hi}", "—")) for j in jobs
         )
-        ceil_pair = round(ceil[str(hi)] / ceil[str(lo)], 3)
+        # ceiling probe only ran at the in-process thread levels; the
+        # @cluster executor levels have no probe row
+        if str(lo) in ceil and str(hi) in ceil:
+            ceil_pair = round(ceil[str(hi)] / ceil[str(lo)], 3)
+        else:
+            ceil_pair = "—"
         pair_rows.append(f"| {lo} -> {hi} | {vals} | {ceil_pair} |")
     lines += [
         "",
