@@ -100,6 +100,11 @@ def main() -> None:
         "metric": "headline query wall-clock (noop sink) + crawl throughput",
         "value": total,
         "unit": "sec",
+        # the headline list GROWS each round as operators land (r1: 8,
+        # r2: 15, r3: 30) — compare totals across rounds per-query or
+        # via mean_query_sec, not by the raw sum
+        "n_queries": len(results),
+        "mean_query_sec": round(total / max(len(results), 1), 3),
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
