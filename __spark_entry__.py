@@ -86,6 +86,9 @@ _TAIL = [
     "earliest_date_per_order",# min-date-per-group family: the eval'd
                               # cleaned_cases computes the same earliest
                               # -date aggregate inside the clean stage
+    "rolling_week_user_events", # RANGE-frame form of the window
+                              # family (event_sequence/days_elapsed
+                              # eval'd cover row-frame windows)
     "event_type_day_rollup",  # grouping-sets form of the aggregation
                               # family (stats_orders /
                               # priority_severity_rollup eval'd); the

@@ -552,11 +552,45 @@ def daily_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_WINDOW_S = 7 * 86400  # rolling 7 days, inclusive of current row
+
+
+def rolling_week_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-count): for every
+    event, how many events the same user produced in the trailing 7
+    days including this one.  ``rangeBetween`` frames differ from the
+    ``rowsBetween`` frames used elsewhere (W1/W2, pack_sequences): the
+    frame is defined by the ORDER-BY VALUE distance, so ties share a
+    frame and gaps shrink it — the rolling-metric semantics a
+    monitoring pipeline needs.
+
+    Shape: one shuffle on user_id + per-key sort; the running frame is
+    computed in a single pass per partition (Spark's bounded-preceding
+    range frame keeps a sliding aggregate, not O(n²) re-scans).
+    Ordering key is epoch SECONDS (integer) so the frame boundary
+    arithmetic is exact and identical across engines."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-(ROLLING_WINDOW_S - 1), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count(F.lit(1)).over(w).alias("n_events_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — keys match QUERIES
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "rolling_week_user_events": rolling_week_user_events,
     "event_type_day_rollup": event_type_day_rollup,
     "event_type_pivot": event_type_pivot,
     "clicked_never_purchased": clicked_never_purchased,
@@ -587,6 +621,22 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # count() window over RANGE frame: DuckDB returns BIGINT (same as
+    # Spark's long) — no HUGEINT hazard for count, unlike sum
+    "rolling_week_user_events": f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+            FROM events
+        )
+        SELECT event_id, user_id, ts_s,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN {ROLLING_WINDOW_S - 1} PRECEDING
+                             AND CURRENT ROW
+               ) AS n_events_7d
+        FROM e
+    """,
     "event_type_day_rollup": """
         SELECT event_type,
                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

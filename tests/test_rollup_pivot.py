@@ -86,3 +86,19 @@ def test_daily_series_is_dense_and_conservative(spark):
         assert sum(r["n_events"] for r in rs) == totals[u]
     # zero-fill actually occurs somewhere in the test data
     assert any(r["n_events"] == 0 for r in rows)
+
+
+def test_rolling_range_frame_matches_bruteforce(spark):
+    """RANGE frame semantics: count equals a per-row recompute over
+    the trailing window, and equal timestamps would share a frame
+    (range, not rows)."""
+    rows = relational.rolling_week_user_events(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts_s"], r["n_events_7d"]))
+    win = relational.ROLLING_WINDOW_S
+    for u, lst in by_user.items():
+        ts = sorted(t for t, _ in lst)
+        for t, n in lst:
+            want = sum(1 for x in ts if t - win < x <= t)
+            assert n == want, (u, t, n, want)
