@@ -83,6 +83,10 @@ _TAIL = [
     "click_graph_edges",      # edge-builder CONSTITUENT of the eval'd
                               # click_pagerank (pagerank consumes the
                               # same lead-window edges + out-weights)
+    "click_triangles",        # graph family: consumes the same edge
+                              # builder the eval'd click_pagerank
+                              # replays; algorithm pinned by pytest
+                              # brute-force equality
     "earliest_date_per_order",# min-date-per-group family: the eval'd
                               # cleaned_cases computes the same earliest
                               # -date aggregate inside the clean stage

@@ -83,3 +83,60 @@ def test_edges_weights_consistent(spark):
         by_src[r["src"]] = by_src.get(r["src"], 0) + r["w"]
     for r in rows:
         assert r["ow"] == by_src[r["src"]]
+
+
+def test_triangles_match_bruteforce(spark):
+    """Degree-ordered orientation count == brute-force enumeration
+    over the undirected simple graph (each triangle once)."""
+    from itertools import combinations
+
+    from indigent_defense_stats_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    row = graph.click_triangles(spark, sf).collect()[0]
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in graph.click_graph_edges(spark, sf).collect()
+        if r["src"] != r["dst"]
+    }
+    verts = sorted({v for e in edges for v in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(verts, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
+    assert row["n_vertices"] == len(verts)
+
+
+def test_triangles_hand_graph(spark, tmp_path):
+    """K4 minus one edge has exactly 2 triangles; a path has none."""
+    import json as _json
+
+    rows = []
+    # user 1 walks pages 1-2-3-1-4-2 (edges 12,23,13,14,24: K4 minus 34)
+    walk = [1, 2, 3, 1, 4, 2]
+    for i, p in enumerate(walk):
+        rows.append(
+            (i, __import__("datetime").datetime(2024, 1, 1, 0, 0, i), 1,
+             "click", 0.0, _json.dumps({"k": p}))
+        )
+    # user 2 walks a disjoint path 10-11-12 (no triangles)
+    for i, p in enumerate([10, 11, 12]):
+        rows.append(
+            (100 + i, __import__("datetime").datetime(2024, 1, 1, 1, 0, i),
+             2, "click", 0.0, _json.dumps({"k": p}))
+        )
+    d = str(tmp_path / "g")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    from indigent_defense_stats_spark.operators import graph
+
+    row = graph.click_triangles(spark, d).collect()[0]
+    assert row["n_triangles"] == 2  # {1,2,3} and {1,2,4}
+    assert row["n_edges"] == 7 and row["n_vertices"] == 7
