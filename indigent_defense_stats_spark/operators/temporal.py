@@ -135,7 +135,10 @@ def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             (F.col("cts") >= F.col("sts"))
-            & (F.col("cts") < F.col("sts") + F.expr("INTERVAL 1 HOUR"))
+            & (
+                F.col("cts")
+                < F.col("sts") + F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS")
+            )
         )
         .groupBy("sid")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -182,7 +185,7 @@ ORACLE_SQL = {
           ON c.user_id = s.user_id
          AND c.event_type = '{RANGE_MATCH_TYPE}'
          AND c.ts >= s.ts
-         AND c.ts < s.ts + INTERVAL 1 HOUR
+         AND c.ts < s.ts + INTERVAL {RANGE_WINDOW_S} SECOND
         WHERE s.event_type = '{RANGE_ANCHOR_TYPE}'
         GROUP BY 1, 2, 3
     """,
