@@ -37,6 +37,7 @@ def _modules():
         crawl_queries,
         decontam,
         dedup,
+        funnel,
         graph,
         interleaved,
         pipeline_queries,
@@ -52,6 +53,7 @@ def _modules():
     return [
         relational,
         temporal,
+        funnel,
         graph,
         textstats,
         ranking,
