@@ -43,6 +43,7 @@ def _modules():
         pipeline_queries,
         ranking,
         relational,
+        sketches,
         similarity,
         temporal,
         textstats,
@@ -55,6 +56,7 @@ def _modules():
         temporal,
         funnel,
         graph,
+        sketches,
         textstats,
         ranking,
         decontam,

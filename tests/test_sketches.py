@@ -1,0 +1,68 @@
+"""Count-min-sketch heavy hitters (operators/sketches.py): the sketch
+contract (never underestimates; overestimate bounded by collision
+mass), hand-corpus exactness, and the broadcast probe plan.  Exact
+cross-engine cell values are covered by scripts/check_oracles.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from indigent_defense_stats_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, texts):
+    d = str(tmp_path / "docs")
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, _SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    """est >= cnt always; min-over-rows overestimate stays within a
+    few expected-collision-masses (e*N/W is the classic epsilon)."""
+    out = sketches.cms_heavy_hitters(spark, SF_DIR).collect()
+    assert out, "sf0.001 must produce heavy hitters"
+    n = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .count()
+    )
+    bound = 3 * n / sketches.CMS_W
+    for r in out:
+        assert r["cms_est"] >= r["cnt"], r
+        assert r["cms_est"] - r["cnt"] <= bound, (r, bound)
+        # heavy-hitter predicate itself
+        assert r["cnt"] * sketches.HH_DEN >= n
+
+
+def test_cms_exact_on_tiny_vocabulary(spark, tmp_path):
+    """Two tokens can only over-count if they collide in ALL CMS_D
+    rows — with independent md5 rows that never happens, so the probe
+    returns the exact counts; the heavy set is exactly the threshold
+    crossers."""
+    d = _write_docs(spark, tmp_path, ["a a a a a a a a a a", "b a"])
+    out = {r["token"]: r for r in sketches.cms_heavy_hitters(spark, d).collect()}
+    # N = 12 tokens; both a (11) and b (1) pass cnt*500 >= 12
+    assert set(out) == {"a", "b"}
+    assert out["a"]["cnt"] == 11 and out["a"]["cms_est"] == 11
+    assert out["b"]["cnt"] == 1 and out["b"]["cms_est"] == 1
+
+
+def test_cms_probe_plan_broadcasts_cells(spark):
+    """The 1,024-cell sketch and the single-row total must broadcast;
+    a sort-merge join against the cell table would mean the sketch
+    stopped being the small side."""
+    plan = (
+        sketches.cms_heavy_hitters(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
