@@ -48,7 +48,7 @@ def _modules():
         temporal,
         textstats,
     )
-    from indigent_defense_stats_spark.sources import views
+    from indigent_defense_stats_spark.sources import views, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
 
     return [
@@ -66,6 +66,7 @@ def _modules():
         corpusprep,
         pipeline_queries,
         crawl_queries,
+        zorder,
         ingest,
         sessions,
         views,
