@@ -15,6 +15,9 @@ production deployment runs beside the crawl:
   ``applyInPandasWithState`` (GroupState): per-user running maximum
   with event-time timeout plumbing, the shape a custom crawl-metrics
   accumulator would use.
+- :func:`stream_click_attribution` — watermarked STREAM-STREAM inner
+  join (signups x clicks within 1 h), the double-buffered state-store
+  join with event-time range eviction.
 
 Scale notes: the file source scales by listing; state store is
 per-key (user) — keys hash-partition across executors, and the
@@ -239,10 +242,73 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the continuous form of
+    ``range_attribution`` (operators/temporal.py): streaming signups
+    joined to streaming clicks by the same user within the following
+    hour, both sides watermarked so the state store provably expires.
+
+    This is the one join shape unique to Structured Streaming: neither
+    side is a static dim, so BOTH sides buffer in the state store and
+    the event-time range condition (``cts`` in ``[sts, sts + 1h)``)
+    plus the two watermarks is what lets Spark garbage-collect buffered
+    rows — without it state grows without bound at 100 TB/day.  Keys
+    hash-partition on ``user_id`` across executors.
+
+    Drained with ``availableNow`` into an append-mode memory sink the
+    match set is deterministic (late-data drops need a second batch to
+    exist; the single-directory source drains in one), so the oracle is
+    the plain bounded range join.  Output: one row per (signup, click)
+    match with the integer lag."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = _as_source_dir(sf_dir, "events")
+
+    def _side(etype: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src_dir)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}ts"),
+            )
+        )
+        return s.withWatermark(f"{prefix}ts", "1 day")
+
+    signups = _side("signup", "s")
+    clicks = _side("click", "c")
+    joined = signups.join(
+        clicks,
+        (F.col("s_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("sts"))
+        & (F.col("cts") < F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("s_id").alias("signup_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("s_user").alias("user_id"),
+        (F.col("cts").cast("long") - F.col("sts").cast("long")).alias("lag_s"),
+    )
+    _qn_counter[0] += 1
+    qn = f"click_attr_{_qn_counter[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn)
+
+
 QUERIES = {
     "stream_event_window_counts": stream_event_window_counts,
     "stream_exact_dedup": stream_exact_dedup,
     "sliding_window_counts": sliding_window_counts,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLE_SQL = {
@@ -258,6 +324,18 @@ ORACLE_SQL = {
                count(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    "stream_click_attribution": """
+        SELECT s.event_id AS signup_id, c.event_id AS click_id,
+               s.user_id,
+               CAST(epoch_us(c.ts) // 1000000
+                    - epoch_us(s.ts) // 1000000 AS BIGINT) AS lag_s
+        FROM events s JOIN events c
+          ON c.user_id = s.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= s.ts
+         AND c.ts < s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup'
     """,
     # every event belongs to exactly WIN/STEP = 2 sliding windows:
     # starts k*STEP and k*STEP - STEP where k = epoch // STEP

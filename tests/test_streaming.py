@@ -155,3 +155,134 @@ def test_sliding_windows_cover_each_event_twice(spark):
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert sum(r["n_events"] for r in rows) == 2 * n_events
     assert all(r["win_start_s"] % ingest.SLIDE_STEP_S == 0 for r in rows)
+
+
+def test_stream_stream_join_matches_batch_range_join(spark):
+    """Single-drain determinism: the watermarked stream-stream join
+    equals the batch bounded range join, and per-signup match counts
+    agree with the batch range_attribution operator."""
+    from indigent_defense_stats_spark.operators import temporal
+
+    streamed = ingest.stream_click_attribution(spark, SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("sts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    batch = s.join(
+        c,
+        (s["s_user"] == c["c_user"])
+        & (c["cts"] >= s["sts"])
+        & (c["cts"] < s["sts"] + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_id",
+        "click_id",
+        F.col("s_user").alias("user_id"),
+        (F.col("cts").cast("long") - F.col("sts").cast("long")).alias("lag_s"),
+    )
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+    # per-signup counts agree with the batch range-join operator
+    got = {
+        r["signup_id"]: r["n"]
+        for r in streamed.groupBy("signup_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in temporal.range_attribution(spark, SF_DIR).collect():
+        assert got.get(r["event_id"], 0) == r["n_clicks_1h"]
+
+
+def test_stream_stream_join_evicts_late_state(spark, tmp_path):
+    """Watermark-driven STATE EVICTION on a three-batch drain.  What
+    Spark guarantees for stream-stream joins is eviction, not input
+    filtering: a buffered row is removed once the watermark (taken at
+    batch START, so one batch after it advances) proves no future
+    match can arrive — after that, a week-late arrival finds nothing
+    to join.  Two traps this test pins: (a) the global watermark is
+    the MIN across both sides, so the click side needs a day-9 event
+    too or nothing is ever late; (b) a late row arriving in the SAME
+    batch the watermark first advances can still match (eviction runs
+    with the batch-start watermark) — the drop is only guaranteed a
+    batch later."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ev")
+    tbl = f"{src}/events.parquet"
+    os.makedirs(tbl)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    day1 = datetime(2024, 1, 1, 9, 0)
+    day9 = datetime(2024, 1, 9, 9, 0)
+    batch1 = [
+        (1, day1, 1, "signup", 0.0, "{}"),
+        (2, day1, 1, "click", 0.0, "{}"),  # on-time match for signup 1
+        (3, day9, 2, "signup", 0.0, "{}"),  # advances signup watermark
+        (6, day9, 3, "click", 0.0, "{}"),  # advances click watermark
+    ]
+    batch2 = [
+        (5, day9, 2, "click", 0.0, "{}"),  # on-time match for signup 3;
+        # batch runs with watermark day 8 -> signup 1's state evicted
+    ]
+    batch3 = [
+        # a click inside signup 1's hour, arriving a week late: the
+        # buffered signup is gone -> no match
+        (7, day1, 1, "click", 0.0, "{}"),
+    ]
+    for i, rows in enumerate([batch1, batch2, batch3]):
+        part = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        (src_file,) = [
+            f for f in os.listdir(part) if f.endswith(".parquet")
+        ]
+        dst = f"{tbl}/batch{i}.parquet"
+        os.rename(f"{part}/{src_file}", dst)
+        # the file source orders by modification time: force batch order
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    schema_df = spark.read.parquet(tbl).schema
+
+    def _side(etype, prefix):
+        s = (
+            spark.readStream.schema(schema_df)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(tbl)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}ts"),
+            )
+        )
+        return s.withWatermark(f"{prefix}ts", "1 day")
+
+    joined = _side("signup", "s").join(
+        _side("click", "c"),
+        (F.col("s_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("sts"))
+        & (F.col("cts") < F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r["s_id"], r["c_id"]) for r in spark.table("late_drop_test").collect()
+    }
+    assert pairs == {(1, 2), (3, 5)}, pairs  # (1, 7) evicted, never joined
