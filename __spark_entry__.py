@@ -85,6 +85,23 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "corpus_interleave",      # corpus-mixing family: mixture_sample
+                              # (eval'd) covers the per-source window +
+                              # deterministic-order arithmetic; the
+                              # round-robin cycling law is pinned by
+                              # the corpus-prep property tests
+    "ann_topk_cosine",        # exact ANN baseline: ann_topk_ivf_indexed
+                              # (eval'd) replays the same fold dot
+                              # products in its oracle and semantic_dedup
+                              # (eval'd) verifies exact cosines
+    "duplicate_span_stats",   # chunk-duplication family: line_dedup
+                              # (eval'd) detects the same global
+                              # duplicate chunks and rewrites; coverage
+                              # math pinned by brute-force pytest
+    "lang_id",                # textstats family: token_stats +
+                              # gopher_quality_filters + unigram_lm_score
+                              # (eval'd) exercise the same tokenized
+                              # stopword-hit machinery
     "click_graph_edges",      # edge-builder CONSTITUENT of the eval'd
                               # click_pagerank (pagerank consumes the
                               # same lead-window edges + out-weights)

@@ -59,6 +59,12 @@ OPTIONAL = [
     "asof_attribution",
     "range_attribution",
     "inverted_index",
+    # round-3 late additions: ordered funnel (one shuffle + window
+    # cascade), CMS heavy hitters (sketch build + broadcast probe),
+    # z-order cells (map-only bit interleave)
+    "funnel_stages",
+    "cms_heavy_hitters",
+    "zorder_cells",
 ]
 
 
