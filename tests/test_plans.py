@@ -114,3 +114,52 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_ev_t")
         spark.sql("DROP TABLE IF EXISTS bkt_us_t")
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst's runtime bloom-filter injection — the optimizer
+    surface that makes selective dim joins cheap at 100 TB: a bloom
+    filter built from the filtered dim side is pushed into the fact
+    scan as ``might_contain``, so most fact rows die before the
+    shuffle.  Production defaults gate it on a >=10 GB probe side
+    (exactly the target regime); the sandbox fact table is far
+    smaller, so the test lowers the application-side threshold to
+    demonstrate the plan and pins result equality with the filter on
+    and off."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+
+    def _run():
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        pt = spark.read.parquet("/root/testdata/sf0.001/part.parquet").filter(
+            F.col("p_type").startswith("SMALL")
+        )
+        return (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_bf = _run()
+        plan = with_bf._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        rows_on = {tuple(r) for r in with_bf.collect()}
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        rows_off = {tuple(r) for r in _run().collect()}
+        assert rows_on == rows_off and rows_on
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
