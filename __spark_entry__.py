@@ -102,6 +102,17 @@ _TAIL = [
                               # gopher_quality_filters + unigram_lm_score
                               # (eval'd) exercise the same tokenized
                               # stopword-hit machinery
+    "stratified_sample",      # sampling family: mixture_sample (eval'd)
+                              # runs the same per-group deterministic-
+                              # order cumulative windows against a
+                              # quota; count-quota law pinned by the
+                              # property tests + the threshold variant
+    "incremental_dedup",      # composition of two evaluated pieces:
+                              # the content-hash keeper join
+                              # (clean_corpus, eval'd) + the LSH
+                              # banding replay (minhash_lsh_neardup,
+                              # eval'd); cross-split semantics pinned
+                              # by pytest injections
     "click_graph_edges",      # edge-builder CONSTITUENT of the eval'd
                               # click_pagerank (pagerank consumes the
                               # same lead-window edges + out-weights)

@@ -164,10 +164,84 @@ def click_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REACH_DEPTH = 3  # hop budget
+REACH_BEAM = 2  # out-edges kept per page (w desc, dst tiebreak)
+REACH_SEED_MOD = 7  # seed pages: src % REACH_SEED_MOD == 0
+
+
+def _reach_sql(events_ref: str, json_int: str) -> str:
+    """Shared recursive-CTE text for both engines; ``json_int`` is the
+    engine's json-path-to-int idiom with {} for the column."""
+    return f"""
+        WITH RECURSIVE
+        e0 AS (
+            SELECT user_id, event_id, ts,
+                   {json_int.format("props")} AS page
+            FROM {events_ref}
+        ),
+        ed AS (
+            SELECT page AS src,
+                   lead(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM e0
+        ),
+        ew AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+            FROM ed WHERE dst IS NOT NULL AND dst <> src
+            GROUP BY src, dst
+        ),
+        beam AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY w DESC, dst) AS rn
+                FROM ew
+            ) ranked WHERE rn <= {REACH_BEAM}
+        ),
+        reach(page, d) AS (
+            SELECT DISTINCT src, 0 FROM beam
+            WHERE src % {REACH_SEED_MOD} = 0
+            UNION ALL
+            SELECT b.dst, r.d + 1
+            FROM reach r JOIN beam b ON b.src = r.page
+            WHERE r.d < {REACH_DEPTH}
+        )
+        SELECT page, CAST(min(d) AS INT) AS dist
+        FROM reach GROUP BY page
+    """
+
+
+def click_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from seed pages over the BEAM-pruned click graph,
+    via Spark's native ``WITH RECURSIVE`` (SQL:1999 recursion landed
+    in Spark 4) — the declarative form of the traversal the reference
+    scraper runs imperatively (portal -> search -> case).
+
+    Unbounded recursion over a dense graph enumerates paths, not
+    vertices — UNION ALL path counts grow with fan-out^depth and
+    Spark does not yet support the deduplicating UNION step (checked:
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the SCALABLE shape caps
+    the branching factor FIRST: keep each page's top-``REACH_BEAM``
+    out-edges by weight (deterministic row_number tiebreak on dst),
+    giving <= seeds * beam^depth rows regardless of corpus size — the
+    beam-search discipline.  For full closures the engine's iterative
+    join loops with per-round checkpointing (click_pagerank,
+    neardup_components) remain the 10^10-edge path; this query is the
+    SQL-surface form.  The DuckDB oracle runs the textually identical
+    recursion (only the json-extract idiom differs)."""
+    return spark.sql(
+        _reach_sql(
+            f"parquet.`{sf_dir}/events.parquet`",
+            "CAST(get_json_object({0}, '$.k') AS INT)",
+        )
+    )
+
+
 QUERIES = {
     "click_graph_edges": click_graph_edges,
     "click_pagerank": click_pagerank,
     "click_triangles": click_triangles,
+    "click_reachability": click_reachability,
 }
 
 _SQL_EDGES = """
@@ -262,4 +336,10 @@ ORACLE_SQL = {
                (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_vertices
     """,
     "click_pagerank": _pagerank_sql(),
+    # textually the SAME recursion as the engine runs — only the
+    # json-extract idiom differs (DuckDB's recursive CTE is a mature
+    # independent implementation, so this is a real cross-check)
+    "click_reachability": _reach_sql(
+        "events", "CAST(json_extract_string({0}, '$.k') AS INT)"
+    ),
 }

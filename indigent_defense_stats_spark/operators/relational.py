@@ -585,11 +585,37 @@ def rolling_week_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through Spark 4's VARIANT type: the
+    events ``props`` JSON is parsed ONCE into a variant
+    (``parse_json``) and the typed path ``$.k`` extracted with
+    ``variant_get`` — the schema-on-read column type that replaces
+    string-churning ``get_json_object`` at scale (binary-encoded,
+    shredding-ready, no per-access re-parse).  The reference stores
+    per-case blobs exactly this way (JSON fields of varying shape;
+    SURVEY.md §2 F14).  Integer-only measures keep the cross-engine
+    hash exact; the DuckDB oracle extracts the same path from the raw
+    JSON."""
+    e = _t(spark, sf_dir, "events")
+    vk = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", vk.alias("vk"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vk").cast("bigint").alias("k_sum"),
+            F.max("vk").cast("bigint").alias("k_max"),
+            F.count_distinct(F.col("vk")).cast("bigint").alias("k_distinct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — keys match QUERIES
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "variant_props_rollup": variant_props_rollup,
     "rolling_week_user_events": rolling_week_user_events,
     "event_type_day_rollup": event_type_day_rollup,
     "event_type_pivot": event_type_pivot,
@@ -621,6 +647,18 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "variant_props_rollup": """
+        WITH v AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS vk
+            FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(vk) AS BIGINT) AS k_sum,
+               CAST(max(vk) AS BIGINT) AS k_max,
+               CAST(count(DISTINCT vk) AS BIGINT) AS k_distinct
+        FROM v GROUP BY event_type
+    """,
     # count() window over RANGE frame: DuckDB returns BIGINT (same as
     # Spark's long) — no HUGEINT hazard for count, unlike sum
     "rolling_week_user_events": f"""

@@ -140,3 +140,58 @@ def test_triangles_hand_graph(spark, tmp_path):
     row = graph.click_triangles(spark, d).collect()[0]
     assert row["n_triangles"] == 2  # {1,2,3} and {1,2,4}
     assert row["n_edges"] == 7 and row["n_vertices"] == 7
+
+
+def test_reachability_hand_graph_and_beam(spark, tmp_path):
+    """Seed = page 0 (0 % 7 == 0).  Edges by weight from page 0:
+    0->1 (x3), 0->2 (x2), 0->3 (x1).  Beam=2 keeps only 0->1 and
+    0->2, so page 3 must be UNREACHABLE despite the direct edge —
+    the explicit fan-out cap that makes UNION ALL recursion bounded.
+    Chain 1->8 then gives 8 distance 2."""
+    rows, eid = [], 0
+    t0 = "2024-01-01 00:%02d:%02d"
+
+    def walk(uid, pages, base_min):
+        nonlocal eid, rows
+        for i, k in enumerate(pages):
+            rows.append((eid, t0 % (base_min, i), uid, k))
+            eid += 1
+
+    # three walks 0->1 (weight 3)
+    walk(1, [0, 1], 1)
+    walk(2, [0, 1], 2)
+    walk(3, [0, 1], 3)
+    # two walks 0->2 (weight 2)
+    walk(4, [0, 2], 4)
+    walk(5, [0, 2], 5)
+    # one walk 0->3 (weight 1, pruned by the beam)
+    walk(6, [0, 3], 6)
+    # chain 1->8 (distance 2 from seed)
+    walk(7, [1, 8], 7)
+    d = _tiny_events(spark, tmp_path, rows)
+    out = {r["page"]: r["dist"] for r in graph.click_reachability(spark, d).collect()}
+    assert out[0] == 0
+    assert out[1] == 1 and out[2] == 1
+    assert out[8] == 2
+    assert 3 not in out  # beam-pruned edge
+    # bounded-output law: <= seeds * (1 + beam + beam^2 + beam^3)
+    assert len(out) <= 1 * sum(graph.REACH_BEAM**i for i in range(graph.REACH_DEPTH + 1))
+
+
+def test_reachability_min_distance_over_paths(spark, tmp_path):
+    """A page reachable at depth 1 AND depth 3 reports distance 1
+    (min over generated paths)."""
+    rows, eid = [], 0
+
+    def walk(uid, pages, base_min):
+        nonlocal eid, rows
+        for i, k in enumerate(pages):
+            rows.append((eid, "2024-01-01 00:%02d:%02d" % (base_min, i), uid, k))
+            eid += 1
+
+    # 0 -> 1 -> 2 -> 1: page 1 at d=1 and (via 2) d=3
+    walk(1, [0, 1, 2, 1], 1)
+    walk(2, [0, 1], 5)  # reinforce 0->1
+    d = _tiny_events(spark, tmp_path, rows)
+    out = {r["page"]: r["dist"] for r in graph.click_reachability(spark, d).collect()}
+    assert out[1] == 1 and out[2] == 2

@@ -102,3 +102,33 @@ def test_rolling_range_frame_matches_bruteforce(spark):
         for t, n in lst:
             want = sum(1 for x in ts if t - win < x <= t)
             assert n == want, (u, t, n, want)
+
+
+def test_variant_rollup_matches_string_json_path(spark):
+    """The VARIANT extraction (parse_json + variant_get) must agree
+    with the legacy string-path get_json_object on every group, and
+    the whole plan must stay JVM-side (no EvalPython)."""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.operators import relational
+
+    out = relational.variant_props_rollup(spark, SF_DIR)
+    legacy = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("vk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vk").cast("bigint").alias("k_sum"),
+            F.max("vk").cast("bigint").alias("k_max"),
+            F.count_distinct(F.col("vk")).cast("bigint").alias("k_distinct"),
+        )
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in legacy.collect()
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
