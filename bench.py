@@ -65,6 +65,9 @@ OPTIONAL = [
     "funnel_stages",
     "cms_heavy_hitters",
     "zorder_cells",
+    # Spark-4 SQL surfaces: recursive CTE (beam-bounded) + VARIANT
+    "click_reachability",
+    "variant_props_rollup",
 ]
 
 
