@@ -22,6 +22,14 @@ production deployment runs beside the crawl:
 Scale notes: the file source scales by listing; state store is
 per-key (user) — keys hash-partition across executors, and the
 watermark bounds state size.
+
+API note: Spark 4's successor stateful API
+(``transformWithStateInPandas`` / StatefulProcessor) is present in
+this PySpark build but its driver-side runner requires
+``google.protobuf``, which this container lacks (verified:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError) — the
+GroupState form below is the portable implementation; porting the
+processor is mechanical (getValueState + handleInputRows).
 """
 
 from __future__ import annotations
