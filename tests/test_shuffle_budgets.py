@@ -1,0 +1,65 @@
+"""Shuffle-budget regression harness: every Exchange in a plan is a
+full network reshuffle at cluster scale, so each query's shuffle count
+is part of its performance CONTRACT — a refactor that silently adds
+one (a lost partitioning reuse, a broadcast that degraded to
+hash-join, a window that stopped sharing its exchange) is a 100 TB
+regression that small-data correctness tests cannot see.
+
+Budgets are the CURRENT measured hash-exchange counts (upper bounds:
+going lower is always fine).  They encode specific design claims made
+in the operator docstrings, e.g. funnel_stages' three dependent
+windows + final collapse share ONE exchange, zorder/token_stats/
+gopher/caption-mining are map-only, and bm25's corpus stats arrive by
+broadcast (zero hash exchanges)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as e
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> max allowed "Exchange hashpartitioning" occurrences in the
+# executed plan (measured on sf0.001; upper bounds)
+BUDGETS = {
+    # map-only contracts
+    "zorder_cells": 0,
+    "token_stats": 0,
+    "gopher_quality_filters": 0,
+    "interleaved_spans": 0,
+    "media_caption_pairs": 0,
+    "top5_orders": 0,  # global top-N: single-partition sort, no hash
+    "bm25_search": 0,  # corpus stats broadcast, scoring map-side
+    # single-shuffle contracts
+    "funnel_stages": 1,
+    "event_sequence": 1,
+    "q1_pricing_summary": 1,
+    "exact_dedup_docs": 1,
+    "asof_attribution": 1,
+    "pack_sequences": 1,
+    "dedup_first_event": 1,
+    # bounded multi-stage contracts
+    "variant_props_rollup": 2,
+    "line_dedup": 2,
+    "minhash_lsh_neardup": 2,
+    "mixture_sample": 2,
+    "cms_heavy_hitters": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    qs = e.queries()
+    plan = (
+        qs[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} hash exchanges > budget {BUDGETS[name]} — a new "
+        f"shuffle crept into the plan; see the operator docstring for "
+        f"the intended shape"
+    )
