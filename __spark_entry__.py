@@ -102,6 +102,11 @@ _TAIL = [
                               # gopher_quality_filters + unigram_lm_score
                               # (eval'd) exercise the same tokenized
                               # stopword-hit machinery
+    "quality_thresholds",     # per-group quantile-split family: the
+                              # eval'd ccnet_buckets cuts the same
+                              # per-group score distribution (ntile
+                              # integer form); the approx_percentile
+                              # t-digest contract stays pytest-pinned
     "stratified_sample",      # sampling family: mixture_sample (eval'd)
                               # runs the same per-group deterministic-
                               # order cumulative windows against a

@@ -68,6 +68,8 @@ OPTIONAL = [
     # Spark-4 SQL surfaces: recursive CTE (beam-bounded) + VARIANT
     "click_reachability",
     "variant_props_rollup",
+    # CCNet head/middle/tail quality bucketing (ntile over LM scores)
+    "ccnet_buckets",
 ]
 
 

@@ -314,6 +314,53 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, the split
+    RedPajama/CCNet release corpora by): per LANGUAGE, rank documents
+    by the unigram-LM quality score and cut the ranking into equal
+    thirds — head (most corpus-like) / middle / tail.  Downstream
+    pipelines train on head+middle and drop or down-weight tail.
+
+    Determinism: the cut uses ``ntile(3)`` over (avg_logprob DESC,
+    doc_id) — pure integer rank arithmetic with a total order, so the
+    bucket boundary can NEVER flake on float-threshold comparisons
+    (the hazard an exact-percentile cut would carry); both engines
+    compute identical tiles by construction.
+
+    Scale shape: scoring is the zero-shuffle map of
+    :func:`unigram_lm_score`; the cut is ONE shuffle on ``lang`` +
+    per-partition sort.  Language skew (one dominant language) is the
+    classic AQE-skew / two-stage-ntile territory; at CCNet scale the
+    split runs per (lang, shard) with shard-merged boundaries — the
+    per-lang window here is that operator's exact semantics."""
+    scores = unigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return (
+        langs.join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            tile.alias("tile"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("tile") == 1, F.lit("head"))
+            .when(F.col("tile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "gopher_quality_filters": gopher_quality_filters,
@@ -323,6 +370,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "pii_scrub_docs": pii_scrub_docs,
     "unigram_lm_score": unigram_lm_score,
+    "ccnet_buckets": ccnet_buckets,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -336,6 +384,45 @@ def _sql_hits(words: list[str]) -> str:
 _SQL_STOP_DISTINCT = (
     "len(list_distinct(list_filter({toks}, t -> list_contains({arr}, t))))"
 )
+
+LM_SCORES_SQL = f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+        cnts AS (
+            SELECT u.tok, count(*) AS cnt
+            FROM t, unnest(ts) AS u(tok) GROUP BY u.tok
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+        model AS (
+            SELECT tok,
+                   round(ln(cnt * 1.0 / (SELECT n FROM tot)), 6) AS logp
+            FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {LM_VOCAB_K}
+        ),
+        toks AS (
+            SELECT t.doc_id, g.i AS ord, t.ts[g.i] AS tok
+            FROM t, unnest(generate_series(1, len(ts))) AS g(i)
+        ),
+        scored AS (
+            SELECT k.doc_id, k.ord,
+                   coalesce(m.logp,
+                            round(ln(0.5 / (SELECT n FROM tot)), 6)) AS lp,
+                   CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+            FROM toks k LEFT JOIN model m ON m.tok = k.tok
+        )
+        SELECT doc_id, n_tokens, n_oov,
+               round(s, 6) AS logprob,
+               round(s / n_tokens, 6) AS avg_logprob
+        FROM (
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(is_oov) AS INT) AS n_oov,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(lp ORDER BY ord)),
+                       (a, b) -> a + b) AS s
+            FROM scored GROUP BY doc_id
+        )
+"""
+
 
 ORACLE_SQL = {
     "gopher_quality_filters": f"""
@@ -435,43 +522,21 @@ ORACLE_SQL = {
     # selection (cnt desc, tok asc), same 6-place per-token rounding
     # BEFORE the fold, same left-fold order (list_reduce with a 0.0
     # head == Spark aggregate's 0.0 init) -> bit-identical sums
-    "unigram_lm_score": f"""
-        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
-        cnts AS (
-            SELECT u.tok, count(*) AS cnt
-            FROM t, unnest(ts) AS u(tok) GROUP BY u.tok
-        ),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
-        model AS (
-            SELECT tok,
-                   round(ln(cnt * 1.0 / (SELECT n FROM tot)), 6) AS logp
-            FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {LM_VOCAB_K}
-        ),
-        toks AS (
-            SELECT t.doc_id, g.i AS ord, t.ts[g.i] AS tok
-            FROM t, unnest(generate_series(1, len(ts))) AS g(i)
-        ),
-        scored AS (
-            SELECT k.doc_id, k.ord,
-                   coalesce(m.logp,
-                            round(ln(0.5 / (SELECT n FROM tot)), 6)) AS lp,
-                   CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END AS is_oov
-            FROM toks k LEFT JOIN model m ON m.tok = k.tok
+    "unigram_lm_score": LM_SCORES_SQL,
+    "ccnet_buckets": f"""
+        WITH lm AS ({{LM}}),
+        cut AS (
+            SELECT d.doc_id, d.lang, lm.avg_logprob,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY lm.avg_logprob DESC,
+                                           d.doc_id) AS tile
+            FROM documents d JOIN lm ON lm.doc_id = d.doc_id
         )
-        SELECT doc_id, n_tokens, n_oov,
-               round(s, 6) AS logprob,
-               round(s / n_tokens, 6) AS avg_logprob
-        FROM (
-            SELECT doc_id,
-                   count(*) AS n_tokens,
-                   CAST(sum(is_oov) AS INT) AS n_oov,
-                   list_reduce(
-                       list_prepend(CAST(0.0 AS DOUBLE),
-                                    list(lp ORDER BY ord)),
-                       (a, b) -> a + b) AS s
-            FROM scored GROUP BY doc_id
-        )
-    """,
+        SELECT doc_id, lang, avg_logprob,
+               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket
+        FROM cut
+    """.format(LM=LM_SCORES_SQL),
     # exact replay of the injection + scrub chain; counts measured on
     # the injected text BEFORE scrubbing, 'g' = replace ALL matches
     # (Spark's regexp_replace default)

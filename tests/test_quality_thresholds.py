@@ -92,3 +92,34 @@ def test_hll_cardinality_tracks_exact(spark):
             F.approx_count_distinct(col).alias("a")
         ).collect()[0]["a"]
         assert abs(approx - exact) <= max(3, 0.15 * exact), (exact, approx)
+
+
+def test_ccnet_buckets_partition_and_order(spark):
+    """Per language: the three buckets partition the docs with sizes
+    differing by <= 1 (ntile law), and bucket order respects the score
+    order (min(head) >= max(tail), with middle between)."""
+    from collections import defaultdict
+
+    from indigent_defense_stats_spark.operators import textstats
+
+    rows = textstats.ccnet_buckets(spark, SF_DIR).collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_logprob"])
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if buckets.get("head") and buckets.get("tail"):
+            assert min(buckets["head"]) >= max(buckets["tail"]), lang
+        if buckets.get("middle"):
+            if buckets.get("head"):
+                assert min(buckets["head"]) >= max(buckets["middle"]), lang
+            if buckets.get("tail"):
+                assert min(buckets["middle"]) >= max(buckets["tail"]), lang
+    # deterministic re-run
+    again = {
+        (r["doc_id"], r["bucket"])
+        for r in textstats.ccnet_buckets(spark, SF_DIR).collect()
+    }
+    assert {(r["doc_id"], r["bucket"]) for r in rows} == again
