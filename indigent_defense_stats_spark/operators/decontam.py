@@ -246,11 +246,14 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 idiom in the oracle."""
     K = NGRAM
     d = _docs(spark, sf_dir).withColumn("_toks", _tokens())
+    # grams (tokenize + 13-gram posexplode) feeds both the occurrence
+    # count and the df>1 join-back — pin it once instead of exploding
+    # twice (measured 1.9 s -> 0.8 s at sf0.1)
     grams = d.select(
         "doc_id",
         F.size("_toks").alias("n_tokens"),
         F.posexplode(_ngrams(F.col("_toks"), K)).alias("pos", "gram"),
-    )
+    ).localCheckpoint(eager=False)
     cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     dup = grams.join(cnt.filter(F.col("c") > 1), "gram")
     per_doc = dup.groupBy("doc_id").agg(

@@ -68,7 +68,13 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_tokens()).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df aggregate AND the scoring join — pin the
+    # tokenize+explode+aggregate once (measured 1.0 s -> 0.5 s, sf0.1)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N as a broadcast single-row aggregate, not a driver collect: the
     # plan stays one job at any scale
