@@ -48,6 +48,41 @@ BUDGETS = {
 }
 
 
+# query -> max allowed parquet scans in the executed plan.  These pin
+# the pin-shared-subplans discipline: a query whose expensive derived
+# table (tf aggregate, gram explode, bucket fold, shingle index) feeds
+# several consumers must materialize it ONCE (localCheckpoint) — if a
+# refactor drops the pin, the scan reappears per consumer and the op
+# silently recomputes its hottest stage 2-3x (measured 2-3x wall-time
+# regressions at sf0.1 for each query below).
+SCAN_BUDGETS = {
+    "inverted_index": 1,
+    "tfidf_topk": 1,
+    "duplicate_span_stats": 1,
+    "embedding_neardup_lsh": 0,  # pinned projection only
+    "semantic_dedup": 0,
+    "minhash_lsh_neardup": 0,
+    "ngram_jaccard_pairs": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGETS))
+def test_scan_budget(spark, name):
+    qs = e.queries()
+    plan = (
+        qs[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Scan parquet")
+    assert n <= SCAN_BUDGETS[name], (
+        f"{name}: {n} parquet scans > budget {SCAN_BUDGETS[name]} — a "
+        f"shared subplan lost its localCheckpoint pin and is being "
+        f"recomputed per consumer"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
     qs = e.queries()
