@@ -216,6 +216,12 @@ _TAIL = [
     "stream_exact_dedup",     # streaming form of exact_dedup_docs
                               # (eval'd); stream surface covered by
                               # stream_event_window_counts (eval'd)
+    "dsir_select",            # round-3 late addition (data-selection
+                              # family: mixture_sample eval'd covers the
+                              # deterministic sampling surface; DSIR's
+                              # hashed-bigram importance weights are
+                              # oracle-checked via check_oracles +
+                              # property-tested)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -55,6 +55,7 @@ OPTIONAL = [
     "pack_interleaved",
     "click_pagerank",
     "mixture_sample",
+    "dsir_select",
     # round-3 temporal joins (as-of = single-shuffle window re-expression)
     "asof_attribution",
     "range_attribution",

@@ -218,12 +218,124 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256  # hashed-bigram feature dimension
+DSIR_KEEP_Q = 0.75  # selected = importance weight above this quantile
+DSIR_TARGET_LANG = "en"  # stands in for the paper's target corpus
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): score every raw document by how
+    much its HASHED-BIGRAM profile resembles a target distribution,
+    then keep the top fraction.  Target here = the corpus's English
+    documents (standing in for the paper's Wikipedia/books sample);
+    feature = bigram hashed into ``DSIR_BUCKETS`` buckets; per-doc
+    log importance weight = sum over its bigrams of
+    ``ln p_target(bucket) - ln p_raw(bucket)`` with add-1 smoothing.
+    ``selected`` marks docs at or above the ``DSIR_KEEP_Q`` quantile
+    of the weight (the deterministic top-fraction form; the paper's
+    Gumbel-noise resampler is this plus seeded per-doc noise).
+
+    Determinism contract: each bucket's log-ratio is rounded to
+    integer MICRO-units once (``r_micro``), so per-doc scores are
+    exact BIGINT sums — order-independent, no float-accumulation
+    drift between engines (stronger than the pre-rounded left-fold
+    unigram_lm_score needs).  The quantile cut compares integers
+    against ``percentile``/``quantile_cont`` — at any corpus size n,
+    the rank position 0.75*(n-1) interpolates on binary fractions
+    {0,.25,.5,.75}, so the lerp of two integer scores is EXACT in
+    both engines and the boundary cannot flake.
+
+    Scale shape (the paper's own point — hashed features make
+    importance weights computable at web scale): one explode keyed by
+    bucket feeds two LINEAR aggregates (target + raw counts, map-side
+    partial, output bounded by DSIR_BUCKETS) and one broadcast-join
+    scoring pass (ratio table = 256 rows); the per-doc sum is one
+    linear groupBy(doc_id); the threshold is a single-row aggregate
+    (``approx_percentile`` at 100 TB — the quality_thresholds
+    discipline).  Nothing shuffles more than once, nothing collects.
+    The exploded bucket table feeds three consumers, so it is pinned
+    (the shared-subplan discipline, tests/test_shuffle_budgets.py)."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.lower(F.col("text")), " ")
+    bg = F.zip_with(
+        t,
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = (
+        docs.select("doc_id", "lang", F.explode(bg).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (
+                md5_int(F.concat(F.lit("dsir:"), F.col("bg")))
+                % F.lit(DSIR_BUCKETS)
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw = ex.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        ex.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot_r = raw.agg(F.sum("rc").alias("R"))
+    tot_t = tgt.agg(F.sum("tc").alias("T"))
+    nb = float(DSIR_BUCKETS)
+    lr = F.log(
+        (F.col("tc") + F.lit(1.0)) / (F.col("T") + F.lit(nb))
+    ) - F.log((F.col("rc") + F.lit(1.0)) / (F.col("R") + F.lit(nb)))
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .withColumn("tc", F.coalesce("tc", F.lit(0)))
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "b",
+            F.round(lr * F.lit(1_000_000.0), 0).cast("bigint").alias("r_micro"),
+        )
+    )
+    scores = (
+        ex.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("r_micro").alias("s_micro"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("s_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    thr = per_doc.agg(
+        F.percentile(F.col("logw_micro"), F.lit(DSIR_KEEP_Q)).alias("thr")
+    )
+    return per_doc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round(F.col("logw_micro") / F.lit(1_000_000.0), 6).alias("logw"),
+        (F.col("logw_micro") >= F.col("thr")).alias("selected"),
+    )
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "stratified_sample_threshold": stratified_sample_threshold,
     "pack_sequences": pack_sequences,
     "corpus_interleave": corpus_interleave,
     "mixture_sample": mixture_sample,
+    "dsir_select": dsir_select,
 }
 
 _SQL_H = "('0x' || left(md5('shuf:' || doc_id), 15))::BIGINT"
@@ -342,5 +454,59 @@ ORACLE_SQL = {
         )
         SELECT doc_id, source, n_tokens, mix_rank, cum_before, quota
         FROM q WHERE cum_before < quota
+    """,
+    "dsir_select": f"""
+        WITH ts AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, lang,
+                   ('0x' || left(md5('dsir:' || bg), 15))::BIGINT
+                       % {DSIR_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(
+                           range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1]
+                       )) AS bg
+                FROM ts
+            )
+        ),
+        raw AS (SELECT b, count(*) AS rc FROM ex GROUP BY b),
+        tgt AS (SELECT b, count(*) AS tc FROM ex
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+        tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM raw) AS R,
+                       (SELECT CAST(sum(tc) AS BIGINT) FROM tgt) AS T),
+        ratios AS (
+            -- same double arithmetic textually as the Spark side:
+            -- ln((count+1.0)/(total+{float(DSIR_BUCKETS)!r})), the
+            -- difference scaled to integer micro-units ONCE, so the
+            -- per-doc sums below are exact BIGINT arithmetic
+            SELECT raw.b,
+                   CAST(round((ln((coalesce(tc, 0) + 1.0)
+                                  / (T + {float(DSIR_BUCKETS)!r}))
+                             - ln((rc + 1.0)
+                                  / (R + {float(DSIR_BUCKETS)!r})))
+                              * 1000000.0, 0) AS BIGINT) AS r_micro
+            FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+        ),
+        scores AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(r_micro) AS BIGINT) AS s_micro
+            FROM ex JOIN ratios USING (b) GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s_micro, 0) AS BIGINT) AS logw_micro
+            FROM documents d LEFT JOIN scores USING (doc_id)
+        ),
+        thr AS (SELECT quantile_cont(logw_micro, {DSIR_KEEP_Q}) AS thr
+                FROM per_doc)
+        SELECT doc_id, lang, n_bigrams,
+               round(logw_micro / 1000000.0, 6) AS logw,
+               logw_micro >= thr AS selected
+        FROM per_doc CROSS JOIN thr
     """,
 }

@@ -224,3 +224,38 @@ def test_mixture_sample_crossing_doc_included(spark, tmp_path):
     # source's single 50-token doc crosses its quota but is kept
     assert sorted(r["source"] for r in out) == ["src1", "src2"]
     assert all(r["cum_before"] == 0 for r in out)
+
+
+def test_dsir_planted_target_signal(spark, tmp_path):
+    """Planted DSIR signal: two disjoint vocabularies — raw docs that
+    share the target (en) vocabulary must outrank raw docs that don't,
+    and the selected set must be exactly the top DSIR_KEEP_Q fraction."""
+    en_text = "the quick brown fox jumps over the lazy dog again"
+    de_text = "der schnelle braune fuchs springt gern ueber den hund"
+    rows = [(i, en_text, "en", "s", 50) for i in range(10)]
+    rows += [(i, en_text, "de", "s", 50) for i in range(10, 14)]  # en-like
+    rows += [(i, de_text, "de", "s", 50) for i in range(14, 40)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in corpusprep.dsir_select(spark, d).collect()}
+    enlike = [got[i]["logw"] for i in range(14)]
+    other = [got[i]["logw"] for i in range(14, 40)]
+    assert min(enlike) > max(other), "target-vocab docs must outrank"
+    # top-fraction cut: exactly the docs at/above the 75th percentile
+    n_sel = sum(1 for r in got.values() if r["selected"])
+    # ties: all 14 en-vocab docs share one logw and the 75th-percentile
+    # threshold lands inside that tie block, so the whole block is kept
+    assert n_sel == 14
+    assert all(got[i]["selected"] for i in range(14))
+    assert not any(got[i]["selected"] for i in range(14, 40))
+
+
+def test_dsir_short_doc_edge(spark, tmp_path):
+    """A doc with <2 tokens has no bigrams: n_bigrams=0, logw=0.0, and
+    it still participates in the quantile population."""
+    rows = [(1, "solo", "en", "s", 4), (2, "", "en", "s", 0)]
+    rows += [(i, "a b c d e", "en", "s", 9) for i in range(3, 9)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in corpusprep.dsir_select(spark, d).collect()}
+    assert got[1]["n_bigrams"] == 0 and got[1]["logw"] == 0.0
+    assert got[2]["n_bigrams"] == 0 and got[2]["logw"] == 0.0
+    assert len(got) == 8  # zero-bigram docs are not dropped
