@@ -216,6 +216,11 @@ _TAIL = [
     "stream_exact_dedup",     # streaming form of exact_dedup_docs
                               # (eval'd); stream surface covered by
                               # stream_event_window_counts (eval'd)
+    "weighted_sample",        # round-3 late addition (sampling family:
+                              # Efraimidis-Spirakis A-Res length-
+                              # weighted draw; stratified/threshold/
+                              # mixture samplers eval'd cover the
+                              # window+quota surface)
     "dsir_select",            # round-3 late addition (data-selection
                               # family: mixture_sample eval'd covers the
                               # deterministic sampling surface; DSIR's

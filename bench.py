@@ -56,6 +56,7 @@ OPTIONAL = [
     "click_pagerank",
     "mixture_sample",
     "dsir_select",
+    "weighted_sample",
     # round-3 temporal joins (as-of = single-shuffle window re-expression)
     "asof_attribution",
     "range_attribution",

@@ -329,6 +329,60 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_K = 15  # docs kept per source
+WSAMPLE_M = 1 << 30  # uniform-draw resolution
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    2006 (A-Res), the standard distributed weighted sampler: each item
+    draws a uniform ``u`` and takes key ``u^(1/w)``; the top-k keys
+    per group are a weighted sample without replacement.  Here the
+    weight is ``n_chars`` (sample probability ∝ document length — the
+    token-proportional draw a mixture builder wants) and the group is
+    ``source``, so every source yields ``WSAMPLE_K`` docs drawn
+    length-weighted.
+
+    Determinism contract: ``u`` comes from the portable seeded hash
+    (no wall-clock RNG), and the rank key is computed as
+    ``round(ln(u), 6)`` baked to integer micro-units, then divided by
+    the integer weight — monotone in ``u^(1/w)`` (log transform;
+    both negative, w>0).  Integer-divided-by-integer is a SINGLE
+    IEEE-754 division, correctly rounded by spec in both engines, so
+    the per-row keys are bit-identical and the only float exposure is
+    the measure-zero round(ln) boundary every rounded-log column in
+    this repo already carries.  No float reaches the output: kept
+    rows report only integers.
+
+    Scale shape: a pure map computes keys, one per-source window
+    ranks them (sources proceed in parallel — the stratified_sample
+    shuffle profile); at 100 TB with a huge group count this is the
+    textbook one-pass weighted reservoir: keys are monotone, so
+    per-partition top-k then merge (Spark: ``rank <= k`` after the
+    window; the window itself is the merge)."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        (md5_int(F.concat(F.lit("wres:"), F.col("doc_id").cast("string")))
+         % F.lit(WSAMPLE_M)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(WSAMPLE_M))
+    w = F.greatest(F.col("n_chars"), F.lit(1))  # zero-length docs: w=1
+    key = (
+        F.round(F.log(u) * F.lit(1_000_000.0), 0).cast("bigint")
+        / F.col("weight")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("key"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", w.cast("bigint").alias("weight"))
+        .withColumn("key", key)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= WSAMPLE_K)
+        .select("doc_id", "source", "weight", "sample_rank")
+    )
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "stratified_sample_threshold": stratified_sample_threshold,
@@ -336,6 +390,7 @@ QUERIES = {
     "corpus_interleave": corpus_interleave,
     "mixture_sample": mixture_sample,
     "dsir_select": dsir_select,
+    "weighted_sample": weighted_sample,
 }
 
 _SQL_H = "('0x' || left(md5('shuf:' || doc_id), 15))::BIGINT"
@@ -508,5 +563,34 @@ ORACLE_SQL = {
                round(logw_micro / 1000000.0, 6) AS logw,
                logw_micro >= thr AS selected
         FROM per_doc CROSS JOIN thr
+    """,
+    "weighted_sample": f"""
+        WITH k AS (
+            SELECT doc_id, source,
+                   greatest(n_chars, 1) AS weight,
+                   ('0x' || left(md5('wres:' || doc_id), 15))::BIGINT
+                       % {WSAMPLE_M} AS hm
+            FROM documents
+        ),
+        s AS (
+            -- key = round(ln(u),6)-in-micro-units / integer weight:
+            -- one IEEE division of exact integers, bit-identical in
+            -- both engines; monotone in the A-Res key u^(1/w)
+            SELECT doc_id, source, weight,
+                   CAST(round(ln((CAST(hm AS DOUBLE) + 0.5)
+                                 / {float(WSAMPLE_M)!r})
+                              * 1000000.0, 0) AS BIGINT)
+                       / weight AS key
+            FROM k
+        ),
+        r AS (
+            SELECT doc_id, source, weight,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY key DESC, doc_id)
+                       AS sample_rank
+            FROM s
+        )
+        SELECT doc_id, source, weight, sample_rank
+        FROM r WHERE sample_rank <= {WSAMPLE_K}
     """,
 }

@@ -259,3 +259,51 @@ def test_dsir_short_doc_edge(spark, tmp_path):
     assert got[1]["n_bigrams"] == 0 and got[1]["logw"] == 0.0
     assert got[2]["n_bigrams"] == 0 and got[2]["logw"] == 0.0
     assert len(got) == 8  # zero-bigram docs are not dropped
+
+
+def test_weighted_sample_matches_pure_python_ares(spark):
+    """Independent reimplementation: recompute the A-Res keys with
+    hashlib+math from the raw parquet and assert the per-source
+    selected sets and ranks match the engine exactly."""
+    import hashlib
+    import math
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    M = corpusprep.WSAMPLE_M
+    scored = []
+    for r in rows:
+        h = int(hashlib.md5(f"wres:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (float(h % M) + 0.5) / float(M)
+        w = max(r["n_chars"], 1)
+        key = float(round(math.log(u) * 1_000_000.0)) / w
+        scored.append((r["source"], -key, r["doc_id"], w))
+    expect = {}
+    by_src: dict[str, list] = {}
+    for s in scored:
+        by_src.setdefault(s[0], []).append(s)
+    for src, ss in by_src.items():
+        for rank, s in enumerate(sorted(ss), start=1):
+            if rank <= corpusprep.WSAMPLE_K:
+                expect[s[2]] = (src, s[3], rank)
+    got = {
+        r["doc_id"]: (r["source"], r["weight"], r["sample_rank"])
+        for r in corpusprep.weighted_sample(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_weighted_sample_weight_monotonicity(spark, tmp_path):
+    """A document with overwhelming weight must always be drawn: with
+    one 10^6-char doc among 1-char docs, P(miss) ~ (stuff)^(10^6) = 0
+    at double precision — the planted heavy doc ranks first."""
+    rows = [(1, "x", "en", "s", 1_000_000)]
+    rows += [(i, "x", "en", "s", 1) for i in range(2, 40)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = corpusprep.weighted_sample(spark, d).collect()
+    top = [r for r in got if r["sample_rank"] == 1]
+    assert len(top) == 1 and top[0]["doc_id"] == 1
+    assert len(got) == min(corpusprep.WSAMPLE_K, 39)
