@@ -64,10 +64,24 @@ def main() -> None:
           f"({time.time()-t0:.1f}s)")
 
     # ---- parse (P7-P13, A1-A2, O1-O2, F8) --------------------------------
-    parsed = parse.parse_documents(docs)
+    # quality counters ride the SAME action via Observation (side-
+    # channel accumulators, no second pass): counting good and
+    # quarantined separately would re-run the mapInPandas parse twice
+    from pyspark.sql import Observation
+
+    obs = Observation("parse")
+    parsed = parse.parse_documents(docs).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("parse_error").isNull(), 1).otherwise(0)
+        ).alias("n_good"),
+    )
     good = parse.good_records(parsed)
-    bad = parse.quarantine(parsed)
-    print(f"[parse] good={good.count()} quarantined={bad.count()}")
+    n_good = good.count()  # the one action; metrics populate with it
+    m = obs.get
+    assert m["n_good"] == n_good
+    print(f"[parse] good={n_good} quarantined={m['n'] - m['n_good']}")
 
     # ---- clean (P14-P15, J2, J7, A3-A4, F9) ------------------------------
     charge_dim = spark.createDataFrame(pd.DataFrame(synth.make_charge_dim()))
