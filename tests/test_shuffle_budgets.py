@@ -39,6 +39,7 @@ BUDGETS = {
     "asof_attribution": 1,
     "pack_sequences": 1,
     "dedup_first_event": 1,
+    "weighted_sample": 1,  # one per-source window; keys are map-side
     # bounded multi-stage contracts
     "variant_props_rollup": 2,
     "line_dedup": 2,
@@ -63,6 +64,8 @@ SCAN_BUDGETS = {
     "semantic_dedup": 0,
     "minhash_lsh_neardup": 0,
     "ngram_jaccard_pairs": 0,
+    "dsir_select": 0,  # exploded bucket table + per_doc both pinned
+    "weighted_sample": 1,
 }
 
 
