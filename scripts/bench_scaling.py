@@ -72,6 +72,11 @@ JOBS = {
     # one more doubling past crawl540 to confirm throughput keeps
     # rising as per-wave fixed cost amortizes toward the 10^10 regime
     "crawl1080": {"kind": "crawl", "n_days": 1080},
+    # crawl2160 (~5.2M URLs): continuation-session extension — the
+    # largest frontier this sandbox holds, one more doubling past
+    # crawl1080 to test whether the rising-throughput trend has
+    # flattened yet
+    "crawl2160": {"kind": "crawl", "n_days": 2160},
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
