@@ -80,10 +80,15 @@ def click_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/SCALE — BIGINT, bit-identical across engines (see module
     docstring)."""
     edges = click_graph_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # nodes joins into EVERY iteration's rank update (plus the count
+    # below) — pin the union+distinct once or it re-shuffles per
+    # iteration (the shared-subplan discipline; the count materializes
+    # the checkpoint immediately)
     nodes = (
         edges.select(F.col("src").alias("page"))
         .union(edges.select(F.col("dst").alias("page")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one scalar aggregate — bounded driver state
     base = SCALE // n
