@@ -286,7 +286,10 @@ def interleaved_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_captions = F.coalesce(
         min_cap >= MM_MIN_CAPTION_TOKENS, F.lit(True)
     )
-    return (
+    # span-fold stats projected ONCE before the flags: n_text/min_cap
+    # are interpreted span folds referenced by several rules each —
+    # inlined they re-evaluate per reference (lang_id cost model)
+    stats = (
         _docs(spark, sf_dir)
         .withColumn("spans", _span_array())
         .select(
@@ -296,11 +299,24 @@ def interleaved_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(min_cap, F.lit(-1)).cast("int").alias(
                 "min_caption_tokens"
             ),
-            ok_text.alias("ok_text"),
-            ok_density.alias("ok_density"),
-            ok_captions.alias("ok_captions"),
-            (ok_text & ok_density & ok_captions).alias("keep"),
         )
+    )
+    nt = F.col("n_text_spans")
+    nm = F.col("n_media_spans")
+    mc = F.col("min_caption_tokens")
+    ok_text_c = nt >= MM_MIN_TEXT_SPANS
+    ok_density_c = nm <= nt
+    # min_caption_tokens = -1 encodes "no media" (vacuously true)
+    ok_captions_c = (mc < 0) | (mc >= MM_MIN_CAPTION_TOKENS)
+    return stats.select(
+        "doc_id",
+        "n_text_spans",
+        "n_media_spans",
+        "min_caption_tokens",
+        ok_text_c.alias("ok_text"),
+        ok_density_c.alias("ok_density"),
+        ok_captions_c.alias("ok_captions"),
+        (ok_text_c & ok_density_c & ok_captions_c).alias("keep"),
     )
 
 

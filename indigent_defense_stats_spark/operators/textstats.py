@@ -317,14 +317,27 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.array_distinct(F.filter(t, lambda w: F.array_contains(stop_lits, w)))
     )
-    pass_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
-    pass_mwl = (chars >= GOPHER_MIN_MWL * n) & (chars <= GOPHER_MAX_MWL * n)
-    pass_stop = n_stop >= GOPHER_MIN_STOP
-    return _docs(spark, sf_dir).select(
+    # stats projected ONCE: chars (a fold) is referenced by both mwl
+    # bounds plus the display mean, n_stop (a HOF) by its flag and
+    # keep — inlined they re-evaluate per reference (the lang_id /
+    # repetition_stats interpreted-lambda cost model)
+    stats = _docs(spark, sf_dir).select(
         "doc_id",
         n.alias("n_words"),
-        F.round(chars.cast("double") / n, 6).alias("mean_word_len"),
+        chars.alias("_chars"),
         n_stop.alias("n_stop_distinct"),
+    )
+    nw = F.col("n_words")
+    ch = F.col("_chars")
+    ns = F.col("n_stop_distinct")
+    pass_wc = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+    pass_mwl = (ch >= GOPHER_MIN_MWL * nw) & (ch <= GOPHER_MAX_MWL * nw)
+    pass_stop = ns >= GOPHER_MIN_STOP
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round(ch.cast("double") / nw, 6).alias("mean_word_len"),
+        "n_stop_distinct",
         pass_wc.alias("pass_word_count"),
         pass_mwl.alias("pass_mean_word_len"),
         pass_stop.alias("pass_stopwords"),
