@@ -110,22 +110,34 @@ def stream_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(_as_source_dir(sf_dir, "events"))
     )
-    # parquet TIMESTAMP_NTZ -> session-tz TIMESTAMP (event time must be
-    # an instant for watermarking; session tz is pinned to UTC)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Timezone independence: the tumbling bucket is computed as pure
+    # WALL-CLOCK arithmetic on the parquet TIMESTAMP_NTZ (subtract the
+    # sub-hour fields; field reads never consult the session zone), so
+    # window_start is identical under any host session timezone.  The
+    # previous `window(cast(ts as timestamp), '1 hour')` shifted
+    # bucket bounds with the session zone — and would misalign them
+    # outright for half-hour zones.  Spark still requires a TIMESTAMP
+    # event-time column for the watermark, so the cast survives ONLY
+    # as the state-eviction clock (`ts_evict`), never in output values
+    # (complete-mode drain: the watermark gates state size, not
+    # emission).
+    sub_hour = F.make_dt_interval(
+        F.lit(0),
+        F.lit(0),
+        F.minute("ts"),
+        F.extract(F.lit("SECOND"), F.col("ts")),
+    )
+    src = src.withColumn("window_start", F.col("ts") - sub_hour).withColumn(
+        "ts_evict", F.col("ts").cast("timestamp")
+    )
     agg = (
-        src.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        src.withWatermark("ts_evict", "1 day")
+        .groupBy("window_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "value_sum",
-        )
+        .select("window_start", "event_type", "n", "value_sum")
     )
     return _run_available_now(agg, "event_window_counts")
 

@@ -43,8 +43,28 @@ GAP_SECONDS = 12 * 3600
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    # keep the parquet TIMESTAMP_NTZ: every downstream computation is
+    # wall-clock arithmetic, and NTZ is immune to the session timezone
+    # (a cast to TIMESTAMP here shifted outputs — and, near DST
+    # transitions, gaps — whenever a host session was not UTC)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _epoch_floor_s(ts) -> "F.Column":
+    """Whole-second epoch of a TIMESTAMP_NTZ via pure FIELD extraction
+    — timezone-independent by construction (field reads never consult
+    the session zone, unlike cast-to-long / date_trunc, which convert
+    NTZ to a session-zone instant).  Equals epoch_us // 1e6 for any
+    post-1970 timestamp, i.e. the oracle's integer floor."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return (
+        F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        )
+        * 86400
+        + F.hour(c).cast("bigint") * 3600
+        + F.minute(c).cast("bigint") * 60
+        + F.floor(F.extract(F.lit("SECOND"), c)).cast("bigint")
     )
 
 
@@ -53,9 +73,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     start/end/n_events/value_sum.  Ties broken by event_id so the
     boundary flags are deterministic."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
-        order
-    )
+    sec = _epoch_floor_s("ts")
+    gap_s = sec - F.lag(sec).over(order)
     flagged = _events(spark, sf_dir).withColumn(
         "new_sess",
         F.when(gap_s.isNull() | (gap_s > GAP_SECONDS), F.lit(1)).otherwise(
