@@ -31,15 +31,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.epochs import epoch_floor_s
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TIMESTAMP_NTZ -> LTZ cast before epoch math (UTC session; same
-    # idiom as operators/temporal.py)
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # keep TIMESTAMP_NTZ: step comparisons are wall-clock; output
+    # epochs use the timezone-free field-extraction helper (same
+    # rationale as operators/temporal.py)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,9 +70,9 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_t3.groupBy("user_id")
         .agg(
-            F.max("t1").cast("long").alias("t_view_s"),
-            F.max("t2").cast("long").alias("t_click_s"),
-            F.max("t3").cast("long").alias("t_purchase_s"),
+            epoch_floor_s(F.max("t1")).alias("t_view_s"),
+            epoch_floor_s(F.max("t2")).alias("t_click_s"),
+            epoch_floor_s(F.max("t3")).alias("t_purchase_s"),
         )
         .select(
             "user_id",

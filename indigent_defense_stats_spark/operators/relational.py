@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.epochs import epoch_floor_s
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -461,7 +463,7 @@ def event_type_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable rollup indicator (both engines emit NULL for
     rolled-up levels)."""
     e = _t(spark, sf_dir, "events").withColumn(
-        "day", F.to_date(F.col("ts").cast("timestamp"))
+        "day", F.to_date(F.col("ts"))
     )
     return e.rollup("event_type", "day").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -528,7 +530,7 @@ def daily_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing is driver-side; no global calendar table is broadcast
     (each user carries only its own range)."""
     e = _t(spark, sf_dir, "events").withColumn(
-        "day", F.to_date(F.col("ts").cast("timestamp"))
+        "day", F.to_date(F.col("ts"))
     )
     per_day = e.groupBy("user_id", "day").agg(
         F.count(F.lit(1)).alias("n_events")
@@ -569,8 +571,10 @@ def rolling_week_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     range frame keeps a sliding aggregate, not O(n²) re-scans).
     Ordering key is epoch SECONDS (integer) so the frame boundary
     arithmetic is exact and identical across engines."""
+    # timezone-free epoch (a cast through LTZ timestamp shifts ts_s by
+    # the session offset under a non-UTC driver-owned session)
     e = _t(spark, sf_dir, "events").withColumn(
-        "ts_s", F.col("ts").cast("timestamp").cast("long")
+        "ts_s", epoch_floor_s("ts")
     )
     w = (
         Window.partitionBy("user_id")

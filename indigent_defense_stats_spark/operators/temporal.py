@@ -42,6 +42,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.epochs import epoch_floor_s
+
 ASOF_LEFT_TYPE = "purchase"  # rows being attributed
 ASOF_RIGHT_TYPE = "click"  # rows attributed to
 RANGE_ANCHOR_TYPE = "signup"
@@ -50,13 +52,12 @@ RANGE_WINDOW_S = 3600  # bin width == window length -> 2-bin cover
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parquet ts is TIMESTAMP_NTZ, which Spark refuses to cast to long;
-    # cast to (LTZ) timestamp first — the harness session runs UTC, so
-    # epoch seconds agree with DuckDB's naive-as-UTC epoch_us (same
-    # idiom as streaming/sessions.py)
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # keep the parquet TIMESTAMP_NTZ: ordering, comparisons and
+    # NTZ+interval arithmetic are all wall-clock; epoch seconds come
+    # from the timezone-free field-extraction helper (a cast to LTZ
+    # timestamp here shifted every output epoch by the session offset
+    # whenever a driver-owned session was not UTC)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,13 +100,13 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("click_ts"),
     )
-    ts_s = F.col("ts").cast("long")
+    ts_s = epoch_floor_s("ts")
     return merged.filter(F.col("side") == 1).select(
         F.col("purchase_id").alias("event_id"),
         "user_id",
         ts_s.alias("ts_s"),
         "click_id",
-        (ts_s - F.col("click_ts").cast("long")).alias("lag_s"),
+        (ts_s - epoch_floor_s(F.col("click_ts"))).alias("lag_s"),
     )
 
 
@@ -114,7 +115,7 @@ def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range join), via window-sized time bins: explode the anchor to
     (bin, bin+1), equi-join on (user_id, bin), exact-filter the range."""
     ev = _events(spark, sf_dir)
-    bin_of = (F.col("ts").cast("long") / RANGE_WINDOW_S).cast("long")
+    bin_of = (epoch_floor_s("ts") / RANGE_WINDOW_S).cast("long")
     s = ev.filter(F.col("event_type") == RANGE_ANCHOR_TYPE).select(
         F.col("event_id").alias("sid"),
         "user_id",
@@ -148,7 +149,7 @@ def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("sid").alias("event_id"),
             "user_id",
-            F.col("sts").cast("long").alias("ts_s"),
+            epoch_floor_s(F.col("sts")).alias("ts_s"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks_1h"),
         )
     )

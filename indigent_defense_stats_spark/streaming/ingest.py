@@ -41,6 +41,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.epochs import epoch_floor_s
+
 _qn_counter = [0]
 
 
@@ -243,9 +245,10 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is this same groupBy behind ``readStream`` + a watermark
     (see :func:`stream_event_window_counts`); batch form keeps the
     oracle deterministic."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # window() accepts TIMESTAMP_NTZ directly in batch and buckets on
+    # the wall clock (timezone-free); the previous LTZ cast shifted
+    # win_start_s by the session offset under a non-UTC driver session
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         e.groupBy(
             F.window(
@@ -255,7 +258,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").cast("long").alias("win_start_s"),
+            epoch_floor_s(F.col("w.start")).alias("win_start_s"),
             "event_type",
             "n_events",
         )

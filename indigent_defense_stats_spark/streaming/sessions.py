@@ -32,6 +32,8 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.epochs import epoch_floor_s
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .ingest import _qn_counter
@@ -51,21 +53,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _epoch_floor_s(ts) -> "F.Column":
-    """Whole-second epoch of a TIMESTAMP_NTZ via pure FIELD extraction
-    — timezone-independent by construction (field reads never consult
-    the session zone, unlike cast-to-long / date_trunc, which convert
-    NTZ to a session-zone instant).  Equals epoch_us // 1e6 for any
-    post-1970 timestamp, i.e. the oracle's integer floor."""
-    c = F.col(ts) if isinstance(ts, str) else ts
-    return (
-        F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast(
-            "bigint"
-        )
-        * 86400
-        + F.hour(c).cast("bigint") * 3600
-        + F.minute(c).cast("bigint") * 60
-        + F.floor(F.extract(F.lit("SECOND"), c)).cast("bigint")
-    )
+    """Shared timezone-free whole-second epoch (functions/epochs.py);
+    kept as a local alias for the docstring cross-references."""
+    return epoch_floor_s(ts)
 
 
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pytest
 
+from indigent_defense_stats_spark.operators import funnel, relational, temporal
 from indigent_defense_stats_spark.streaming import ingest, sessions
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -22,6 +23,14 @@ SF_DIR = "/root/testdata/sf0.001"
 CASES = {
     "session_windows": sessions.session_windows,
     "stream_event_window_counts": ingest.stream_event_window_counts,
+    # epoch-output queries: previously cast NTZ through LTZ timestamp,
+    # shifting every *_s column by the session offset (caught by a
+    # hostile-session sweep); now functions/epochs.epoch_floor_s
+    "sliding_window_counts": ingest.sliding_window_counts,
+    "asof_attribution": temporal.asof_attribution,
+    "range_attribution": temporal.range_attribution,
+    "funnel_stages": funnel.funnel_stages,
+    "rolling_week_user_events": relational.rolling_week_user_events,
 }
 
 
