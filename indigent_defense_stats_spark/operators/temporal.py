@@ -27,8 +27,10 @@ written naively, which is O(n·m) per key and unusable at 100 TB).
 
 Determinism contract: ``(user_id, ts)`` is unique in the events table
 (no as-of ties to break); output timestamps are epoch SECONDS via
-floor division on both engines (Spark ``cast(ts as long)`` truncates,
-DuckDB ``epoch_us(ts) // 1000000`` floors — identical post-1970).
+integer floor on both engines (Spark: the timezone-free
+``functions/epochs.epoch_floor_s`` field extraction; DuckDB
+``epoch_us(ts) // 1000000`` — identical post-1970 under ANY session
+timezone).
 
 Reference analog: the reference aligns charge dates to events by
 scanning within one case record (SURVEY.md §2 A3/W2 family,
