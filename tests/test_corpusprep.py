@@ -307,3 +307,31 @@ def test_weighted_sample_weight_monotonicity(spark, tmp_path):
     top = [r for r in got if r["sample_rank"] == 1]
     assert len(top) == 1 and top[0]["doc_id"] == 1
     assert len(got) == min(corpusprep.WSAMPLE_K, 39)
+
+
+def test_dsir_empty_target_is_defined(spark, tmp_path):
+    """No documents in the target language: T=0, every bucket ratio is
+    ln(1/(0+B)) - ln((rc+1)/(R+B)) — defined, no division by zero, and
+    the quantile cut still selects exactly the top fraction."""
+    rows = [(i, f"w{i} w{i+1} w{i+2} common tail", "de", "s", 20)
+            for i in range(1, 41)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = corpusprep.dsir_select(spark, d).collect()
+    assert len(got) == 40
+    assert all(r["logw"] is not None for r in got)
+    n_sel = sum(1 for r in got if r["selected"])
+    assert n_sel >= 10  # >= 25% of 40 (ties may extend the cut)
+
+
+def test_weighted_sample_under_quota_source(spark, tmp_path):
+    """A source with fewer docs than WSAMPLE_K keeps everything with
+    dense ranks 1..n."""
+    rows = [(i, "x", "en", "tiny", 10 * i) for i in range(1, 6)]
+    rows += [(100 + i, "y", "en", "big", 7)
+             for i in range(1, corpusprep.WSAMPLE_K + 10)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = corpusprep.weighted_sample(spark, d).collect()
+    tiny = sorted(r["sample_rank"] for r in got if r["source"] == "tiny")
+    big = [r for r in got if r["source"] == "big"]
+    assert tiny == [1, 2, 3, 4, 5]
+    assert len(big) == corpusprep.WSAMPLE_K
