@@ -75,10 +75,48 @@ OPTIONAL = [
 ]
 
 
+def _burn(_):
+    # 1-second spin; module-level so mp.Pool can pickle it
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
+def _machine_probe(levels: list[int]) -> dict[str, float]:
+    """Per-core spin-loop throughput (M iters/s) at each busy-core level.
+
+    Mirrors ``scripts/bench_scaling.measure_core_ceiling`` so values are
+    directly comparable with ``BENCH/scaling.json``'s recorded ceiling.
+    """
+    import multiprocessing as mp
+
+    out: dict[str, float] = {}
+    for n in levels:
+        best = 0.0
+        for _ in range(3):
+            with mp.Pool(n) as p:
+                r = p.map(_burn, range(n))
+            best = max(best, sum(r) / len(r) / 1e6)
+        out[str(n)] = round(best, 2)
+    return out
+
+
 def main() -> None:
     from indigent_defense_stats_spark.session import get_spark
 
     import __spark_entry__ as e
+
+    # Machine-speed probe FIRST (before any JVM starts): this sandbox is
+    # a shared box and co-tenant load varies >40% between sessions
+    # (observed 2026-08-18: 32-core probe 3.53 vs 6.18 M iters/core at
+    # scaling-record time).  Embedding the probe in every bench report
+    # lets a reader normalize wall-clock figures across runs instead of
+    # mistaking co-tenant interference for an engine regression.  Same
+    # spin loop as scripts/bench_scaling.py's ceiling probe (best-of-3,
+    # interference is one-sided so max is the robust estimator).
+    probe = _machine_probe([1, int(CPUS)])
 
     qs = e.queries()
     spark = get_spark(app_name="ids-bench", master=f"local[{CPUS}]")
@@ -143,6 +181,12 @@ def main() -> None:
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
+        # shared-sandbox normalization context: spin-probe M iters/s per
+        # core at 1 and N busy cores, this run vs. when BENCH/
+        # scaling.json's cells were recorded.  speed_ratio < 1 means the
+        # box was slower during THIS run (co-tenant load) — divide the
+        # wall-clock figures by it before comparing across rounds.
+        "machine_probe_Miters_per_core": probe,
     }
     out.update(extra)
     # N->4N scaling evidence, if scripts/bench_scaling.py has been run
@@ -153,6 +197,14 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
+        rec = sc.get("core_ceiling_Miters_per_core") or {}
+        if rec:
+            out["machine_probe_at_scaling_record"] = rec
+            lvl = str(CPUS)
+            if lvl in rec and lvl in probe and rec[lvl]:
+                out["machine_speed_ratio_vs_record"] = round(
+                    probe[lvl] / rec[lvl], 3
+                )
         effs = dict(sc.get("efficiency") or {})
         # the politeness job is throughput-PINNED by the 200 ms/host
         # budget, so core-normalized "efficiency" is the wrong lens —
