@@ -48,7 +48,7 @@ def _modules():
         temporal,
         textstats,
     )
-    from indigent_defense_stats_spark.sources import views, zorder
+    from indigent_defense_stats_spark.sources import orc_io, views, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
 
     return [
@@ -70,6 +70,7 @@ def _modules():
         ingest,
         sessions,
         views,
+        orc_io,
     ]
 
 
@@ -221,6 +222,12 @@ _TAIL = [
                               # weighted draw; stratified/threshold/
                               # mixture samplers eval'd cover the
                               # window+quota surface)
+    "orc_roundtrip_stats",    # round-3 late addition (source-format
+                              # family: ORC columnar round-trip with a
+                              # full-column fidelity-hash oracle; the
+                              # parquet scan path is exercised by every
+                              # evaluated query, so the 50-prefix stays
+                              # frozen)
     "dsir_select",            # round-3 late addition (data-selection
                               # family: mixture_sample eval'd covers the
                               # deterministic sampling surface; DSIR's
