@@ -228,6 +228,12 @@ _TAIL = [
                               # parquet scan path is exercised by every
                               # evaluated query, so the 50-prefix stays
                               # frozen)
+    "hll_distinct",           # round-3 late addition (sketch family:
+                              # cms_heavy_hitters eval'd covers the
+                              # mergeable-sketch surface; the HLL
+                              # register table's max-merge law is
+                              # pytest-pinned and the full register
+                              # replay is oracle-checked)
     "dsir_select",            # round-3 late addition (data-selection
                               # family: mixture_sample eval'd covers the
                               # deterministic sampling surface; DSIR's

@@ -1,4 +1,4 @@
-"""Count-min-sketch heavy hitters over the ``documents`` token stream.
+"""Mergeable sketches: count-min heavy hitters and an HLL register table.
 
 :func:`cms_heavy_hitters` — the frequent-items primitive a corpus
 pipeline runs before building stopword lists, boilerplate filters, or
@@ -37,9 +37,40 @@ Hash family: the portable 60-bit md5 integer (textstats.md5_int) of
 ``"<row>:<token>"`` mod ``CMS_W`` — cross-engine by construction; no
 engine-private hash (Spark xxhash64 / DuckDB hash) can appear in an
 oracle-checked query.
+
+:func:`hll_distinct` — the companion CARDINALITY sketch: a
+HyperLogLog-style register table (Flajolet et al., AofA 2007) over
+``events.user_id`` per event_type, reported next to the exact
+distinct count.  Where the CMS answers "how often", HLL answers "how
+many distinct" in O(m) mergeable state: per-wave/per-partition
+register tables fold by element-wise MAX, so a 1000-executor crawl
+tracks distinct users/URLs per stream with 64 longs per group instead
+of shuffling every key (the exact ``countDistinct`` is a full shuffle
+of the key universe — fine at sf0.1, not at 100 TB).  Spark's native
+``approx_count_distinct`` is the production form (relational.py pins
+it against exact); this operator makes the register mechanics
+oracle-checkable bit for bit, which the native HLL++ (engine-private
+hash) cannot be.
+
+Cross-engine determinism of :func:`hll_distinct`, term by term:
+register index = 60-bit md5 int mod 64; rank rho = 1 + trailing zeros
+of the remaining 54-bit suffix (the Flajolet-Martin geometric
+observable, computed by COUNTING which powers of two divide the
+suffix — no log2, whose libm rounding differs across engines);
+the harmonic sum is kept EXACT by scaling 2^-rho by 2^55 so every
+term is an integer (sum(2^(55-rho)) + 2^55 per empty register, max
+2^61 < BIGINT); the final estimate is alpha_64*4096*2^55 / S — ONE
+IEEE division of a shared decimal literal by an exact integer, hence
+bit-identical in Spark and DuckDB.  The small-range (linear-counting)
+correction m*ln(m/V) would need ln(), another libm divergence — but V
+(empty registers) takes only 64 possible values, so the 64 corrected
+estimates are PRECOMPUTED here and embedded as one shared literal
+lookup in both engines: full HLL semantics, zero runtime libm.
 """
 
 from __future__ import annotations
+
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -91,7 +122,96 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cms_heavy_hitters": cms_heavy_hitters}
+HLL_M = 64  # registers (p = 6 index bits)
+HLL_SUFFIX_BITS = 54  # 60-bit md5 int minus the 6 index bits
+_HLL_RHO_MAX = HLL_SUFFIX_BITS + 1
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha_m * m^2 * 2^55: numerator of the scaled-integer harmonic mean.
+# A decimal literal shared verbatim with the oracle SQL, so both
+# engines parse the identical double and the estimate is ONE division.
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_RHO_MAX))
+_TZ_POWERS = [1 << k for k in range(1, HLL_SUFFIX_BITS + 1)]
+# linear-counting table: entry V (1-indexed) = m * ln(m / V), the
+# small-range estimate when V registers are empty.  Computed once
+# HERE and shared verbatim with the oracle SQL -> no libm at query
+# time, so the corrected estimate stays bit-identical cross-engine.
+_HLL_LC = [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+_HLL_SMALL = 2.5 * HLL_M  # apply linear counting below this raw est
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, reg, mj): the mergeable HLL state — max rank per
+    register.  Partial tables from disjoint row sets fold by
+    element-wise max (pinned by pytest); this is the object a per-wave
+    crawl metric would checkpoint and the coordinator would merge."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = md5_int(F.col("user_id").cast("string"))
+    pows = F.array(*[F.lit(p).cast("long") for p in _TZ_POWERS])
+    # rho = 1 + |{k : 2^k divides suffix}| = 1 + trailing zeros
+    # (suffix = 0 divides by all 54 powers -> rho = 55, the cap).
+    rho = (
+        F.size(F.filter(pows, lambda p: F.col("suffix") % p == F.lit(0)))
+        + F.lit(1)
+    )
+    return (
+        ev.select(
+            "event_type",
+            (h % HLL_M).alias("reg"),
+            F.shiftright(h, 6).alias("suffix"),
+        )
+        .select("event_type", "reg", rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, exact_distinct, registers_hit, hll_est): HLL
+    estimate of distinct user_id per event_type next to the exact
+    count.  The raw estimate is alpha*m^2 / sum(2^-Mj) with empty
+    registers contributing 2^0; the sum is carried as the exact
+    integer 2^55 * sum(2^-Mj) so only the final division rounds.
+    Below 2.5m the linear-counting correction m*ln(m/V) applies, read
+    from the precomputed 64-entry table (V = empty registers)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = hll_registers(spark, sf_dir).groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - mj)")
+        ).alias("hit_sum"),
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+    )
+    scaled = per.select(
+        "event_type",
+        "registers_hit",
+        (
+            F.col("hit_sum")
+            + (F.lit(HLL_M).cast("long") - F.col("registers_hit"))
+            * F.lit(1 << _HLL_RHO_MAX).cast("long")
+        ).alias("s_scaled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    raw = F.lit(_HLL_NUM) / F.col("s_scaled")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]),
+        (F.lit(HLL_M).cast("int") - F.col("registers_hit").cast("int")),
+    )
+    est = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (F.col("registers_hit") < HLL_M), lc
+    ).otherwise(raw)
+    return exact.join(scaled, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "registers_hit",
+        est.alias("hll_est"),
+    )
+
+
+QUERIES = {
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "hll_distinct": hll_distinct,
+}
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
 _MD5 = "('0x' || left(md5({0}), 15))::BIGINT"
@@ -126,5 +246,49 @@ ORACLE_SQL = {
         SELECT p.token, p.cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
         FROM probe p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
         GROUP BY 1, 2
+    """,
+    "hll_distinct": f"""
+        WITH keyed AS (
+            SELECT event_type,
+                   {_MD5.format("user_id::VARCHAR")} % {HLL_M} AS reg,
+                   {_MD5.format("user_id::VARCHAR")} // {HLL_M} AS suffix
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, reg,
+                   1 + len(list_filter({_TZ_POWERS},
+                                       p -> suffix % p = 0)) AS rho
+            FROM keyed
+        ),
+        regs AS (
+            SELECT event_type, reg, CAST(max(rho) AS BIGINT) AS mj
+            FROM ranked GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT event_type,
+                   CAST(sum(1::BIGINT << ({_HLL_RHO_MAX} - mj)) AS BIGINT)
+                       AS hit_sum,
+                   count(*)::BIGINT AS registers_hit
+            FROM regs GROUP BY 1
+        ),
+        exact AS (
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS exact_distinct
+            FROM events GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type, registers_hit,
+                   {_HLL_NUM!r} / (hit_sum
+                       + ({HLL_M} - registers_hit)
+                         * (1::BIGINT << {_HLL_RHO_MAX})) AS raw
+            FROM per
+        )
+        SELECT e.event_type, e.exact_distinct, p.registers_hit,
+               CASE WHEN p.raw <= {_HLL_SMALL!r}
+                         AND p.registers_hit < {HLL_M}
+                    THEN list_extract({_HLL_LC},
+                                      ({HLL_M} - p.registers_hit)::INT)
+                    ELSE p.raw END AS hll_est
+        FROM exact e JOIN est p USING (event_type)
     """,
 }

@@ -1,7 +1,8 @@
-"""Count-min-sketch heavy hitters (operators/sketches.py): the sketch
-contract (never underestimates; overestimate bounded by collision
-mass), hand-corpus exactness, and the broadcast probe plan.  Exact
-cross-engine cell values are covered by scripts/check_oracles.py."""
+"""Sketches (operators/sketches.py): the CMS contract (never
+underestimates; overestimate bounded by collision mass), hand-corpus
+exactness, the broadcast probe plan, and the HLL register table's
+mergeability + estimate sanity.  Exact cross-engine cell/register
+values are covered by scripts/check_oracles.py."""
 
 from __future__ import annotations
 
@@ -66,3 +67,35 @@ def test_cms_probe_plan_broadcasts_cells(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_registers_merge_by_max(spark, tmp_path):
+    """The 100 TB contract: register tables built on DISJOINT row
+    subsets fold into the global table by element-wise max — so
+    per-wave / per-executor sketches merge without revisiting rows."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(src)
+    d = tmp_path
+    for par, name in [("event_id % 2 = 0", "even"), ("event_id % 2 = 1", "odd")]:
+        ev.filter(par).write.mode("overwrite").parquet(
+            str(d / name / "events.parquet")
+        )
+    whole = {
+        (r["event_type"], r["reg"]): r["mj"]
+        for r in sketches.hll_registers(spark, "/root/testdata/sf0.001").collect()
+    }
+    merged: dict = {}
+    for name in ("even", "odd"):
+        for r in sketches.hll_registers(spark, str(d / name)).collect():
+            k = (r["event_type"], r["reg"])
+            merged[k] = max(merged.get(k, 0), r["mj"])
+    assert merged == whole
+
+
+def test_hll_estimate_tracks_exact(spark):
+    """m=64 raw HLL: relative error on the sf0.001 event stream stays
+    within the loose 2x band (the oracle pins exact cross-engine
+    equality; this pins that the estimator is a real estimator)."""
+    for r in sketches.hll_distinct(spark, "/root/testdata/sf0.001").collect():
+        assert r["registers_hit"] <= sketches.HLL_M
+        assert 0.5 * r["exact_distinct"] <= r["hll_est"] <= 2.0 * r["exact_distinct"], r
