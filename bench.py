@@ -66,6 +66,7 @@ OPTIONAL = [
     # z-order cells (map-only bit interleave)
     "funnel_stages",
     "cms_heavy_hitters",
+    "hll_distinct",
     "zorder_cells",
     # Spark-4 SQL surfaces: recursive CTE (beam-bounded) + VARIANT
     "click_reachability",
