@@ -55,8 +55,9 @@ hash) cannot be.
 Cross-engine determinism of :func:`hll_distinct`, term by term:
 register index = 60-bit md5 int mod 64; rank rho = 1 + trailing zeros
 of the remaining 54-bit suffix (the Flajolet-Martin geometric
-observable, computed by COUNTING which powers of two divide the
-suffix — no log2, whose libm rounding differs across engines);
+observable, computed as ``bit_count((suffix & -suffix) - 1)`` — pure
+bit math with identical two's-complement semantics in both engines,
+no log2, whose libm rounding differs across engines);
 the harmonic sum is kept EXACT by scaling 2^-rho by 2^55 so every
 term is an integer (sum(2^(55-rho)) + 2^55 per empty register, max
 2^61 < BIGINT); the final estimate is alpha_64*4096*2^55 / S — ONE
@@ -130,7 +131,6 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 # A decimal literal shared verbatim with the oracle SQL, so both
 # engines parse the identical double and the estimate is ONE division.
 _HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_RHO_MAX))
-_TZ_POWERS = [1 << k for k in range(1, HLL_SUFFIX_BITS + 1)]
 # linear-counting table: entry V (1-indexed) = m * ln(m / V), the
 # small-range estimate when V registers are empty.  Computed once
 # HERE and shared verbatim with the oracle SQL -> no libm at query
@@ -146,13 +146,14 @@ def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl metric would checkpoint and the coordinator would merge."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     h = md5_int(F.col("user_id").cast("string"))
-    pows = F.array(*[F.lit(p).cast("long") for p in _TZ_POWERS])
-    # rho = 1 + |{k : 2^k divides suffix}| = 1 + trailing zeros
-    # (suffix = 0 divides by all 54 powers -> rho = 55, the cap).
-    rho = (
-        F.size(F.filter(pows, lambda p: F.col("suffix") % p == F.lit(0)))
-        + F.lit(1)
-    )
+    # rho = 1 + trailing zeros of the 54-bit suffix, via pure bit math
+    # that whole-stage-codegens (an interpreted 54-element HOF filter
+    # here cost 6.3 s at sf0.1; this form is ~60x cheaper):
+    # suffix & -suffix isolates the lowest set bit, bit_count(t - 1)
+    # counts the zeros below it; suffix = 0 gives bit_count(-1) = 64,
+    # capped to the 55 both engines agree on (verified identical
+    # two's-complement semantics in Spark and DuckDB).
+    rho = F.expr("least(1 + bit_count((suffix & -suffix) - 1), 55)")
     return (
         ev.select(
             "event_type",
@@ -256,8 +257,7 @@ ORACLE_SQL = {
         ),
         ranked AS (
             SELECT event_type, reg,
-                   1 + len(list_filter({_TZ_POWERS},
-                                       p -> suffix % p = 0)) AS rho
+                   least(1 + bit_count((suffix & (-suffix)) - 1), 55) AS rho
             FROM keyed
         ),
         regs AS (
