@@ -92,6 +92,51 @@ def test_hll_registers_merge_by_max(spark, tmp_path):
     assert merged == whole
 
 
+def _py_hll(user_ids):
+    """Independent pure-Python HLL over the same hash family — a third
+    implementation agreeing with both engines."""
+    import hashlib
+
+    regs: dict = {}
+    for u in user_ids:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        reg, suffix = h % sketches.HLL_M, h >> 6
+        rho = 55 if suffix == 0 else (suffix & -suffix).bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    cap = 1 << (sketches.HLL_SUFFIX_BITS + 1)
+    s = sum(cap >> mj for mj in regs.values()) + (sketches.HLL_M - len(regs)) * cap
+    raw = sketches._HLL_NUM / s
+    if raw <= sketches._HLL_SMALL and len(regs) < sketches.HLL_M:
+        return regs, sketches._HLL_LC[sketches.HLL_M - len(regs) - 1]
+    return regs, raw
+
+
+def test_hll_matches_pure_python_reference(spark, tmp_path):
+    """Registers and the final estimate are BIT-equal to a from-scratch
+    Python HLL on adversarial id sets (dense, sparse, power-of-two,
+    single, duplicate-heavy)."""
+    cases = [
+        list(range(1, 2000)),
+        [7],
+        [2**k for k in range(1, 40)],
+        [123456789 * k for k in range(1, 50)] * 3,
+    ]
+    for i, ids in enumerate(cases):
+        d = tmp_path / f"c{i}"
+        spark.createDataFrame(
+            [(int(u), "t") for u in ids], "user_id long, event_type string"
+        ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+        regs = {
+            r["reg"]: r["mj"]
+            for r in sketches.hll_registers(spark, str(d)).collect()
+        }
+        [row] = sketches.hll_distinct(spark, str(d)).collect()
+        want_regs, want_est = _py_hll(ids)
+        assert regs == want_regs, i
+        assert row["hll_est"] == want_est, (i, row["hll_est"], want_est)
+        assert row["exact_distinct"] == len(set(ids))
+
+
 def test_hll_estimate_tracks_exact(spark):
     """m=64 raw HLL: relative error on the sf0.001 event stream stays
     within the loose 2x band (the oracle pins exact cross-engine
