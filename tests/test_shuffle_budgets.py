@@ -46,6 +46,9 @@ BUDGETS = {
     "minhash_lsh_neardup": 2,
     "mixture_sample": 2,
     "cms_heavy_hitters": 4,
+    # register agg + per-type fold (2) + the exact countDistinct's
+    # two-phase distinct (2); every shuffle is post-aggregate-sized
+    "hll_distinct": 4,
 }
 
 
