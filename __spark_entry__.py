@@ -228,6 +228,11 @@ _TAIL = [
                               # parquet scan path is exercised by every
                               # evaluated query, so the 50-prefix stays
                               # frozen)
+    "leakage_safe_split",     # round-3 late addition (composition of
+                              # the eval'd neardup_components closure
+                              # — LSH edge replay — with a pure
+                              # arithmetic split map; the co-location
+                              # invariant is pytest-pinned)
     "hll_distinct",           # round-3 late addition (sketch family:
                               # cms_heavy_hitters eval'd covers the
                               # mergeable-sketch surface; the HLL

@@ -469,6 +469,36 @@ def neardup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(spark, sf_dir, edge_source="lsh")
 
 
+SPLIT_DEN = 10  # component-hash buckets; bucket 0 -> validation
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: every document is routed
+    by the md5 hash of its NEAR-DUP COMPONENT label, never its own id,
+    so near-duplicates cannot straddle the split — the classic eval
+    leak (a validation doc whose near-copy sits in train inflates the
+    benchmark) that doc-level hash splits silently commit.  The other
+    direction is :func:`decontam.benchmark_contamination` (known eval
+    text scrubbed from train); this op makes the split itself
+    leak-proof at corpus-build time.
+
+    Composition: the LSH-edge component labeling (the bucketed 100 TB
+    cluster path) plus ONE map — the split adds zero shuffles on top
+    of the clustering it reuses, and the assignment is pure arithmetic
+    on the component label, so it is stable under re-sharding and
+    incremental re-runs (a component keeps its side as long as its
+    min-doc label survives).  Reference analog: the dedup/update
+    semantics of updater/__init__.py:92-105, extended to the split
+    policy an LLM corpus needs."""
+    comp = neardup_components(spark, sf_dir, edge_source="lsh")
+    bucket = md5_int(F.col("component_id").cast("string")) % SPLIT_DEN
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.when(bucket == 0, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 def _large_star(und: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): symmetrize, then connect every
@@ -684,6 +714,7 @@ QUERIES = {
     "neardup_components_lsh": neardup_components_lsh,
     "neardup_components_star": neardup_components_star,
     "incremental_dedup": incremental_dedup,
+    "leakage_safe_split": leakage_safe_split,
 }
 
 def _sql_sh_from(src: str) -> str:
@@ -945,6 +976,33 @@ ORACLE_SQL = {
         SELECT src AS doc_id, min(dst) AS component_id,
                (src = min(dst)) AS is_keeper
         FROM reach GROUP BY src
+    """,
+    # Same LSH-replay closure; the split is pure arithmetic on the
+    # component label (md5 bucket 0 of SPLIT_DEN -> validation).
+    "leakage_safe_split": f"""
+        WITH RECURSIVE {_SQL_LSH_PAIR_CTES},
+        edges AS (
+            SELECT d1, d2 FROM pairs
+            WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        ),
+        sym AS (
+            SELECT d1, d2 FROM edges
+            UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, s.d2 FROM reach r JOIN sym s ON r.dst = s.d1
+        ),
+        comp AS (
+            SELECT src AS doc_id, min(dst) AS component_id
+            FROM reach GROUP BY src
+        )
+        SELECT doc_id, component_id,
+               CASE WHEN ('0x' || left(md5(component_id::VARCHAR), 15))
+                        ::BIGINT % {SPLIT_DEN} = 0
+                    THEN 'val' ELSE 'train' END AS split
+        FROM comp
     """,
     "simhash_buckets": f"""
         WITH toks AS (

@@ -341,6 +341,25 @@ def test_neardup_components_lsh_edges_match_exact(spark):
     assert exact == lsh
 
 
+def test_leakage_safe_split_never_straddles_neardups(spark):
+    """The whole point of the op: no near-dup pair (LSH edge) may have
+    one side in train and the other in val; split is a pure function
+    of the component label; both sides exist at sf0.01."""
+    sf = "/root/testdata/sf0.01"
+    split = {
+        r["doc_id"]: (r["component_id"], r["split"])
+        for r in dedup.leakage_safe_split(spark, sf).collect()
+    }
+    by_comp: dict = {}
+    for comp, side in split.values():
+        by_comp.setdefault(comp, set()).add(side)
+    assert all(len(sides) == 1 for sides in by_comp.values())
+    for r in dedup.minhash_lsh_neardup(spark, sf).collect():
+        assert split[r["d1"]][1] == split[r["d2"]][1], r
+    sides = {side for _, side in split.values()}
+    assert sides == {"train", "val"}
+
+
 def test_prefix_length_theorem_bounds():
     """Integer prefix arithmetic: p = n - ceil(t*n) + 1 for t=4/5 at
     every n in [3, 400] matches the float formula (no ceil-boundary
