@@ -49,6 +49,9 @@ BUDGETS = {
     # register agg + per-type fold (2) + the exact countDistinct's
     # two-phase distinct (2); every shuffle is post-aggregate-sized
     "hll_distinct": 4,
+    # und/deg/orient each pinned (3 consumers each) — unpinned this
+    # plan exploded to 97 exchanges / 36 scans (measured)
+    "click_triangles": 4,
 }
 
 
