@@ -43,6 +43,15 @@ def clean_records(
     records: DataFrame, charge_dim: DataFrame, parsing_date: str
 ) -> DataFrame:
     """case_records -> case_records_clean (schemas.CASE_RECORDS_CLEAN)."""
+    # NOTE on pin-shared-subplans: records and dated are deliberately
+    # NOT localCheckpoint-pinned although each feeds two consumers —
+    # records is a WIDE nested table whose consumers prune different
+    # narrow slices (materializing every column measured +15% warm /
+    # +50% cold at sf0.1 vs the dual pruned derivation), and pinning
+    # even the narrow dated slice breaks whole-stage-codegen fusion of
+    # the explode into its aggregates for the same net loss.  The pin
+    # discipline pays only for SMALL derived tables with EXPENSIVE
+    # upstreams (tf aggregates, shingle indexes) — not here.
     # ---- charges: explode with original ordinal --------------------------
     ch = records.select(
         F.col("odyssey_id"),
