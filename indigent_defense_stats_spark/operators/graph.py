@@ -68,6 +68,11 @@ def click_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("page")))
         .groupBy(F.col("page").alias("src"), "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # pin: edges is a small aggregate with an expensive upstream
+        # (events scan + per-user window) and feeds both the
+        # out-weight aggregate and the final join — unpinned, the
+        # window shuffle runs twice (5 exchanges / 2 scans -> 3 / 1)
+        .localCheckpoint(eager=False)
     )
     ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     return edges.join(ow, "src").select("src", "dst", "w", "ow")
