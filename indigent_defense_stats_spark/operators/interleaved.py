@@ -109,6 +109,43 @@ def span_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spans_to_documents(crawl_docs: DataFrame) -> DataFrame:
+    """Crawl span table ``(doc_id, county, spans)`` -> the canonical
+    ``documents`` corpus schema ``(doc_id:long, text, lang, source,
+    n_chars)``: text = the doc's text spans in offset order (media
+    refs stay behind in the span table), source = the crawling
+    county, case ids densified to longs by deterministic order.  The
+    bridge from the crawl engine's interleaved output to every corpus
+    operator in this package — used by scripts/run_pipeline.py's
+    corpus-prep stage and pinned end to end by
+    tests/test_pipeline_e2e.py."""
+    from pyspark.sql import Window
+
+    text = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return (
+        crawl_docs.select(
+            F.col("doc_id").alias("case_id"), "county", text.alias("text")
+        )
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("county", "case_id")).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.col("county").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
 IMG_TOKENS = 64  # fixed token budget a media span costs in a sequence
 
 

@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--start", default="2024-07-01")
     ap.add_argument("--priority", choices=["reference", "recency"], default="reference")
+    ap.add_argument(
+        "--corpus-prep",
+        action="store_true",
+        help="after analytics, lay the crawled docs out as a documents"
+        " corpus and run the training-data stage (Gopher filters,"
+        " composed clean-corpus keeper, LM sequence packing)",
+    )
     args = ap.parse_args()
 
     from indigent_defense_stats_spark import synth
@@ -105,6 +112,31 @@ def main() -> None:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("days_elapsed"), 2).alias("avg_days_elapsed"),
     ).orderBy("attorney").show(truncate=False)
+
+    # ---- corpus prep (training-data layer, optional) ----------------------
+    if args.corpus_prep:
+        from indigent_defense_stats_spark.operators import (
+            corpusprep,
+            decontam,
+            textstats,
+        )
+        from indigent_defense_stats_spark.operators.interleaved import (
+            spans_to_documents,
+        )
+
+        corpus_dir = os.path.join(args.base_dir, "corpus")
+        spans_to_documents(docs).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "documents.parquet")
+        )
+        gof = textstats.gopher_quality_filters(spark, corpus_dir)
+        n_keep = gof.filter(F.col("keep")).count()
+        kept = decontam.clean_corpus(spark, corpus_dir)
+        packed = corpusprep.pack_sequences(spark, corpus_dir)
+        n_seqs = packed.select("shard", "seq_id").distinct().count()
+        print(
+            f"[corpus] docs={gof.count()} gopher_keep={n_keep} "
+            f"clean_corpus_keep={kept.count()} packed_seqs={n_seqs}"
+        )
 
     print(f"[done] total {time.time()-t0:.1f}s")
     spark.stop()

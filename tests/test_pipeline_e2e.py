@@ -13,42 +13,19 @@ grades.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 import pytest
-from pyspark.sql import Window
 
 from indigent_defense_stats_spark.operators import corpusprep, decontam, textstats
 from indigent_defense_stats_spark.operators.crawl_queries import _engine
+from indigent_defense_stats_spark.operators.interleaved import spans_to_documents
 
 
 @pytest.fixture(scope="module")
 def corpus_dir(spark, tmp_path_factory):
     """Crawl the synthetic portal world, then lay the crawled docs out
-    as a ``documents.parquet`` corpus: text = the doc's text spans in
-    offset order (media refs stay behind in the span table), source =
-    the crawling county, doc ids densified to longs."""
-    docs = _engine(spark).documents()
-    text = F.array_join(
-        F.transform(
-            F.filter("spans", lambda s: s["kind"] == "text"),
-            lambda s: s["text"],
-        ),
-        " ",
-    )
-    out = (
-        docs.select(F.col("doc_id").alias("case_id"), "county", text.alias("text"))
-        .withColumn(
-            "doc_id",
-            F.row_number().over(Window.orderBy("county", "case_id")).cast("long"),
-        )
-        .select(
-            "doc_id",
-            "text",
-            F.lit("en").alias("lang"),
-            F.col("county").alias("source"),
-            F.length("text").cast("long").alias("n_chars"),
-        )
-    )
+    as a ``documents.parquet`` corpus via the shared span->documents
+    bridge (the same helper run_pipeline's corpus-prep stage uses)."""
+    out = spans_to_documents(_engine(spark).documents())
     d = tmp_path_factory.mktemp("crawl-corpus")
     out.write.mode("overwrite").parquet(str(d / "documents.parquet"))
     return str(d)
