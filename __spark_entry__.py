@@ -239,6 +239,13 @@ _TAIL = [
                               # register table's max-merge law is
                               # pytest-pinned and the full register
                               # replay is oracle-checked)
+    "bottomk_quantiles",      # round-3 late addition (sketch family:
+                              # cms_heavy_hitters eval'd covers the
+                              # mergeable-sketch surface; the bottom-k
+                              # sample's merge law + partition
+                              # invariance are pytest-pinned and the
+                              # full sample + interpolation replay is
+                              # oracle-checked)
     "dsir_select",            # round-3 late addition (data-selection
                               # family: mixture_sample eval'd covers the
                               # deterministic sampling surface; DSIR's

@@ -209,9 +209,150 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BK_K = 128  # bottom-k sample size per group
+BK_QS = (0.5, 0.9)  # quantiles reported by the sketch
+
+
+def _bk_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.col("o_orderpriority").alias("grp"),
+        md5_int(F.col("o_orderkey").cast("string")).alias("h"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+
+
+def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, s): the per-group bottom-``BK_K``-by-hash sample — the
+    KMV/bottom-k mergeable sketch state (Bar-Yossef et al. RANDOM'02;
+    Cohen & Kaplan PODS'07).  Built in the MERGE shape itself: each
+    input partition reduces to its own bottom-k (partial aggregate,
+    map-side), and the per-group merge takes the bottom-k of the
+    concatenated partials — bottom-k of a union is the bottom-k of
+    merged bottom-ks, so the result is independent of partitioning
+    (pinned by pytest against the single-window form and under a
+    hostile repartition).  At 100 TB this is the only quantile state a
+    1000-executor job ships: K structs per (group, partition), never
+    the value universe."""
+    base = _bk_base(spark, sf_dir)
+    part = (
+        base.groupBy("grp", F.spark_partition_id().alias("p"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "k", "v"))),
+                1,
+                BK_K,
+            ).alias("s")
+        )
+    )
+    return (
+        part.select("grp", F.explode("s").alias("s"))
+        .groupBy("grp")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("s")), 1, BK_K).alias("s")
+        )
+    )
+
+
+def bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from the bottom-k sketch next to the exact
+    quantiles: per ``o_orderpriority``, estimate p50/p90 of
+    ``o_totalprice`` from the ``BK_K``-row hash-bottom sample and
+    report the exact interpolated quantiles beside them.
+
+    Completes the mergeable-sketch trio: CMS = frequency, HLL =
+    cardinality, bottom-k = quantiles/order statistics (it doubles as
+    a distinct-count KMV, but here it feeds the quantile estimator a
+    t-digest would serve in production — ``quality_thresholds`` pins
+    Spark's native ``approx_percentile`` for that form; this one is
+    oracle-checkable bit for bit because the sample membership and the
+    interpolation arithmetic are deterministic).
+
+    Cross-engine float discipline: both engines interpolate with the
+    IDENTICAL expression ``v_lo + (q*(n-1) - floor(q*(n-1))) *
+    (v_hi - v_lo)`` on doubles — the oracle casts the quantile
+    literals to DOUBLE because DuckDB would otherwise parse ``0.9`` as
+    DECIMAL and compute an exact 114.3 where double math gives
+    114.30000000000001, flipping the low bits of the estimate.  The
+    exact side sorts each whole group (the full-shuffle baseline the
+    sketch replaces); the sample side touches K structs per group.
+    """
+    m = bottomk_sample(spark, sf_dir)
+    vals = F.array_sort(F.transform(F.col("s"), lambda x: x["v"]))
+    m = m.select("grp", F.size("s").cast("int").alias("k_used"), vals.alias("vals"))
+
+    def interp(arr: F.Column, n: F.Column, q: float) -> F.Column:
+        pos = F.lit(q) * (n - 1).cast("double")
+        lo = F.floor(pos)
+        frac = pos - lo.cast("double")
+        vlo = F.element_at(arr, (lo + 1).cast("int"))
+        vhi = F.element_at(
+            arr, F.least(lo + 2, n.cast("bigint")).cast("int")
+        )
+        return vlo + frac * (vhi - vlo)
+
+    est = m.select(
+        "grp",
+        "k_used",
+        interp(F.col("vals"), F.col("k_used"), 0.5).alias("est_p50"),
+        interp(F.col("vals"), F.col("k_used"), 0.9).alias("est_p90"),
+    )
+
+    from pyspark.sql import Window
+
+    base = _bk_base(spark, sf_dir)
+    wv = Window.partitionBy("grp").orderBy("v", "k")
+    wn = Window.partitionBy("grp")
+    r = base.select(
+        "grp",
+        "v",
+        (F.row_number().over(wv) - 1).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(q: float, hi: bool) -> F.Column:
+        lo = F.floor(F.lit(q) * (F.col("n") - 1).cast("double"))
+        tgt = F.least(lo + 1, F.col("n") - 1) if hi else lo
+        return F.max(F.when(F.col("i") == tgt, F.col("v")))
+
+    exact = r.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        pick(0.5, False).alias("lo50"),
+        pick(0.5, True).alias("hi50"),
+        pick(0.9, False).alias("lo90"),
+        pick(0.9, True).alias("hi90"),
+    )
+
+    def efrac(q: float) -> F.Column:
+        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        return pos - F.floor(pos).cast("double")
+
+    exact = exact.select(
+        "grp",
+        "n",
+        (F.col("lo50") + efrac(0.5) * (F.col("hi50") - F.col("lo50"))).alias(
+            "exact_p50"
+        ),
+        (F.col("lo90") + efrac(0.9) * (F.col("hi90") - F.col("lo90"))).alias(
+            "exact_p90"
+        ),
+    )
+    return exact.join(est, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "n",
+        "k_used",
+        "exact_p50",
+        "est_p50",
+        "exact_p90",
+        "est_p90",
+    )
+
+
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "hll_distinct": hll_distinct,
+    "bottomk_quantiles": bottomk_quantiles,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -247,6 +388,84 @@ ORACLE_SQL = {
         SELECT p.token, p.cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
         FROM probe p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
         GROUP BY 1, 2
+    """,
+    # Quantile literals are cast to DOUBLE: DuckDB parses a bare 0.9
+    # as DECIMAL and computes an exact 114.3 where Spark's double math
+    # gives 114.30000000000001 — the frac would then differ in the low
+    # bits.  With ::DOUBLE both engines run the identical IEEE ops.
+    "bottomk_quantiles": f"""
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                   {_MD5.format("o_orderkey::VARCHAR")} AS h,
+                   o_orderkey AS k, o_totalprice AS v
+            FROM orders
+        ),
+        samp AS (
+            SELECT grp, k, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY h, k) AS rn
+            FROM base
+        ),
+        sv AS (
+            SELECT grp, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY v, k) - 1
+                       AS i,
+                   count(*) OVER (PARTITION BY grp) AS kk
+            FROM samp WHERE rn <= {BK_K}
+        ),
+        est AS (
+            SELECT grp, CAST(max(kk) AS INT) AS k_used,
+                   max(CASE WHEN i = CAST(floor(0.5::DOUBLE * (kk - 1))
+                                          AS BIGINT)
+                            THEN v END) AS lo50,
+                   max(CASE WHEN i = least(CAST(floor(0.5::DOUBLE * (kk - 1))
+                                                AS BIGINT) + 1, kk - 1)
+                            THEN v END) AS hi50,
+                   max(CASE WHEN i = CAST(floor(0.9::DOUBLE * (kk - 1))
+                                          AS BIGINT)
+                            THEN v END) AS lo90,
+                   max(CASE WHEN i = least(CAST(floor(0.9::DOUBLE * (kk - 1))
+                                                AS BIGINT) + 1, kk - 1)
+                            THEN v END) AS hi90,
+                   CAST(max(kk) AS BIGINT) AS kkb
+            FROM sv GROUP BY 1
+        ),
+        ex0 AS (
+            SELECT grp, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY v, k) - 1
+                       AS i,
+                   count(*) OVER (PARTITION BY grp) AS n
+            FROM base
+        ),
+        ex AS (
+            SELECT grp, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN i = CAST(floor(0.5::DOUBLE * (n - 1))
+                                          AS BIGINT)
+                            THEN v END) AS xlo50,
+                   max(CASE WHEN i = least(CAST(floor(0.5::DOUBLE * (n - 1))
+                                                AS BIGINT) + 1, n - 1)
+                            THEN v END) AS xhi50,
+                   max(CASE WHEN i = CAST(floor(0.9::DOUBLE * (n - 1))
+                                          AS BIGINT)
+                            THEN v END) AS xlo90,
+                   max(CASE WHEN i = least(CAST(floor(0.9::DOUBLE * (n - 1))
+                                                AS BIGINT) + 1, n - 1)
+                            THEN v END) AS xhi90
+            FROM ex0 GROUP BY 1
+        )
+        SELECT e.grp AS o_orderpriority, e.n, s.k_used,
+               xlo50 + (0.5::DOUBLE * (e.n - 1)
+                        - floor(0.5::DOUBLE * (e.n - 1)))
+                     * (xhi50 - xlo50) AS exact_p50,
+               lo50 + (0.5::DOUBLE * (s.kkb - 1)
+                       - floor(0.5::DOUBLE * (s.kkb - 1)))
+                    * (hi50 - lo50) AS est_p50,
+               xlo90 + (0.9::DOUBLE * (e.n - 1)
+                        - floor(0.9::DOUBLE * (e.n - 1)))
+                     * (xhi90 - xlo90) AS exact_p90,
+               lo90 + (0.9::DOUBLE * (s.kkb - 1)
+                       - floor(0.9::DOUBLE * (s.kkb - 1)))
+                    * (hi90 - lo90) AS est_p90
+        FROM ex e JOIN est s USING (grp)
     """,
     "hll_distinct": f"""
         WITH keyed AS (

@@ -144,3 +144,64 @@ def test_hll_estimate_tracks_exact(spark):
     for r in sketches.hll_distinct(spark, "/root/testdata/sf0.001").collect():
         assert r["registers_hit"] <= sketches.HLL_M
         assert 0.5 * r["exact_distinct"] <= r["hll_est"] <= 2.0 * r["exact_distinct"], r
+
+
+def test_bottomk_sample_matches_single_window(spark):
+    """The two-phase (per-partition bottom-k -> merged bottom-k)
+    sample equals the single global window's bottom-K per group:
+    bottom-k of a union IS the bottom-k of merged bottom-ks, so the
+    sketch is partition-independent."""
+    from pyspark.sql import Window
+
+    got = {
+        r["grp"]: [(x["h"], x["k"]) for x in r["s"]]
+        for r in sketches.bottomk_sample(spark, SF_DIR).collect()
+    }
+    base = sketches._bk_base(spark, SF_DIR)
+    w = Window.partitionBy("grp").orderBy("h", "k")
+    ref_rows = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sketches.BK_K)
+        .collect()
+    )
+    ref: dict = {}
+    for r in ref_rows:
+        ref.setdefault(r["grp"], []).append((r["h"], r["k"]))
+    assert got == {g: sorted(v) for g, v in ref.items()}
+
+
+def test_bottomk_merge_law(spark):
+    """Mergeability on disjoint halves: bottom-k(bottom-k(A) ∪
+    bottom-k(B)) == bottom-k(A ∪ B) — the property that lets each
+    crawl wave / executor keep K structs and the coordinator fold."""
+    rows = sketches._bk_base(spark, SF_DIR).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["grp"], []).append((r["h"], r["k"], r["v"]))
+    k = sketches.BK_K
+    for g, xs in by.items():
+        whole = sorted(xs)[:k]
+        h1 = sorted(x for x in xs if x[1] % 2 == 0)[:k]
+        h2 = sorted(x for x in xs if x[1] % 2 == 1)[:k]
+        assert sorted(h1 + h2)[:k] == whole, g
+
+
+def test_bottomk_quantile_error_and_exactness(spark, tmp_path):
+    """The K=128 sample estimate tracks the exact quantile on real
+    groups (loose 30% relative band), and a group SMALLER than K
+    degenerates to the exact quantile bit-for-bit (the sample is the
+    whole group)."""
+    for r in sketches.bottomk_quantiles(spark, SF_DIR).collect():
+        assert r["k_used"] == min(sketches.BK_K, r["n"])
+        for q in ("p50", "p90"):
+            exact, est = r[f"exact_{q}"], r[f"est_{q}"]
+            assert abs(est - exact) <= 0.3 * abs(exact), (r["o_orderpriority"], q)
+    d = tmp_path / "tiny"
+    spark.createDataFrame(
+        [(i, float(100 + 7 * i), "1-URGENT") for i in range(10)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    [row] = sketches.bottomk_quantiles(spark, str(d)).collect()
+    assert row["k_used"] == row["n"] == 10
+    assert row["est_p50"] == row["exact_p50"]
+    assert row["est_p90"] == row["exact_p90"]
