@@ -239,6 +239,12 @@ _TAIL = [
                               # register table's max-merge law is
                               # pytest-pinned and the full register
                               # replay is oracle-checked)
+    "span_boilerplate_strip", # round-3 late addition (interleaved
+                              # cleaning family: interleaved_spans +
+                              # line_dedup eval'd cover the span table
+                              # and the global chunk-frequency rewrite;
+                              # the orphan-media rule is pytest-pinned
+                              # and the full strip replays in DuckDB)
     "bottomk_quantiles",      # round-3 late addition (sketch family:
                               # cms_heavy_hitters eval'd covers the
                               # mergeable-sketch surface; the bottom-k

@@ -357,6 +357,75 @@ def interleaved_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BP_MIN_DOCS = 3  # a span text in >= this many distinct docs is boilerplate
+
+
+def span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal over the INTERLEAVED span table (the
+    trafilatura/jusText step of a web-corpus pipeline, generalized to
+    the multimodal payload): a text span whose exact content appears
+    in ``BP_MIN_DOCS``+ distinct documents is site chrome (headers,
+    navigation, footers — the reference's Odyssey pages repeat the
+    same banner rows on every case page), so ALL its occurrences are
+    stripped — removal, not the keep-first rule ``line_dedup``
+    applies — and a media span whose anchoring caption (the text span
+    immediately before it) was stripped is dropped as an orphan: an
+    image whose only text anchor is boilerplate carries no pairable
+    signal.  Per doc: span counts before/after, boilerplate/orphan
+    counts, and the md5 of the surviving text (offset order), so any
+    rewrite defect value-hash-mismatches.
+
+    Scale shape: one linear span-text frequency aggregate (hot
+    boilerplate keys are exactly the AQE skew-split case), then the
+    df-filtered boilerplate set — tiny BY CONSTRUCTION relative to the
+    corpus, same argument as the inverted-index stop list — broadcasts
+    back, so the corpus side never shuffles for the match; the
+    orphan-media rule and the per-doc rewrite share ONE doc_id-keyed
+    exchange (window and groupBy use the same key).  No all-pairs
+    anywhere; survives 100 TB unchanged."""
+    ex = interleaved_spans(spark, sf_dir).withColumn(
+        "tmd5", F.when(F.col("kind") == "text", F.md5("text"))
+    )
+    boiler = (
+        ex.filter(F.col("kind") == "text")
+        .groupBy("tmd5")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BP_MIN_DOCS)
+        .select("tmd5", F.lit(True).alias("is_b"))
+    )
+    marked = ex.join(F.broadcast(boiler), "tmd5", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_b"), F.lit(False))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    keep = F.when(F.col("kind") == "text", ~F.col("is_boiler")).otherwise(
+        F.coalesce(~F.lag("is_boiler").over(w), F.lit(True))
+    )
+    k = marked.withColumn("keep", keep)
+    kept_text = F.when(
+        F.col("keep") & (F.col("kind") == "text"),
+        F.struct("offset", "text"),
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(((F.col("kind") == "text") & F.col("is_boiler")).cast("int"))
+        .cast("bigint")
+        .alias("n_boiler_text"),
+        F.sum(((F.col("kind") == "media") & ~F.col("keep")).cast("int"))
+        .cast("bigint")
+        .alias("n_orphan_media"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_text)),
+                    lambda x: x["text"],
+                ),
+                " ",
+            )
+        ).alias("new_text_md5"),
+    )
+
+
 QUERIES = {
     "interleaved_spans": interleaved_spans,
     "span_reconstruct_check": span_reconstruct_check,
@@ -364,6 +433,7 @@ QUERIES = {
     "pack_interleaved": pack_interleaved,
     "media_caption_dedup": media_caption_dedup,
     "interleaved_quality_filters": interleaved_quality_filters,
+    "span_boilerplate_strip": span_boilerplate_strip,
 }
 
 _SQL_SPANS = f"""
@@ -484,6 +554,43 @@ ORACLE_SQL = {
                media_ref = min(media_ref) OVER (PARTITION BY caption_md5)
                    AS is_keeper
         FROM p
+    """,
+    "span_boilerplate_strip": f"""
+        WITH s AS ({_SQL_SPANS}),
+        ex AS (
+            SELECT doc_id, i, sp[i].kind AS kind, sp[i].text AS text
+            FROM s, unnest(generate_series(1, len(sp))) AS g(i)
+        ),
+        b AS (
+            SELECT md5(text) AS tmd5 FROM ex WHERE kind = 'text'
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+        ),
+        m AS (
+            SELECT e.doc_id, e.i, e.kind, e.text,
+                   (e.kind = 'text' AND b.tmd5 IS NOT NULL) AS is_boiler
+            FROM ex e LEFT JOIN b
+              ON e.kind = 'text' AND md5(e.text) = b.tmd5
+        ),
+        k AS (
+            SELECT doc_id, i, kind, text, is_boiler,
+                   CASE WHEN kind = 'text' THEN NOT is_boiler
+                        ELSE coalesce(NOT lag(is_boiler) OVER (
+                                 PARTITION BY doc_id ORDER BY i), TRUE)
+                   END AS keep
+            FROM m
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_spans,
+               CAST(count(*) FILTER (WHERE kind = 'text' AND is_boiler)
+                    AS BIGINT) AS n_boiler_text,
+               CAST(count(*) FILTER (WHERE kind = 'media' AND NOT keep)
+                    AS BIGINT) AS n_orphan_media,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               md5(array_to_string(
+                   coalesce(list(text ORDER BY i)
+                            FILTER (WHERE keep AND kind = 'text'), []),
+                   ' ')) AS new_text_md5
+        FROM k GROUP BY doc_id
     """,
     "interleaved_spans": f"""
         WITH s AS ({_SQL_SPANS})

@@ -168,3 +168,61 @@ def test_interleaved_quality_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_boilerplate_strip_hand_corpus(spark, tmp_path):
+    """3 docs share chunk #3 (df=3 -> boilerplate); the media span it
+    anchors must be dropped as an orphan, and the rebuilt text is the
+    two surviving chunks.  A 4th all-unique doc passes untouched."""
+    import hashlib
+
+    def chunk(prefix):
+        return " ".join(f"{prefix}_{t}" for t in range(interleaved.CHUNK))
+
+    boiler = chunk("boiler")
+    texts, want = [], {}
+    for d in range(3):
+        c0, c1 = chunk(f"u{d}a"), chunk(f"u{d}b")
+        texts.append(f"{c0} {c1} {boiler}")
+        want[d] = (4, 1, 1, 2, hashlib.md5(f"{c0} {c1}".encode()).hexdigest())
+    ctrl = f"{chunk('ca')} {chunk('cb')} {chunk('cc')}"
+    texts.append(ctrl)
+    want[3] = (4, 0, 0, 4, hashlib.md5(ctrl.encode()).hexdigest())
+
+    d = str(tmp_path / "bp")
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_boiler_text"],
+            r["n_orphan_media"],
+            r["n_kept"],
+            r["new_text_md5"],
+        )
+        for r in interleaved.span_boilerplate_strip(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_boilerplate_strip_invariants_on_testdata(spark):
+    """Keep accounting is exact (kept = spans - boiler - orphans) and
+    untouched documents rebuild to their original text md5; sf0.01 has
+    real cross-doc duplicate chunks, so the query is non-degenerate."""
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    out = interleaved.span_boilerplate_strip(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("orig_md5")
+    )
+    rows = out.join(docs, "doc_id").collect()
+    assert sum(r["n_boiler_text"] for r in rows) > 0, "degenerate corpus"
+    for r in rows:
+        assert r["n_kept"] == r["n_spans"] - r["n_boiler_text"] - r["n_orphan_media"]
+        if r["n_boiler_text"] == 0:
+            assert r["n_orphan_media"] == 0
+            assert r["new_text_md5"] == r["orig_md5"]
