@@ -52,6 +52,14 @@ BUDGETS = {
     # und/deg/orient each pinned (3 consumers each) — unpinned this
     # plan exploded to 97 exchanges / 36 scans (measured)
     "click_triangles": 4,
+    # two-phase bottom-k (grp,pid then grp) + the exact baseline's
+    # window/agg sharing one grp exchange; the 5-row est side joins
+    # by broadcast
+    "bottomk_quantiles": 3,
+    # span-text countDistinct two-phase (2) + one doc_id exchange
+    # shared by the orphan window and the rewrite agg; the
+    # boilerplate set joins by broadcast
+    "span_boilerplate_strip": 3,
 }
 
 
