@@ -134,17 +134,25 @@ def _fetch_host_group(politeness_ms: int, max_retries: int):
     HTTP round trip in production) — the politeness semantics *are*
     per-host sequential (helpers.py:93).  Everything around this
     function is columnar.
+
+    The spacing interval is per-host: the group's ``interval_ms``
+    column (the robots.txt ``Crawl-delay`` directive where a host
+    declares one, else the reference-parity default) — constant
+    within a group since groups ARE hosts.
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(_PRIO_COLS).reset_index(drop=True)
         clock = int(pdf["clock_ms"].iloc[0]) if pd.notna(pdf["clock_ms"].iloc[0]) else 0
+        interval = politeness_ms
+        if "interval_ms" in pdf.columns and pd.notna(pdf["interval_ms"].iloc[0]):
+            interval = int(pdf["interval_ms"].iloc[0])
         attempts, ts, payloads, spans_out, statuses = [], [], [], [], []
         for url in pdf["canonical_url"]:
             page = {"status": 503}
             n = 0
             for attempt in range(max_retries):
-                clock += politeness_ms * (attempt + 1)  # backoff incl. first
+                clock += interval * (attempt + 1)  # backoff incl. first
                 page = synth.fetch(url, attempt)
                 n = attempt + 1
                 if page.get("status") != 503:
@@ -160,7 +168,7 @@ def _fetch_host_group(politeness_ms: int, max_retries: int):
             spans = synth.extract_spans(html_doc) if html_doc is not None else None
             payloads.append(json.dumps(page) if ok else None)
             spans_out.append(json.dumps(spans) if spans is not None else None)
-        pdf = pdf.drop(columns=["clock_ms"])
+        pdf = pdf.drop(columns=["clock_ms", "interval_ms"], errors="ignore")
         pdf["status"] = statuses
         pdf["attempts"] = attempts
         pdf["fetch_ts_ms"] = ts
@@ -250,6 +258,7 @@ class CrawlEngine:
         max_per_host_per_wave: int | None = None,
         priority: str = "reference",  # 'reference' | 'recency'
         robots_rules: dict[str, list[str]] | None = None,
+        crawl_delay_ms: dict[str, int] | None = None,
         seen_filter: str = "bloom",  # 'bloom' | 'cuckoo' (north rule)
     ) -> None:
         self.spark = spark
@@ -305,6 +314,25 @@ class CrawlEngine:
                 columns=["host", "deny"],
             ),
             "host string, deny array<string>",
+        )
+        # per-host politeness interval: the robots.txt ``Crawl-delay``
+        # directive where a host declares one (the de-facto extension
+        # next to RFC 9309 allow/deny), else the reference-parity
+        # POLITENESS_MS.  A tiny O(#hosts) dimension broadcast onto the
+        # wave batch; the default map is empty so every existing crawl
+        # (and the ordering/URL-seen parity suite) is byte-identical.
+        self.crawl_delay_ms = {
+            h: int(v) for h, v in (crawl_delay_ms or {}).items()
+        }
+        self._intervals_df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (h, self.crawl_delay_ms.get(h, politeness_ms))
+                    for h in sorted(hosts)
+                ],
+                columns=["host", "interval_ms"],
+            ),
+            "host string, interval_ms int",
         )
         # static dimensions, built once per engine (a createDataFrame
         # from a Python list pays a pickled-row Python-worker round
@@ -594,8 +622,14 @@ class CrawlEngine:
 
     def _fetch(self, eligible: DataFrame, wave: int) -> DataFrame:
         hs = self._host_state_df()
-        batch = eligible.join(F.broadcast(hs), "host", "left").withColumn(
-            "clock_ms", F.coalesce(F.col("clock_ms"), F.lit(0))
+        batch = (
+            eligible.join(F.broadcast(hs), "host", "left")
+            .withColumn("clock_ms", F.coalesce(F.col("clock_ms"), F.lit(0)))
+            .join(F.broadcast(self._intervals_df), "host", "left")
+            .withColumn(
+                "interval_ms",
+                F.coalesce(F.col("interval_ms"), F.lit(self.politeness_ms)),
+            )
         )
         # (Measured: pre-partitioning hosts at finer grain — 8x cores —
         # to shave the ~3x straggler skew of 254 hosts in 32 tasks LOSES
@@ -1010,7 +1044,11 @@ class CrawlEngine:
         return self.documents_t.read_or_empty()
 
 
-def _paced_fetch_partition(politeness_ms: int, fetch_only: bool):
+def _paced_fetch_partition(
+    politeness_ms: int,
+    fetch_only: bool,
+    crawl_delay_ms: dict[int, int] | None = None,
+):
     """Wall-clock politeness fetch over a partition holding MANY host
     streams: round-robin interleaving via an earliest-deadline heap.
 
@@ -1032,7 +1070,15 @@ def _paced_fetch_partition(politeness_ms: int, fetch_only: bool):
 
     ``fetch_only`` skips span extraction: politeness governs the HTTP
     GET; parsing is downstream compute that overlaps other hosts'
-    waits (and is benched separately in fetchparse)."""
+    waits (and is benched separately in fetchparse).
+
+    ``crawl_delay_ms`` gives per-host robots ``Crawl-delay`` overrides
+    (host_i -> ms); hosts absent from the map pace at
+    ``politeness_ms``.  ``t_mono`` in the output is the worker's
+    monotonic clock at each GET, so tests assert REAL per-host spacing
+    rather than trusting the heap."""
+
+    delays = crawl_delay_ms or {}
 
     def run(batches):
         import heapq
@@ -1041,19 +1087,22 @@ def _paced_fetch_partition(politeness_ms: int, fetch_only: bool):
         for pdf in batches:
             for h, u in zip(pdf["host_i"], pdf["url"]):
                 rows.setdefault(int(h), []).append(u)
-        interval = politeness_ms / 1000.0
+        iv = {
+            h: delays.get(h, politeness_ms) / 1000.0 for h in rows
+        }
         now = time.monotonic()
         # deadline heap: (next_allowed, host); lists consumed in order
         heap = [(now, h) for h in sorted(rows)]
         heapq.heapify(heap)
         idx = {h: 0 for h in rows}
-        out_host, out_url, out_ok = [], [], []
+        out_host, out_url, out_ok, out_t = [], [], [], []
         while heap:
             nxt, h = heapq.heappop(heap)
             wait = nxt - time.monotonic()
             if wait > 0:
                 time.sleep(wait)
             url = rows[h][idx[h]]
+            t_fetch = time.monotonic()
             page = synth.fetch(url, 1)
             ok = page.get("status") == 200
             if ok and not fetch_only:
@@ -1063,10 +1112,18 @@ def _paced_fetch_partition(politeness_ms: int, fetch_only: bool):
             out_host.append(h)
             out_url.append(url)
             out_ok.append(bool(ok))
+            out_t.append(t_fetch)
             idx[h] += 1
             if idx[h] < len(rows[h]):
-                heapq.heappush(heap, (nxt + interval, h))
-        yield pd.DataFrame({"host_i": out_host, "url": out_url, "ok": out_ok})
+                heapq.heappush(heap, (t_fetch + iv[h], h))
+        yield pd.DataFrame(
+            {
+                "host_i": out_host,
+                "url": out_url,
+                "ok": out_ok,
+                "t_mono": out_t,
+            }
+        )
 
     return run
 
@@ -1102,7 +1159,7 @@ def bench_politeness_throughput(
     urls = urls.repartition(min(cores, n_hosts), "host_i")
     out = urls.mapInPandas(
         _paced_fetch_partition(politeness_ms, fetch_only),
-        "host_i int, url string, ok boolean",
+        "host_i int, url string, ok boolean, t_mono double",
     )
     t0 = time.monotonic()
     n_ok = out.filter("ok").count()
