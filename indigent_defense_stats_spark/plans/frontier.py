@@ -1134,42 +1134,81 @@ def bench_politeness_throughput(
     urls_per_host: int = 250,
     politeness_ms: int = 200,
     fetch_only: bool = True,
+    crawl_delay_ms: dict[int, int] | None = None,
 ) -> dict:
     """Measured politeness-ceiling bench: fetch ``n_hosts *
     urls_per_host`` URLs with real wall-clock spacing.  Pacing floor =
     ``urls_per_host * politeness_ms`` ms; ceiling = ``n_hosts *
-    1000/politeness_ms`` URLs/s."""
+    1000/politeness_ms`` URLs/s.
+
+    With ``crawl_delay_ms`` (host_i -> robots Crawl-delay override)
+    the ceiling is the SUM of per-host rates, ``sum_h 1000 /
+    interval_h`` — each host stream paces independently, so a slow
+    host subtracts only its own rate, never the cluster's."""
     import pyspark.sql.functions as F
 
-    n_urls = n_hosts * urls_per_host
-    urls = spark.range(n_urls).select(
-        (F.col("id") % n_hosts).cast("int").alias("host_i"),
-        F.concat(
-            F.lit("http://portal-"),
-            (F.col("id") % n_hosts).cast("string"),
-            F.lit(".example/CaseDetail.aspx?CaseID="),
-            ((F.col("id") % n_hosts + 1) * 100000 + F.col("id") / n_hosts)
-            .cast("long")
-            .cast("string"),
-        ).alias("url"),
-    )
+    delays = crawl_delay_ms or {}
+
+    if delays:
+        # rate-proportional quotas so every host stream shares the SAME
+        # pacing floor (urls_per_host * politeness_ms): a 2x-slower host
+        # carries half the URLs — otherwise the slow host's tail would
+        # dominate wall and misstate the steady-state mixed ceiling
+        floor_ms = urls_per_host * politeness_ms
+        quota = {
+            h: max(1, floor_ms // delays.get(h, politeness_ms))
+            for h in range(n_hosts)
+        }
+        n_urls = sum(quota.values())
+        urls = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "host_i": [
+                        h for h in range(n_hosts) for _ in range(quota[h])
+                    ],
+                    "url": [
+                        f"http://portal-{h}.example/CaseDetail.aspx"
+                        f"?CaseID={(h + 1) * 100000 + i}"
+                        for h in range(n_hosts)
+                        for i in range(quota[h])
+                    ],
+                }
+            ),
+            "host_i int, url string",
+        )
+    else:
+        n_urls = n_hosts * urls_per_host
+        urls = spark.range(n_urls).select(
+            (F.col("id") % n_hosts).cast("int").alias("host_i"),
+            F.concat(
+                F.lit("http://portal-"),
+                (F.col("id") % n_hosts).cast("string"),
+                F.lit(".example/CaseDetail.aspx?CaseID="),
+                ((F.col("id") % n_hosts + 1) * 100000 + F.col("id") / n_hosts)
+                .cast("long")
+                .cast("string"),
+            ).alias("url"),
+        )
     # one partition per core, hosts hash-spread across them: every
     # host has a live stream, so pacing (not cores) sets throughput
     cores = spark.sparkContext.defaultParallelism
     urls = urls.repartition(min(cores, n_hosts), "host_i")
     out = urls.mapInPandas(
-        _paced_fetch_partition(politeness_ms, fetch_only),
+        _paced_fetch_partition(politeness_ms, fetch_only, delays),
         "host_i int, url string, ok boolean, t_mono double",
     )
     t0 = time.monotonic()
     n_ok = out.filter("ok").count()
     wall = time.monotonic() - t0
+    ceiling = sum(
+        1000.0 / delays.get(h, politeness_ms) for h in range(n_hosts)
+    )
     return {
         "urls": n_urls,
         "ok": n_ok,
         "wall": round(wall, 1),
         "tput": round(n_urls / wall, 1),
-        "ceiling": round(n_hosts * 1000.0 / politeness_ms, 1),
+        "ceiling": round(ceiling, 1),
     }
 
 

@@ -82,6 +82,14 @@ JOBS = {
     # the mechanism behind N->4N executor scaling in production
     "politeness127": {"kind": "politeness", "n_hosts": 127},
     "politeness508": {"kind": "politeness", "n_hosts": 508},
+    # heterogeneous robots Crawl-delay: half the hosts declare 500 ms,
+    # half keep the 200 ms default -> mixed ceiling = 127x2 + 127x5
+    # = 889 URLs/s; quotas are rate-proportional so all streams share
+    # one pacing floor (see bench_politeness_throughput)
+    "politeness_mixed": {
+        "kind": "politeness",
+        "crawl_delay_ms": {h: 500 for h in range(0, 254, 2)},
+    },
 }
 
 
@@ -159,7 +167,9 @@ def run_cell(job: str, cpus: int, args) -> dict:
         from indigent_defense_stats_spark.plans import frontier as fr
 
         res = fr.bench_politeness_throughput(
-            spark, n_hosts=cfg.get("n_hosts", args.n_counties)
+            spark,
+            n_hosts=cfg.get("n_hosts", args.n_counties),
+            crawl_delay_ms=cfg.get("crawl_delay_ms"),
         )
     else:
         res = job_crawl(spark, args.n_counties, cfg.get("n_days", args.n_days))
