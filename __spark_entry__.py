@@ -258,6 +258,13 @@ _TAIL = [
                               # hashed-bigram importance weights are
                               # oracle-checked via check_oracles +
                               # property-tested)
+    "bigram_lm_score",        # round-3 late addition (LM-scoring
+                              # family: unigram_lm_score + ccnet_buckets
+                              # eval'd cover the fit-broadcast-fold
+                              # surface; this is the stupid-backoff
+                              # conditional upgrade, oracle-checked via
+                              # check_oracles + pytest-pinned vs a
+                              # hand-computed corpus)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

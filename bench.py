@@ -50,6 +50,7 @@ OPTIONAL = [
     "incremental_dedup",
     "line_dedup",
     "unigram_lm_score",
+    "bigram_lm_score",
     # round-3 additions: interleaved-payload ops + iterative link-graph
     "media_caption_pairs",
     "pack_interleaved",

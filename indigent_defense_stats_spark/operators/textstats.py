@@ -392,6 +392,142 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM2_VOCAB_K = 60  # top-K bigram model; the rest backs off
+LM2_ALPHA = 0.4  # stupid-backoff discount (Brants et al., EMNLP 2007)
+_SEP = "\x01"  # bigram map key separator (tokens are space-split)
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with STUPID BACKOFF — the web-scale LM
+    scoring rule (Brants et al., "Large Language Models in Machine
+    Translation", EMNLP 2007: at trillion-token scale an unnormalized
+    count ratio with a constant 0.4 backoff matches Kneser-Ney):
+
+        S(w2|w1) = c(w1,w2)/c(w1.)      if (w1,w2) in the top-K model
+                 = 0.4 * c(w2)/N        else if w2 in the unigram model
+                 = 0.4 * 0.5/N          else (OOV)
+
+    where ``c(w1.)`` is the context count (bigrams starting w1).  A
+    doc's score is the ordered left-fold of per-PAIR log-probs over
+    its adjacent token pairs; ``avg_logprob`` divides by the pair
+    count.  This is the conditional upgrade of
+    :func:`unigram_lm_score` — repetitive or shuffled text that fools
+    a unigram model (same token histogram) scores low here because
+    the CONDITIONALS are wrong.
+
+    Scale shape: the fit is one explode of adjacent pairs + a
+    vocabulary-sized hash aggregate, with the context count as a
+    bounded window over the aggregated pair table (NOT the corpus);
+    both model tables are bounded by construction (top-K, the trained
+    KenLM artifact a production pipeline broadcasts) — the collect
+    here is that broadcast.  Scoring is a zero-shuffle map: two map
+    literals + one ``aggregate`` fold per row, no Python.
+
+    Determinism contract (same as unigram): per-pair log-probs are
+    rounded to 6 places FIRST, fit divisions are single IEEE ops on
+    exact integer counts, and ``0.4`` is DOUBLE-cast in the oracle
+    (DuckDB parses the bare literal as DECIMAL).  One-token docs have
+    no pairs: logprob 0.0, avg_logprob NULL on both sides.
+    """
+    import math
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens()
+    toks = docs.select(t.alias("ts")).filter(F.size("ts") >= 2)
+    # adjacent pairs via two slices zipped — one pass, no positional join
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    from pyspark.sql import Window
+
+    cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = Window.partitionBy("w1")
+    model2 = (
+        cnt2.withColumn("cw", F.sum("c").over(ctx))
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(LM2_VOCAB_K)
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(F.col("c") * F.lit(1.0) / F.col("cw")), 6).alias(
+                "logp"
+            ),
+        )
+        .collect()  # bounded: LM2_VOCAB_K rows (the broadcast model)
+    )
+    # unigram backoff table (same fit as unigram_lm_score, 0.4-discounted)
+    stats = (
+        docs.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_total = stats.agg(F.sum("cnt")).collect()[0][0]
+    model1 = (
+        stats.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(LM_VOCAB_K)
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    F.lit(LM2_ALPHA) * F.col("cnt") / F.lit(float(n_total))
+                ),
+                6,
+            ).alias("blp"),
+        )
+        .collect()
+    )
+    pairs2: list = []
+    for row in model2:
+        pairs2 += [
+            F.lit(row["w1"] + _SEP + row["w2"]),
+            F.lit(float(row["logp"])),
+        ]
+    m2 = F.create_map(*pairs2)
+    pairs1: list = []
+    for row in model1:
+        pairs1 += [F.lit(row["tok"]), F.lit(float(row["blp"]))]
+    m1 = F.create_map(*pairs1)
+    oov = round(math.log(LM2_ALPHA * 0.5 / float(n_total)), 6)
+    lp = lambda w1, w2: F.coalesce(  # noqa: E731
+        m2[F.concat_ws(_SEP, w1, w2)], m1[w2], F.lit(oov)
+    )
+    n_bg = F.greatest(F.size(t) - 1, F.lit(0))
+    # CASE guards sequence(1, size-1): with size=1 it would generate a
+    # DESCENDING [1, 0] and index 0 (ANSI error); branches are lazy
+    score = F.when(
+        F.size(t) >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + lp(F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.lit(0.0))
+    hits = F.when(
+        F.size(t) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: m2[
+                    F.concat_ws(_SEP, F.element_at(t, i), F.element_at(t, i + 1))
+                ].isNotNull(),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        hits.alias("n_hits"),
+        F.round(score, 6).alias("logprob"),
+        F.when(n_bg > 0, F.round(score / n_bg, 6)).alias("avg_logprob"),
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "gopher_quality_filters": gopher_quality_filters,
@@ -402,6 +538,7 @@ QUERIES = {
     "pii_scrub_docs": pii_scrub_docs,
     "unigram_lm_score": unigram_lm_score,
     "ccnet_buckets": ccnet_buckets,
+    "bigram_lm_score": bigram_lm_score,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -554,6 +691,61 @@ ORACLE_SQL = {
     # BEFORE the fold, same left-fold order (list_reduce with a 0.0
     # head == Spark aggregate's 0.0 init) -> bit-identical sums
     "unigram_lm_score": LM_SCORES_SQL,
+    # stupid-backoff bigram LM: exact replay of the fit (pair counts,
+    # window context counts, deterministic top-K) and the scoring fold.
+    # CAST(0.4 AS DOUBLE): DuckDB parses the bare literal as DECIMAL
+    "bigram_lm_score": f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+        bg AS (
+            SELECT t.doc_id, g.i AS ord, ts[g.i] AS w1, ts[g.i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+            WHERE len(ts) >= 2
+        ),
+        cnt2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        model2 AS (
+            SELECT w1, w2,
+                   round(ln(c * 1.0 / (CAST(sum(c) OVER (PARTITION BY w1)
+                                       AS BIGINT))), 6) AS logp
+            FROM cnt2
+            ORDER BY c DESC, w1 ASC, w2 ASC LIMIT {LM2_VOCAB_K}
+        ),
+        cnts AS (
+            SELECT u.tok, count(*) AS cnt
+            FROM t, unnest(ts) AS u(tok) GROUP BY u.tok
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+        model1 AS (
+            SELECT tok,
+                   round(ln(CAST({LM2_ALPHA} AS DOUBLE) * cnt
+                            / (SELECT n FROM tot)), 6) AS blp
+            FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {LM_VOCAB_K}
+        ),
+        scored AS (
+            SELECT bg.doc_id, bg.ord,
+                   coalesce(m2.logp, m1.blp,
+                            round(ln(CAST({LM2_ALPHA} AS DOUBLE) * 0.5
+                                     / (SELECT n FROM tot)), 6)) AS lp,
+                   CASE WHEN m2.logp IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM bg
+            LEFT JOIN model2 m2 ON m2.w1 = bg.w1 AND m2.w2 = bg.w2
+            LEFT JOIN model1 m1 ON m1.tok = bg.w2
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS nb, CAST(sum(hit) AS INT) AS n_hits,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(lp ORDER BY ord)),
+                       (a, b) -> a + b) AS s
+            FROM scored GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(greatest(len(ts) - 1, 0) AS INT) AS n_bigrams,
+               CAST(coalesce(agg.n_hits, 0) AS INT) AS n_hits,
+               round(coalesce(agg.s, 0.0), 6) AS logprob,
+               CASE WHEN agg.nb > 0 THEN round(agg.s / agg.nb, 6)
+                    ELSE NULL END AS avg_logprob
+        FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+    """,
     "ccnet_buckets": f"""
         WITH lm AS ({{LM}}),
         cut AS (

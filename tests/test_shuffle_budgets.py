@@ -31,6 +31,10 @@ BUDGETS = {
     "media_caption_pairs": 0,
     "top5_orders": 0,  # global top-N: single-partition sort, no hash
     "bm25_search": 0,  # corpus stats broadcast, scoring map-side
+    # LM scorers: the fit collects its bounded top-K model eagerly
+    # (separate jobs); the RETURNED scoring plan is a pure map
+    "unigram_lm_score": 0,
+    "bigram_lm_score": 0,
     # single-shuffle contracts
     "funnel_stages": 1,
     "event_sequence": 1,

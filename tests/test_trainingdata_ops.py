@@ -486,3 +486,50 @@ def test_embedding_neardup_lsh_subset_and_clone_recall(spark, tmp_path):
     # every planted clone pair survives bucketing (cosine ~0.999+)
     for i in range(10):
         assert (i, 40 + i) in lsh, (i, sorted(lsh))
+
+
+def test_bigram_stupid_backoff_hand_computed(spark, tmp_path, monkeypatch):
+    """All three stupid-backoff branches against hand-computed values.
+
+    Corpus: d1="a b a b", d2="a b c", d3="x", d4="b x"; models shrunk
+    (top-2 bigrams, top-3 unigrams) so every branch fires:
+      - bigram hit:       (a,b) ln(3/3)=0 and (b,a) ln(1/3)
+      - unigram backoff:  (b,x) -> ln(0.4 * c(x)/N) = ln(0.08)
+      - OOV backoff:      (b,c) -> c outside top-3 -> ln(0.4*0.5/10)
+    d3 has one token: no pairs, logprob 0.0, avg NULL.
+    """
+    import math
+
+    from indigent_defense_stats_spark.operators import textstats
+
+    monkeypatch.setattr(textstats, "LM2_VOCAB_K", 2)
+    monkeypatch.setattr(textstats, "LM_VOCAB_K", 3)
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "b x")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.bigram_lm_score(spark, d).collect()
+    }
+    ln = math.log
+    # N=10 tokens; unigram top-3 = {b:4, a:3, x:2}; ctx(a)=3, ctx(b)=3
+    want = {
+        1: (3, 3, ln(1.0) * 2 + round(ln(1 / 3), 6)),
+        2: (2, 1, 0.0 + round(ln(0.4 * 0.5 / 10), 6)),
+        3: (0, 0, 0.0),
+        4: (1, 0, round(ln(0.4 * 2 / 10), 6)),
+    }
+    assert set(got) == set(want)
+    for doc_id, (nb, hits, s) in want.items():
+        r = got[doc_id]
+        assert r["n_bigrams"] == nb, doc_id
+        assert r["n_hits"] == hits, doc_id
+        assert r["logprob"] == pytest.approx(s, abs=2e-6), doc_id
+        if nb:
+            assert r["avg_logprob"] == pytest.approx(s / nb, abs=2e-6)
+        else:
+            assert r["avg_logprob"] is None
