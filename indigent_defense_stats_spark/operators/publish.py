@@ -31,7 +31,16 @@ def publish(
 ) -> DataFrame:
     """Insert new versions of *cleaned* into *target*; returns the rows
     inserted (with id + version).  ``today`` is MM-DD-YYYY, injected for
-    determinism (reference uses wall-clock, updater:117)."""
+    determinism (reference uses wall-clock, updater:117).
+
+    Target contract: ``target.read()`` must return the FULL published
+    history — the reference's Cosmos container never forgets a hash
+    (updater:92-105).  Use an APPEND-mode SnapshotTable (read() unions
+    all snapshots; each publish then appends only the inserted batch,
+    so every snapshot doubles as the CDC changelog
+    ``snapshot_changes`` consumes).  An overwrite-mode target keeps
+    only the latest batch and would re-insert previously-seen content
+    at version 1 from the third publish onward."""
     existing = target.read()
     # within-batch hash dedup as well (the reference would skip the
     # second file with the same hash once the first inserted).  The

@@ -127,7 +127,7 @@ METRICS_SCHEMA = StructType(
 _PRIO_COLS = ["prio", "date_ord", "jo_ord", "link_ord", "canonical_url"]
 
 
-def _fetch_host_group(politeness_ms: int, max_retries: int):
+def _fetch_host_group(politeness_ms: int, max_retries: int, generation: int = 0):
     """Per-host sequential fetch with token-bucket spacing.
 
     The row loop below is the network I/O boundary (each row is one
@@ -153,7 +153,7 @@ def _fetch_host_group(politeness_ms: int, max_retries: int):
             n = 0
             for attempt in range(max_retries):
                 clock += interval * (attempt + 1)  # backoff incl. first
-                page = synth.fetch(url, attempt)
+                page = synth.fetch(url, attempt, generation)
                 n = attempt + 1
                 if page.get("status") != 503:
                     break
@@ -620,7 +620,9 @@ class CrawlEngine:
             HOST_STATE,
         ).coalesce(1)
 
-    def _fetch(self, eligible: DataFrame, wave: int) -> DataFrame:
+    def _fetch(
+        self, eligible: DataFrame, wave: int, generation: int = 0
+    ) -> DataFrame:
         hs = self._host_state_df()
         batch = (
             eligible.join(F.broadcast(hs), "host", "left")
@@ -637,7 +639,7 @@ class CrawlEngine:
         # the balance gain.  Revisit on a real cluster where tasks are
         # cheaper relative to fetch CPU.)
         fetched = batch.groupBy("host").applyInPandas(
-            _fetch_host_group(self.politeness_ms, self.max_retries),
+            _fetch_host_group(self.politeness_ms, self.max_retries, generation),
             schema=FETCH_OUT,
         )
         return fetched.withColumn("wave", F.lit(wave)).withColumn(
@@ -1012,6 +1014,112 @@ class CrawlEngine:
             n_pending += n_new - n_fetched - n_failed
             wave += 1
         return stats
+
+    # ------------------------------------------------------------------
+    def refresh(self, generation: int) -> DataFrame:
+        """Distributed analog of the reference's updater refresh flow
+        (updater/__init__.py:69-129 re-runs known cases through scrape
+        -> clean -> hash-skip/version upsert): re-fetch every KNOWN
+        case-detail page at ``generation`` and append the new
+        snapshots, committed as one wave.  Returns the refreshed
+        documents (doc_id, county, spans) for the parse -> publish
+        chain — publish's content-hash anti-join then skips unchanged
+        pages and versions changed ones, exactly the updater's
+        semantics, set-based.
+
+        What a refresh deliberately does NOT touch: frontier, seen,
+        bloom — it discovers nothing (case pages expand to nothing;
+        re-listing a known URL is not a discovery).  Politeness clocks
+        carry on from the crawl via host_state, so the refresh fetch
+        is paced like any wave.  Scale shape: the seed set is the
+        fetch_log's case rows (one partition-pruned scan at 10^10
+        URLs when the log is an Iceberg table partitioned by depth),
+        and the fetch is the same per-host ``applyInPandas`` group as
+        the crawl — O(known cases) work, zero frontier rewrites."""
+        self._rollback_uncommitted()
+        last = self._last_committed_wave()
+        wave = (last if last is not None else -1) + 1
+        if not getattr(self, "_clocks", None):
+            self._clocks = {}
+            if self.host_state_t.latest() is not None:
+                self._clocks = {
+                    r["host"]: r["clock_ms"]
+                    for r in self.host_state_t.read().collect()
+                    if r["host"] != "__none__"
+                }
+        seeds = (
+            self.log_t.read()
+            .filter((F.col("depth") == 4) & (F.col("status") == "fetched"))
+            .select(
+                "canonical_url",
+                "host",
+                "county",
+                "county_ord",
+                "depth",
+                "prio",
+                "date_ord",
+                "jo_ord",
+                "link_ord",
+            )
+            .distinct()
+            .select(
+                F.col("canonical_url").alias("url"),
+                "canonical_url",
+                "host",
+                "county",
+                "county_ord",
+                "depth",
+                "prio",
+                "date_ord",
+                "jo_ord",
+                "link_ord",
+                F.lit(None).cast("date").alias("case_date"),
+                F.lit("pending").alias("status"),
+                F.lit(wave).alias("wave"),
+            )
+        )
+        fetched = self._fetch(seeds, wave, generation).cache()
+        try:
+            summary = (
+                fetched.groupBy("status", "host", "partition_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("fetch_ts_ms").alias("clock"),
+                    F.sum("attempts").alias("attempts"),
+                )
+                .collect()
+            )
+            _lineage_writer(self, wave, fetched, summary)()
+            docs = (
+                fetched.filter(
+                    (F.col("depth") == 4) & (F.col("status") == "fetched")
+                )
+                .select(
+                    F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias(
+                        "doc_id"
+                    ),
+                    "county",
+                    F.from_json(
+                        "spans_json",
+                        "ARRAY<STRUCT<kind STRING, text STRING,"
+                        " media_ref STRING, offset INT>>",
+                    ).alias("spans"),
+                )
+                .coalesce(self.n_buckets)
+                # one materialization feeds the table write AND the
+                # caller's parse -> publish chain (pin-shared-subplans)
+                .localCheckpoint(eager=True)
+            )
+            self.documents_t.write(docs, {"wave": wave, "generation": generation})
+            for r in summary:
+                self._clocks[r["host"]] = max(
+                    self._clocks.get(r["host"], 0), r["clock"]
+                )
+            self._write_host_state_local(wave)
+            self._commit_wave(wave)
+        finally:
+            fetched.unpersist()
+        return docs
 
     # ------------------------------------------------------------------
     # equality-check accessors

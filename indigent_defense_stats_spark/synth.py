@@ -378,9 +378,40 @@ def _media(ref: str) -> dict:
     return {"kind": "media", "text": "", "media_ref": ref}
 
 
-def case_spans(county_i: int, case_id: str) -> list[dict]:
-    """Render a CaseSpec to its interleaved span sequence."""
+def case_changed(county_i: int, case_id: str, generation: int) -> bool:
+    """Deterministic set of cases whose portal page gains a new event
+    at ``generation`` (~1/3 per generation) — the synthetic analog of
+    a live docket moving between crawls.  Generation 0 is the base
+    world; membership is independent across generations."""
+    from .functions.hashing import xxh64_int
+
+    return (
+        generation >= 1
+        and xxh64_int(
+            f"gen:{generation}:{county_i}:{case_id}".encode("utf-8")
+        )
+        % 3
+        == 0
+    )
+
+
+def case_spans(
+    county_i: int, case_id: str, generation: int = 0
+) -> list[dict]:
+    """Render a CaseSpec to its interleaved span sequence.
+
+    ``generation`` models recrawl drift: each generation g in
+    [1..generation] where :func:`case_changed` holds prepends one new
+    event row (portals list newest first, hays.py:224-226) — so the
+    page's content hash changes exactly when the docket did, and an
+    unchanged page renders BYTE-IDENTICAL HTML across generations
+    (the updater's hash-skip precondition, updater/__init__.py:92)."""
     spec = make_case_spec(county_i, case_id)
+    for g in range(1, generation + 1):
+        if case_changed(county_i, case_id, g):
+            spec.event_rows.insert(
+                0, [f"{(g - 1) % 12 + 1:02d}/15/2025", f"Review Hearing {g}"]
+            )
     r = _rng("noise", county_i, case_id)
     spans: list[dict] = []
     # metadata region
@@ -622,7 +653,7 @@ def make_charge_dim() -> list[dict]:
 # fetch — the synthetic portal's single entry point
 # ---------------------------------------------------------------------------
 
-def fetch(url: str, attempt: int = 0) -> dict:
+def fetch(url: str, attempt: int = 0, generation: int = 0) -> dict:
     """Deterministic synthetic fetch.  Stands in for the HTTP layer
     (scraper/helpers.py:80-126); both the Spark fetch UDF and the
     sequential oracle call this same function, so content equality is
@@ -631,6 +662,8 @@ def fetch(url: str, attempt: int = 0) -> dict:
 
     ``attempt`` models retries: URLs with pending
     :func:`transient_failures` return 503 until enough attempts.
+    ``generation`` models recrawl drift (see :func:`case_spans`);
+    the default 0 is the base world every parity test runs against.
     """
     import re
     from datetime import datetime
@@ -680,6 +713,6 @@ def fetch(url: str, attempt: int = 0) -> dict:
             return {
                 "kind": "case",
                 "status": 200,
-                "html": render_case_html(case_spans(i, cid)),
+                "html": render_case_html(case_spans(i, cid, generation)),
             }
     return {"kind": "error", "status": 404}

@@ -99,8 +99,10 @@ def main() -> None:
     # schema=None: publish() only read()s the target (never
     # read_or_empty), and the inserted rows extend CASE_RECORDS_CLEAN
     # with version/id columns
+    # append mode: read() = FULL publish history (the hash-skip
+    # contract), each snapshot = one inserted batch (the CDC changelog)
     target = SnapshotTable(
-        spark, os.path.join(args.base_dir, "published"), None, "overwrite"
+        spark, os.path.join(args.base_dir, "published"), None, "append"
     )
     inserted = publish.publish(cleaned, target, today="07-31-2024")
     print(f"[publish] inserted={inserted.count()}")
