@@ -1,0 +1,147 @@
+"""robots.txt parsing — RFC 9309 groups + the de-facto ``Crawl-delay``
+extension.
+
+The crawl engine consumes compiled per-host rules (deny prefixes
+broadcast as a tiny dimension, ``frontier.CrawlEngine(robots_rules=...,
+crawl_delay_ms=...)``); this module produces them from raw robots.txt
+bytes, so a deployment points the engine at real fetched files instead
+of hand-built dicts.  The reference never fetches robots.txt (public
+portal, politeness only) — this is the north-rule C3 surface.
+
+Parsing model (RFC 9309 §2.2):
+
+- a GROUP is one or more consecutive ``User-agent`` lines followed by
+  rules; a rule line before any User-agent line is ignored;
+- group selection: the group(s) whose agent token is the longest
+  case-insensitive prefix of the product token win; ``*`` matches when
+  no specific group does.  Multiple groups for the same agent merge;
+- ``Disallow:`` with an empty value allows everything (no rule);
+  values are path prefixes (the engine's filter semantics —
+  ``$``/``*`` wildcards are Google extensions deliberately NOT
+  implemented: a prefix filter never over-blocks a compliant crawl,
+  the conservative failure mode);
+- ``Crawl-delay: <seconds>`` (may be fractional) applies per group;
+  milliseconds, rounded half-up to an int, capped at one hour;
+- comments (``#`` to end of line), blank lines, unknown directives
+  and ``Allow:`` lines are tolerated and skipped (Allow would only
+  ever RELAX the deny set; skipping it is again conservative);
+- an unparseable or empty file yields allow-all, no delay (RFC 9309
+  §2.3.1.2-4: unreachable robots means unrestricted).
+
+Driver-side ``parse_robots_txt`` covers the bounded registry case
+(hosts ≪ data); ``parse_robots_batch`` is the Arrow-batched bulk form
+for a crawl that stores millions of robots files as a table.
+"""
+
+from __future__ import annotations
+
+MAX_DELAY_MS = 3_600_000  # cap: one hour between requests
+
+
+def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
+    """Parse one robots.txt into ``{"deny": [...], "crawl_delay_ms":
+    int | None}`` for *agent* (product token, e.g. ``"ids-crawler"``).
+    """
+    if not text:
+        return {"deny": [], "crawl_delay_ms": None}
+    agent_l = agent.lower()
+
+    # pass 1: split into groups of (agent_tokens, rule_lines)
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run and (cur_agents or cur_rules):
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(val.lower())
+            in_agent_run = True
+        else:
+            in_agent_run = False
+            if cur_agents:  # rules before any User-agent line: ignored
+                cur_rules.append((key, val))
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    # pass 2: select groups — longest agent-token prefix match wins;
+    # '*' only when no specific group matched
+    def match_len(tok: str) -> int:
+        if tok == "*":
+            return 0
+        return len(tok) if agent_l.startswith(tok) else -1
+
+    best = max(
+        (match_len(t) for agents, _ in groups for t in agents),
+        default=-1,
+    )
+    use_star = best <= 0  # no specific (non-*) token matched
+    deny: list[str] = []
+    delay_ms: int | None = None
+    for agents, rules in groups:
+        selected = (
+            any(t == "*" for t in agents)
+            if use_star
+            else any(match_len(t) == best and t != "*" for t in agents)
+        )
+        if not selected:
+            continue
+        for key, val in rules:
+            if key == "disallow" and val:
+                deny.append(val)
+            elif key == "crawl-delay":
+                try:
+                    ms = int(round(float(val) * 1000.0))
+                except ValueError:
+                    continue
+                if ms > 0:
+                    d = min(ms, MAX_DELAY_MS)
+                    delay_ms = d if delay_ms is None else max(delay_ms, d)
+    # dedup, keep order (first occurrence)
+    seen: set[str] = set()
+    deny = [d for d in deny if not (d in seen or seen.add(d))]
+    return {"deny": deny, "crawl_delay_ms": delay_ms}
+
+
+def rules_from_robots_texts(
+    texts: dict[str, str | None], agent: str = "*"
+) -> tuple[dict[str, list[str]], dict[str, int]]:
+    """Compile {host: robots_txt} into the two CrawlEngine ctor args:
+    ``robots_rules`` (host -> deny prefixes) and ``crawl_delay_ms``
+    (host -> ms, only hosts that declare one)."""
+    rules: dict[str, list[str]] = {}
+    delays: dict[str, int] = {}
+    for host, text in texts.items():
+        parsed = parse_robots_txt(text, agent)
+        rules[host] = parsed["deny"]
+        if parsed["crawl_delay_ms"] is not None:
+            delays[host] = parsed["crawl_delay_ms"]
+    return rules, delays
+
+
+def parse_robots_batch(agent: str = "*"):
+    """Arrow-batched bulk parser for ``mapInPandas`` over a
+    (host string, robots_txt string) table; output schema
+    ``host string, deny array<string>, crawl_delay_ms int``.  Use when
+    robots files are DATA (millions of hosts), not registry config."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            parsed = [parse_robots_txt(t, agent) for t in pdf["robots_txt"]]
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "deny": [p["deny"] for p in parsed],
+                    "crawl_delay_ms": [p["crawl_delay_ms"] for p in parsed],
+                }
+            )
+
+    return run

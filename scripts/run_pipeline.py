@@ -36,6 +36,15 @@ def main() -> None:
     ap.add_argument("--start", default="2024-07-01")
     ap.add_argument("--priority", choices=["reference", "recency"], default="reference")
     ap.add_argument(
+        "--refresh",
+        type=int,
+        default=0,
+        metavar="G",
+        help="after publishing, run G refresh generations (the"
+        " reference updater's flow, distributed): re-fetch every known"
+        " case page, hash-skip unchanged, version-bump changed",
+    )
+    ap.add_argument(
         "--corpus-prep",
         action="store_true",
         help="after analytics, lay the crawled docs out as a documents"
@@ -106,6 +115,19 @@ def main() -> None:
     )
     inserted = publish.publish(cleaned, target, today="07-31-2024")
     print(f"[publish] inserted={inserted.count()}")
+
+    # ---- refresh generations (updater flow, optional) ----------------------
+    for g in range(1, args.refresh + 1):
+        docs_g = eng.refresh(generation=g)
+        good_g = parse.good_records(parse.parse_documents(docs_g))
+        cleaned_g = clean.clean_records(
+            good_g, charge_dim, parsing_date="2024-07-31"
+        )
+        ins_g = publish.publish(cleaned_g, target, today="07-31-2024")
+        print(
+            f"[refresh g={g}] refetched={docs_g.count()} "
+            f"versioned={ins_g.count()} (hash-skipped the rest)"
+        )
 
     # ---- analytics (J6, W1-W2, A7-A9) ------------------------------------
     events = analytics.events_flat(good)

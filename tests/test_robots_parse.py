@@ -1,0 +1,149 @@
+"""robots.txt parser (RFC 9309 groups + Crawl-delay) -> engine rules."""
+
+from __future__ import annotations
+
+from indigent_defense_stats_spark.functions.robots import (
+    MAX_DELAY_MS,
+    parse_robots_batch,
+    parse_robots_txt,
+    rules_from_robots_texts,
+)
+
+BASIC = """
+# portal robots
+User-agent: *
+Disallow: /admin
+Disallow: /internal
+Crawl-delay: 0.5
+"""
+
+GROUPS = """
+User-agent: ids-crawler
+Disallow: /slow
+Crawl-delay: 2
+
+User-agent: *
+Disallow: /admin
+
+User-agent: ids-crawler
+Disallow: /also
+"""
+
+MESSY = """
+Disallow: /ignored-no-group
+User-agent: *
+Allow: /public
+Disallow:
+Disallow: /x   # trailing comment
+Unknown-directive: whatever
+Crawl-delay: not-a-number
+User-Agent: *
+Disallow: /y
+"""
+
+
+def test_basic_group_and_fractional_delay():
+    p = parse_robots_txt(BASIC)
+    assert p["deny"] == ["/admin", "/internal"]
+    assert p["crawl_delay_ms"] == 500
+
+
+def test_specific_agent_beats_star_and_groups_merge():
+    p = parse_robots_txt(GROUPS, agent="ids-crawler")
+    assert p["deny"] == ["/slow", "/also"]  # both ids-crawler groups
+    assert p["crawl_delay_ms"] == 2000
+    star = parse_robots_txt(GROUPS, agent="otherbot")
+    assert star["deny"] == ["/admin"]
+    assert star["crawl_delay_ms"] is None
+
+
+def test_agent_prefix_match_longest_wins():
+    txt = (
+        "User-agent: ids\nDisallow: /a\n\n"
+        "User-agent: ids-crawler\nDisallow: /b\n\n"
+        "User-agent: *\nDisallow: /c\n"
+    )
+    assert parse_robots_txt(txt, "ids-crawler/1.0")["deny"] == ["/b"]
+    assert parse_robots_txt(txt, "idsomething")["deny"] == ["/a"]
+    assert parse_robots_txt(txt, "zzz")["deny"] == ["/c"]
+
+
+def test_messy_file_is_conservative():
+    """Rules before any group ignored; empty Disallow = no rule; Allow
+    and unknown directives skipped; bad Crawl-delay skipped; a second
+    consecutive-run * group MERGES (case-insensitive keys)."""
+    p = parse_robots_txt(MESSY)
+    assert p["deny"] == ["/x", "/y"]
+    assert p["crawl_delay_ms"] is None
+
+
+def test_empty_or_missing_allows_all():
+    for text in (None, "", "# only comments\n"):
+        p = parse_robots_txt(text)
+        assert p == {"deny": [], "crawl_delay_ms": None}
+
+
+def test_delay_capped():
+    p = parse_robots_txt("User-agent: *\nCrawl-delay: 999999\n")
+    assert p["crawl_delay_ms"] == MAX_DELAY_MS
+
+
+def test_rules_from_texts_compiles_ctor_args():
+    rules, delays = rules_from_robots_texts(
+        {"h1": BASIC, "h2": "User-agent: *\nDisallow: /q\n", "h3": None}
+    )
+    assert rules == {
+        "h1": ["/admin", "/internal"],
+        "h2": ["/q"],
+        "h3": [],
+    }
+    assert delays == {"h1": 500}
+
+
+def test_batch_parser_under_spark(spark):
+    df = spark.createDataFrame(
+        [("h1", BASIC), ("h2", None)], "host string, robots_txt string"
+    )
+    out = {
+        r["host"]: r
+        for r in df.mapInPandas(
+            parse_robots_batch(),
+            "host string, deny array<string>, crawl_delay_ms int",
+        ).collect()
+    }
+    assert out["h1"]["deny"] == ["/admin", "/internal"]
+    assert out["h1"]["crawl_delay_ms"] == 500
+    assert out["h2"]["deny"] == [] and out["h2"]["crawl_delay_ms"] is None
+
+
+def test_engine_accepts_compiled_rules(spark, tmp_path):
+    """End-to-end: raw robots text -> compiled args -> engine ctor; the
+    declared Crawl-delay lands in the intervals dimension."""
+    from datetime import date
+
+    from indigent_defense_stats_spark import synth
+    from indigent_defense_stats_spark.plans.frontier import (
+        POLITENESS_MS,
+        CrawlEngine,
+    )
+
+    reg = synth.make_registry(2, n_scrape=2)
+    h0, h1 = synth.portal_host(0), synth.portal_host(1)
+    rules, delays = rules_from_robots_texts(
+        {
+            h0: "User-agent: *\nDisallow: /admin\nCrawl-delay: 1\n",
+            h1: "User-agent: *\nDisallow: /admin\n",
+        }
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        reg,
+        date(2024, 7, 1),
+        1,
+        n_buckets=2,
+        robots_rules=rules,
+        crawl_delay_ms=delays,
+    )
+    iv = {r["host"]: r["interval_ms"] for r in eng._intervals_df.collect()}
+    assert iv == {h0: 1000, h1: POLITENESS_MS}
