@@ -48,7 +48,7 @@ def _modules():
         temporal,
         textstats,
     )
-    from indigent_defense_stats_spark.sources import orc_io, views, zorder
+    from indigent_defense_stats_spark.sources import orc_io, sitemap, views, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
 
     return [
@@ -67,6 +67,7 @@ def _modules():
         pipeline_queries,
         crawl_queries,
         zorder,
+        sitemap,
         ingest,
         sessions,
         views,
@@ -86,6 +87,12 @@ def _modules():
 # streaming, and the SQL-string API.
 _TAIL = [
     # variant-of-evaluated (evaluated sibling -> same component):
+    "top5_orders",            # global ORDER BY + LIMIT family: the
+                              # eval'd bm25_search returns the same
+                              # global-rank-then-limit shape and
+                              # top_charge_argmin_analog covers per-
+                              # group ranking; slot given to the NEW
+                              # XML surface (sitemap_frontier)
     "corpus_interleave",      # corpus-mixing family: mixture_sample
                               # (eval'd) covers the per-source window +
                               # deterministic-order arithmetic; the
