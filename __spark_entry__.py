@@ -42,6 +42,7 @@ def _modules():
         interleaved,
         pipeline_queries,
         ranking,
+        redirects,
         relational,
         sketches,
         similarity,
@@ -56,6 +57,7 @@ def _modules():
         temporal,
         funnel,
         graph,
+        redirects,
         sketches,
         textstats,
         ranking,
@@ -272,6 +274,14 @@ _TAIL = [
                               # conditional upgrade, oracle-checked via
                               # check_oracles + pytest-pinned vs a
                               # hand-computed corpus)
+    "redirect_resolution",    # session-5 addition (iterative-graph
+                              # family: click_reachability +
+                              # neardup_components eval'd cover the
+                              # join-loop surface; this is the
+                              # pointer-doubling functional-graph
+                              # form, oracle-checked via a recursive-
+                              # CTE chain re-walk + pytest cycle/cap
+                              # cases)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):
