@@ -62,35 +62,24 @@ _IDX_SCHEMA = "sitemap ARRAY<STRUCT<loc: STRING>>"
 
 
 def _doc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-document sitemap facts (host, url, lastmod,
-    priority string, per-host size + page assignment)."""
+    """Deterministic per-document sitemap facts over ``documents``:
+    (host, url, lastmod, prio, fresh) — the publish-side input shape
+    of ``build_sitemaps_from``."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id"
     )
     hid = F.least(F.col("doc_id") % _HOST_MOD, F.lit(_HOST_CAP))
     host = F.concat(F.lit("host"), hid.cast("string"), F.lit(".example"))
-    w = Window.partitionBy("hid")
-    return (
-        docs.select(
-            "doc_id",
-            hid.alias("hid"),
-            host.alias("host"),
-            F.concat(
-                F.lit("https://"), host, F.lit("/case/"), F.col("doc_id").cast("string")
-            ).alias("url"),
-            F.date_add(F.lit(_EPOCH), (F.col("doc_id") % 1461).cast("int")).alias(
-                "lastmod"
-            ),
-            F.concat(F.lit("0."), (F.col("doc_id") % 10).cast("string")).alias("prio"),
-        )
-        # one shuffle by host serves both the size and the page number
-        .withColumn("n", F.count("*").over(w))
-        .withColumn(
-            "page",
-            F.floor((F.row_number().over(w.orderBy("doc_id")) - 1) / _PAGE).cast(
-                "int"
-            ),
-        )
+    return docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/case/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.date_add(F.lit(_EPOCH), (F.col("doc_id") % 1461).cast("int")).alias(
+            "lastmod"
+        ),
+        F.concat(F.lit("0."), (F.col("doc_id") % 10).cast("string")).alias("prio"),
+        (F.col("doc_id") % _NEWS_MOD == 0).alias("fresh"),
     )
 
 
@@ -119,18 +108,34 @@ def _agg_xml(df: DataFrame, keys: list[str], open_tag: str, close_tag: str) -> D
     return df.groupBy(*keys).agg(xml.alias("xml"))
 
 
-def build_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize the sitemap fetch table: (sitemap_url, host, xml).
+def build_sitemaps_from(rows: DataFrame) -> DataFrame:
+    """Publish sitemaps for any URL table: (host, url, lastmod DATE,
+    prio STRING, fresh BOOLEAN) -> the fetch table
+    (sitemap_url, host, xml).
 
     Hosts with <= _PAGE URLs publish a single ``<urlset>`` at
     /sitemap.xml; larger hosts publish ``<urlset>`` pages at
     /sitemap_{p}.xml, an overlapping /sitemap_news.xml re-listing
-    ``doc_id % _NEWS_MOD == 0`` URLs with lastmod+1, and a
-    ``<sitemapindex>`` entry point at /sitemap.xml."""
-    rows = _doc_rows(spark, sf_dir).withColumn(
-        "entry", _url_entry(F.col("url"), F.col("lastmod"), F.col("prio"))
+    ``fresh`` URLs with lastmod+1 (the portal bumps lastmod on
+    re-listing — the overlap the parse-side dedup must resolve), and
+    a ``<sitemapindex>`` entry point at /sitemap.xml.  A URL listed
+    twice in the input is published once (max lastmod)."""
+    rows = rows.groupBy("host", "url").agg(
+        F.max("lastmod").alias("lastmod"),
+        F.max("prio").alias("prio"),
+        F.max("fresh").alias("fresh"),
     )
-    rows = rows.withColumn("ord", F.col("doc_id"))
+    # one shuffle by host serves both the host size and the page number
+    w = Window.partitionBy("host")
+    rows = (
+        rows.withColumn("n", F.count("*").over(w))
+        .withColumn(
+            "page",
+            F.floor((F.row_number().over(w.orderBy("url")) - 1) / _PAGE).cast("int"),
+        )
+        .withColumn("entry", _url_entry(F.col("url"), F.col("lastmod"), F.col("prio")))
+        .withColumn("ord", F.col("url"))
+    )
 
     single = _agg_xml(
         rows.filter(F.col("n") <= _PAGE), ["host"], "<urlset>", "</urlset>"
@@ -156,9 +161,7 @@ def build_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xml",
     )
 
-    news_rows = rows.filter(
-        (F.col("n") > _PAGE) & (F.col("doc_id") % _NEWS_MOD == 0)
-    ).withColumn(
+    news_rows = rows.filter((F.col("n") > _PAGE) & F.col("fresh")).withColumn(
         "entry", _url_entry(F.col("url"), F.date_add(F.col("lastmod"), 1), F.col("prio"))
     )
     news = _agg_xml(news_rows, ["host"], "<urlset>", "</urlset>").select(
@@ -195,6 +198,12 @@ def build_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return single.unionByName(paged).unionByName(news).unionByName(idx)
+
+
+def build_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic test world: publish sitemaps for the
+    ``documents`` URL space (see ``_doc_rows`` for the rules)."""
+    return build_sitemaps_from(_doc_rows(spark, sf_dir))
 
 
 def parse_sitemaps(fetched: DataFrame) -> DataFrame:

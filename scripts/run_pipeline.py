@@ -45,6 +45,16 @@ def main() -> None:
         " case page, hash-skip unchanged, version-bump changed",
     )
     ap.add_argument(
+        "--discover",
+        type=int,
+        default=0,
+        metavar="EXTRA_DAYS",
+        help="after the crawl, ingest the portals' sitemaps covering"
+        " the crawl window plus EXTRA_DAYS more days, and report how"
+        " many genuinely-new URLs the sitemap channel adds after the"
+        " bloom seen-filter (the second discovery channel)",
+    )
+    ap.add_argument(
         "--corpus-prep",
         action="store_true",
         help="after analytics, lay the crawled docs out as a documents"
@@ -127,6 +137,68 @@ def main() -> None:
         print(
             f"[refresh g={g}] refetched={docs_g.count()} "
             f"versioned={ins_g.count()} (hash-skipped the rest)"
+        )
+
+    # ---- sitemap discovery channel (optional) ------------------------------
+    if args.discover:
+        from indigent_defense_stats_spark.plans import bloom
+        from indigent_defense_stats_spark.sources import sitemap
+
+        t_d = time.time()
+        start_ord = date.fromisoformat(args.start).toordinal()
+        window = args.days + args.discover
+        # enumerate the portals' published case URLs (the world's
+        # sitemap side — synthesis, not the engine under test)
+        triples = (
+            spark.range(args.counties)
+            .withColumnRenamed("id", "county")
+            .crossJoin(
+                spark.range(start_ord, start_ord + window).withColumnRenamed(
+                    "id", "day_ord"
+                )
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+        def _case_rows(pdfs):
+            from indigent_defense_stats_spark import synth
+
+            for pdf in pdfs:
+                host, url, day = [], [], []
+                for i, d in zip(pdf["county"], pdf["day_ord"]):
+                    i, d = int(i), int(d)
+                    for jo_ord in range(len(synth.jo_list(i))):
+                        for cid in synth.cases_for(i, d, jo_ord):
+                            host.append(synth.portal_host(i))
+                            url.append(synth.case_url(i, cid))
+                            day.append(d)
+                yield pd.DataFrame({"host": host, "url": url, "day_ord": day})
+
+        published = triples.mapInPandas(
+            _case_rows, "host string, url string, day_ord long"
+        ).select(
+            "host",
+            "url",
+            F.date_from_unix_date(
+                (F.col("day_ord") - date(1970, 1, 1).toordinal()).cast("int")
+            ).alias("lastmod"),
+            F.lit("0.5").alias("prio"),
+            (F.col("day_ord") >= start_ord + args.days).alias("fresh"),
+        )
+        # engine under test: publish -> parse -> seen-filter
+        discovered = sitemap.parse_sitemaps(sitemap.build_sitemaps_from(published))
+        seen = eng.fetch_log().filter(
+            F.col("canonical_url").contains("CaseDetail.aspx")
+        ).select(F.col("canonical_url").alias("url"))
+        new = bloom.filter_new(
+            discovered.select("url"), seen, url_col="url",
+            n_buckets=16, n_bits=1 << 16,
+        )
+        print(
+            f"[discover] sitemap_urls={discovered.count()} "
+            f"new_after_seen_filter={new.count()} "
+            f"(+{args.discover} days beyond the crawl window, "
+            f"{time.time()-t_d:.1f}s)"
         )
 
     # ---- analytics (J6, W1-W2, A7-A9) ------------------------------------
