@@ -40,11 +40,21 @@ MAX_DELAY_MS = 3_600_000  # cap: one hour between requests
 
 def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     """Parse one robots.txt into ``{"deny": [...], "crawl_delay_ms":
-    int | None}`` for *agent* (product token, e.g. ``"ids-crawler"``).
+    int | None, "sitemaps": [...]}`` for *agent* (product token, e.g.
+    ``"ids-crawler"``).
+
+    ``Sitemap:`` is a NON-group directive (sitemaps.org protocol /
+    RFC 9309 "other records"): it applies regardless of user-agent,
+    may appear before any group, and must not terminate a
+    ``User-agent`` run — so it is collected globally and is
+    transparent to the group machinery.  The URLs feed the sitemap
+    discovery channel (sources/sitemap.py ``parse_sitemaps`` entry
+    points).
     """
     if not text:
-        return {"deny": [], "crawl_delay_ms": None}
+        return {"deny": [], "crawl_delay_ms": None, "sitemaps": []}
     agent_l = agent.lower()
+    sitemaps: list[str] = []
 
     # pass 1: split into groups of (agent_tokens, rule_lines)
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
@@ -58,6 +68,10 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            if val:
+                sitemaps.append(val)
+            continue  # transparent: does not open/close a group
         if key == "user-agent":
             if not in_agent_run and (cur_agents or cur_rules):
                 groups.append((cur_agents, cur_rules))
@@ -107,7 +121,9 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     # dedup, keep order (first occurrence)
     seen: set[str] = set()
     deny = [d for d in deny if not (d in seen or seen.add(d))]
-    return {"deny": deny, "crawl_delay_ms": delay_ms}
+    seen_sm: set[str] = set()
+    sitemaps = [s for s in sitemaps if not (s in seen_sm or seen_sm.add(s))]
+    return {"deny": deny, "crawl_delay_ms": delay_ms, "sitemaps": sitemaps}
 
 
 def rules_from_robots_texts(
@@ -129,8 +145,9 @@ def rules_from_robots_texts(
 def parse_robots_batch(agent: str = "*"):
     """Arrow-batched bulk parser for ``mapInPandas`` over a
     (host string, robots_txt string) table; output schema
-    ``host string, deny array<string>, crawl_delay_ms int``.  Use when
-    robots files are DATA (millions of hosts), not registry config."""
+    ``host string, deny array<string>, crawl_delay_ms int,
+    sitemaps array<string>``.  Use when robots files are DATA
+    (millions of hosts), not registry config."""
     import pandas as pd
 
     def run(batches):
@@ -141,6 +158,7 @@ def parse_robots_batch(agent: str = "*"):
                     "host": pdf["host"],
                     "deny": [p["deny"] for p in parsed],
                     "crawl_delay_ms": [p["crawl_delay_ms"] for p in parsed],
+                    "sitemaps": [p["sitemaps"] for p in parsed],
                 }
             )
 

@@ -206,15 +206,27 @@ def build_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_sitemaps_from(_doc_rows(spark, sf_dir))
 
 
-def parse_sitemaps(fetched: DataFrame) -> DataFrame:
+def parse_sitemaps(fetched: DataFrame, entry_points: DataFrame | None = None) -> DataFrame:
     """Parse a sitemap fetch table into discovered frontier URLs.
 
     (sitemap_url, host, xml) -> (host, url, lastmod DATE,
     priority DOUBLE, via_index BOOLEAN), one row per distinct URL,
-    freshest lastmod wins.  Entry points are the advertised
-    /sitemap.xml documents; ``from_xml`` against the WRONG root
-    schema returns NULL, which is the dispatch."""
-    entry = fetched.filter(F.col("sitemap_url").endswith("/sitemap.xml")).select(
+    freshest lastmod wins.  Entry points default to the well-known
+    /sitemap.xml convention; pass *entry_points* (a DataFrame with a
+    ``sitemap_url`` column, e.g. the ``Sitemap:`` directives the
+    robots parser extracted — functions/robots.py) to start from
+    robots-declared locations instead (broadcast semi-join: one row
+    per declared sitemap, never per URL).  ``from_xml`` against the
+    WRONG root schema returns NULL, which is the dispatch."""
+    if entry_points is None:
+        roots = fetched.filter(F.col("sitemap_url").endswith("/sitemap.xml"))
+    else:
+        roots = fetched.join(
+            F.broadcast(entry_points.select("sitemap_url").distinct()),
+            "sitemap_url",
+            "left_semi",
+        )
+    entry = roots.select(
         "host",
         "xml",
         F.from_xml("xml", _IDX_SCHEMA).alias("ix"),

@@ -42,10 +42,54 @@ Disallow: /y
 """
 
 
+SITEMAPPED = """
+Sitemap: https://h.example/sitemaps/main.xml
+User-agent: ids-crawler
+Disallow: /slow
+Sitemap: https://h.example/sitemaps/cases.xml
+User-agent: also-this-agent
+Disallow: /other
+Sitemap: https://h.example/sitemaps/main.xml
+"""
+
+
 def test_basic_group_and_fractional_delay():
     p = parse_robots_txt(BASIC)
     assert p["deny"] == ["/admin", "/internal"]
     assert p["crawl_delay_ms"] == 500
+
+
+def test_sitemap_directive_is_global_and_group_transparent():
+    """Sitemap: lines apply regardless of agent (collected even before
+    any group and from non-matching groups), do not leak into deny,
+    dedup in order — and a Sitemap line between two User-agent lines
+    must NOT split the agent run (ids-crawler still gets /slow only
+    under longest-prefix selection)."""
+    p = parse_robots_txt(SITEMAPPED, agent="ids-crawler")
+    assert p["sitemaps"] == [
+        "https://h.example/sitemaps/main.xml",
+        "https://h.example/sitemaps/cases.xml",
+    ]
+    assert p["deny"] == ["/slow"]
+    # a different agent sees the same sitemap list
+    q = parse_robots_txt(SITEMAPPED, agent="unrelated-bot")
+    assert q["sitemaps"] == p["sitemaps"]
+
+
+def test_sitemap_between_consecutive_agent_lines_keeps_the_run():
+    txt = (
+        "User-agent: a\n"
+        "Sitemap: https://x.example/s.xml\n"
+        "User-agent: b\n"
+        "Disallow: /blocked\n"
+    )
+    # agents a and b are ONE group (the Sitemap line is transparent),
+    # so both inherit the Disallow
+    assert parse_robots_txt(txt, agent="a")["deny"] == ["/blocked"]
+    assert parse_robots_txt(txt, agent="b")["deny"] == ["/blocked"]
+    assert parse_robots_txt(txt, agent="a")["sitemaps"] == [
+        "https://x.example/s.xml"
+    ]
 
 
 def test_specific_agent_beats_star_and_groups_merge():
@@ -80,7 +124,7 @@ def test_messy_file_is_conservative():
 def test_empty_or_missing_allows_all():
     for text in (None, "", "# only comments\n"):
         p = parse_robots_txt(text)
-        assert p == {"deny": [], "crawl_delay_ms": None}
+        assert p == {"deny": [], "crawl_delay_ms": None, "sitemaps": []}
 
 
 def test_delay_capped():
@@ -108,12 +152,14 @@ def test_batch_parser_under_spark(spark):
         r["host"]: r
         for r in df.mapInPandas(
             parse_robots_batch(),
-            "host string, deny array<string>, crawl_delay_ms int",
+            "host string, deny array<string>, crawl_delay_ms int,"
+            " sitemaps array<string>",
         ).collect()
     }
     assert out["h1"]["deny"] == ["/admin", "/internal"]
     assert out["h1"]["crawl_delay_ms"] == 500
     assert out["h2"]["deny"] == [] and out["h2"]["crawl_delay_ms"] is None
+    assert list(out["h1"]["sitemaps"]) == [] and list(out["h2"]["sitemaps"]) == []
 
 
 def test_engine_accepts_compiled_rules(spark, tmp_path):

@@ -153,6 +153,56 @@ def test_discovered_urls_flow_through_bloom_seen_filter(spark):
     assert got == want
 
 
+def test_robots_declared_entry_points(spark):
+    """End-to-end with the robots parser: Sitemap: directives at
+    NON-standard URLs become the entry points; the well-known
+    /sitemap.xml convention is not consulted (a decoy there is
+    ignored), and index recursion still works from the declared
+    root."""
+    from indigent_defense_stats_spark.functions.robots import parse_robots_batch
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "f.example",
+                "Sitemap: https://f.example/smaps/root.xml\n"
+                "User-agent: *\nDisallow: /admin\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    entry_points = robots.mapInPandas(
+        parse_robots_batch(),
+        "host string, deny array<string>, crawl_delay_ms int,"
+        " sitemaps array<string>",
+    ).select(F.explode("sitemaps").alias("sitemap_url"))
+
+    rows = [
+        (  # decoy at the conventional location — must be ignored
+            "https://f.example/sitemap.xml",
+            "f.example",
+            "<urlset><url><loc>https://f.example/decoy</loc>"
+            "<lastmod>2020-01-01</lastmod><priority>0.1</priority></url></urlset>",
+        ),
+        (
+            "https://f.example/smaps/root.xml",
+            "f.example",
+            "<sitemapindex><sitemap><loc>https://f.example/smaps/a.xml</loc>"
+            "</sitemap></sitemapindex>",
+        ),
+        (
+            "https://f.example/smaps/a.xml",
+            "f.example",
+            "<urlset><url><loc>https://f.example/case/11</loc>"
+            "<lastmod>2024-02-29</lastmod><priority>0.8</priority></url></urlset>",
+        ),
+    ]
+    out = sitemap.parse_sitemaps(_fetched(spark, rows), entry_points).collect()
+    assert [(r.url, r.via_index, r.lastmod) for r in out] == [
+        ("https://f.example/case/11", True, datetime.date(2024, 2, 29)),
+    ]
+
+
 def test_sitemap_frontier_matches_oracle_shape(spark):
     out = sitemap.sitemap_frontier(spark, SF_DIR)
     assert out.schema.simpleString() == (
