@@ -274,6 +274,12 @@ _TAIL = [
                               # conditional upgrade, oracle-checked via
                               # check_oracles + pytest-pinned vs a
                               # hand-computed corpus)
+    "mirror_hosts",           # session-5 addition (host-granularity
+                              # composition of the eval'd content-hash
+                              # dedup family: clean_corpus keeper +
+                              # minhash_lsh_neardup cover the doc-level
+                              # surface; the inverted-index host-pair
+                              # join replays exactly in the oracle)
     "redirect_resolution",    # session-5 addition (iterative-graph
                               # family: click_reachability +
                               # neardup_components eval'd cover the

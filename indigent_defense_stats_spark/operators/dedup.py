@@ -704,7 +704,92 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection: host pairs serving (near-)identical
+    content sets — the crawl-ops composition of content-hash dedup at
+    HOST granularity (a crawler collapses detected mirrors so every
+    alias host stops being re-fetched; cf. the URL-level analog in
+    operators/redirects.py).
+
+    Synthetic mirror world (deterministic, from ``documents``): base
+    host ``host{doc_id % 10}``; even-numbered hosts are FULLY
+    mirrored on ``mirror{h}``, odd-numbered hosts only partially
+    (``doc_id % 3 == 0`` — roughly a third of the content, a CDN
+    cache or scraped clone rather than a mirror).  At threshold 0.8
+    exactly the even pairs qualify.
+
+    Algorithm — inverted index on the content hash, NEVER O(hosts^2):
+    distinct (content_hash, host) postings self-join on the hash, so
+    cost is sum over hashes of (hosts-per-hash choose 2) — bounded by
+    the content REPLICATION factor, not by corpus size or host-pair
+    count.  Per-host set sizes join back for the exact Jaccard.  Hot
+    boilerplate hashes (error pages served by thousands of hosts)
+    would need the same prefix/df treatment as ngram_jaccard_pairs;
+    real mirror detection first strips boilerplate
+    (interleaved.span_boilerplate_strip) so page hashes are
+    discriminative.
+    """
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    base = docs.select(
+        F.concat(F.lit("host"), (d % 10).cast("string")).alias("host"), "h"
+    )
+    mirrored = docs.filter((d % 2 == 0) | (d % 3 == 0)).select(
+        F.concat(F.lit("mirror"), (d % 10).cast("string")).alias("host"), "h"
+    )
+    postings = base.unionByName(mirrored).distinct()
+    sizes = postings.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.host") < F.col("b.host")))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("host_a", "host_b", "n_shared", "n_a", "n_b", "jaccard")
+        .orderBy("host_a", "host_b")
+    )
+
+
+_MIRROR_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), postings AS (
+        SELECT DISTINCT host, h FROM (
+            SELECT 'host' || (doc_id % 10) AS host, h FROM docs
+            UNION ALL
+            SELECT 'mirror' || (doc_id % 10) AS host, h FROM docs
+            WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        )
+    ), sizes AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n FROM postings GROUP BY host
+    ), shared AS (
+        SELECT a.host AS host_a, b.host AS host_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM postings a JOIN postings b
+          ON a.h = b.h AND a.host < b.host
+        GROUP BY a.host, b.host
+    )
+    SELECT s.host_a, s.host_b, s.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           s.n_shared / (sa.n + sb.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.host = s.host_a
+    JOIN sizes sb ON sb.host = s.host_b
+    WHERE s.n_shared / (sa.n + sb.n - s.n_shared) >= 0.8
+    ORDER BY s.host_a, s.host_b
+"""
+
+
 QUERIES = {
+    "mirror_hosts": mirror_hosts,
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
@@ -807,6 +892,7 @@ _SQL_LSH_PAIR_CTES = f"""sh AS ({_SQL_SH}),
         )"""
 
 ORACLE_SQL = {
+    "mirror_hosts": _MIRROR_ORACLE,
     # deterministic replay of split + injection + cross-side banding +
     # exact verification (same arithmetic as the Spark plan)
     "incremental_dedup": f"""
