@@ -719,15 +719,19 @@ def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the even pairs qualify.
 
     Algorithm — inverted index on the content hash, NEVER O(hosts^2):
-    distinct (content_hash, host) postings self-join on the hash, so
-    cost is sum over hashes of (hosts-per-hash choose 2) — bounded by
-    the content REPLICATION factor, not by corpus size or host-pair
-    count.  Per-host set sizes join back for the exact Jaccard.  Hot
-    boilerplate hashes (error pages served by thousands of hosts)
-    would need the same prefix/df treatment as ngram_jaccard_pairs;
-    real mirror detection first strips boilerplate
-    (interleaved.span_boilerplate_strip) so page hashes are
-    discriminative.
+    ONE aggregate by hash collects the distinct host set per content
+    (the posting list), host pairs are generated MAP-SIDE from the
+    sorted array (nested ``transform`` + ``flatten`` — no self-join),
+    so cost is sum over hashes of (hosts-per-hash choose 2) — bounded
+    by the content REPLICATION factor, not by corpus size or
+    host-pair count.  Three hash exchanges total (by-hash agg, pair
+    counts, per-host sizes), pinned in tests/test_shuffle_budgets.py;
+    the posting table feeds two consumers and is localCheckpoint-ed
+    per the pin-shared-subplans discipline.  Hot boilerplate hashes
+    (error pages served by thousands of hosts) would need the same
+    prefix/df treatment as ngram_jaccard_pairs; real mirror detection
+    first strips boilerplate (interleaved.span_boilerplate_strip) so
+    page hashes are discriminative.
     """
     d = F.col("doc_id")
     docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
@@ -737,13 +741,33 @@ def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored = docs.filter((d % 2 == 0) | (d % 3 == 0)).select(
         F.concat(F.lit("mirror"), (d % 10).cast("string")).alias("host"), "h"
     )
-    postings = base.unionByName(mirrored).distinct()
-    sizes = postings.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
-    a, b = postings.alias("a"), postings.alias("b")
+    # one shuffle by hash: distinct hosts per content, sorted so the
+    # generated pairs are (host_a < host_b) without a join predicate
+    by_hash = (
+        base.unionByName(mirrored)
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("host")).alias("hosts"))
+        .localCheckpoint(eager=False)  # feeds pair gen AND sizes
+    )
+    hosts = F.col("hosts")
+    pair_arr = F.flatten(
+        F.transform(
+            hosts,
+            lambda x, i: F.transform(
+                F.slice(hosts, i + 2, F.size(hosts)),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.host") < F.col("b.host")))
-        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        by_hash.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = (
+        by_hash.select(F.explode("hosts").alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))

@@ -125,7 +125,10 @@ def build_sitemaps_from(rows: DataFrame) -> DataFrame:
         F.max("prio").alias("prio"),
         F.max("fresh").alias("fresh"),
     )
-    # one shuffle by host serves both the host size and the page number
+    # one shuffle by host serves both the host size and the page
+    # number; the decorated row table feeds FOUR consumers (single,
+    # paged, news, index refs) -> pin it once per the pin-shared-
+    # subplans discipline (unpinned: 30 exchanges / 15 scans measured)
     w = Window.partitionBy("host")
     rows = (
         rows.withColumn("n", F.count("*").over(w))
@@ -135,6 +138,7 @@ def build_sitemaps_from(rows: DataFrame) -> DataFrame:
         )
         .withColumn("entry", _url_entry(F.col("url"), F.col("lastmod"), F.col("prio")))
         .withColumn("ord", F.col("url"))
+        .localCheckpoint(eager=False)
     )
 
     single = _agg_xml(
@@ -159,7 +163,7 @@ def build_sitemaps_from(rows: DataFrame) -> DataFrame:
         ).alias("sitemap_url"),
         "host",
         "xml",
-    )
+    ).localCheckpoint(eager=False)  # feeds the output union AND the index refs
 
     news_rows = rows.filter((F.col("n") > _PAGE) & F.col("fresh")).withColumn(
         "entry", _url_entry(F.col("url"), F.date_add(F.col("lastmod"), 1), F.col("prio"))
@@ -170,7 +174,7 @@ def build_sitemaps_from(rows: DataFrame) -> DataFrame:
         ),
         "host",
         "xml",
-    )
+    ).localCheckpoint(eager=False)  # feeds the output union AND the index refs
 
     # index entry points: one <sitemap> ref per page + the news feed
     child_refs = paged.select(

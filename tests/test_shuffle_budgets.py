@@ -64,6 +64,16 @@ BUDGETS = {
     # shared by the orphan window and the rewrite agg; the
     # boilerplate set joins by broadcast
     "span_boilerplate_strip": 3,
+    # by-hash posting agg + map-side pair gen + pair counts + sizes;
+    # size tables join by broadcast
+    "mirror_hosts": 3,
+    # 6 doubling rounds live behind per-round localCheckpoints; the
+    # returned plan carries only the final round's join + order
+    "redirect_resolution": 2,
+    # build side pinned (rows/paged/news localCheckpoints — unpinned
+    # this plan was 30 exchanges / 15 scans); what remains: dedup-on-
+    # publish, single+index aggs, parse-side freshest-lastmod dedup
+    "sitemap_frontier": 7,
 }
 
 
@@ -84,6 +94,8 @@ SCAN_BUDGETS = {
     "ngram_jaccard_pairs": 0,
     "dsir_select": 0,  # exploded bucket table + per_doc both pinned
     "weighted_sample": 1,
+    "mirror_hosts": 0,  # posting table pinned
+    "sitemap_frontier": 0,  # build-side row table pinned
 }
 
 
