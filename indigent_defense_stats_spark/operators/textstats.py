@@ -494,37 +494,39 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs1 += [F.lit(row["tok"]), F.lit(float(row["blp"]))]
     m1 = F.create_map(*pairs1)
     oov = round(math.log(LM2_ALPHA * 0.5 / float(n_total)), 6)
-    lp = lambda w1, w2: F.coalesce(  # noqa: E731
-        m2[F.concat_ws(_SEP, w1, w2)], m1[w2], F.lit(oov)
+    # scoring: three projection boundaries so every HOF operates on a
+    # BOUND column (the _shingles cost model — an inline expression
+    # inside an interpreted lambda re-evaluates once per ELEMENT,
+    # turning the fold O(len^2) in split work; measured 16 s -> ~1 s
+    # at sf0.1 for this query).  The pair table (lookup key + backoff
+    # token) is materialized once per row, then folded/filtered.
+    ts = F.col("_ts")
+    pair_t = "array<struct<k:string,w2:string>>"
+    pairs_col = F.when(
+        F.size(ts) >= 2,
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.struct(F.concat_ws(_SEP, a, b).alias("k"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    base = docs.select("doc_id", t.alias("_ts"))
+    paired = base.select("doc_id", F.size("_ts").alias("_n"), pairs_col.alias("_p"))
+    p = F.col("_p")
+    score = F.aggregate(
+        p,
+        F.lit(0.0),
+        lambda acc, e: acc + F.coalesce(m2[e["k"]], m1[e["w2"]], F.lit(oov)),
     )
-    n_bg = F.greatest(F.size(t) - 1, F.lit(0))
-    # CASE guards sequence(1, size-1): with size=1 it would generate a
-    # DESCENDING [1, 0] and index 0 (ANSI error); branches are lazy
-    score = F.when(
-        F.size(t) >= 2,
-        F.aggregate(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            F.lit(0.0),
-            lambda acc, i: acc + lp(F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.lit(0.0))
-    hits = F.when(
-        F.size(t) >= 2,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: m2[
-                    F.concat_ws(_SEP, F.element_at(t, i), F.element_at(t, i + 1))
-                ].isNotNull(),
-            )
-        ),
-    ).otherwise(F.lit(0))
-    return docs.select(
+    hits = F.size(F.filter(p, lambda e: m2[e["k"]].isNotNull()))
+    scored = paired.select("doc_id", "_n", score.alias("_s"), hits.alias("n_hits"))
+    n_bg = F.greatest(F.col("_n") - 1, F.lit(0))
+    return scored.select(
         "doc_id",
         n_bg.alias("n_bigrams"),
-        hits.alias("n_hits"),
-        F.round(score, 6).alias("logprob"),
-        F.when(n_bg > 0, F.round(score / n_bg, 6)).alias("avg_logprob"),
+        "n_hits",
+        F.round(F.col("_s"), 6).alias("logprob"),
+        F.when(n_bg > 0, F.round(F.col("_s") / n_bg, 6)).alias("avg_logprob"),
     )
 
 
