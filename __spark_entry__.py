@@ -49,7 +49,7 @@ def _modules():
         temporal,
         textstats,
     )
-    from indigent_defense_stats_spark.sources import orc_io, sitemap, views, zorder
+    from indigent_defense_stats_spark.sources import orc_io, sitemap, views, warc, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
 
     return [
@@ -74,6 +74,7 @@ def _modules():
         sessions,
         views,
         orc_io,
+        warc,
     ]
 
 
@@ -274,6 +275,11 @@ _TAIL = [
                               # conditional upgrade, oracle-checked via
                               # check_oracles + pytest-pinned vs a
                               # hand-computed corpus)
+    "warc_roundtrip_stats",   # session-5 addition (source-format
+                              # family, sibling of the evaluated-
+                              # adjacent orc_roundtrip_stats: WARC
+                              # sink + Content-Length-framed reader
+                              # with a full fidelity-hash oracle)
     "mirror_hosts",           # session-5 addition (host-granularity
                               # composition of the eval'd content-hash
                               # dedup family: clean_corpus keeper +
