@@ -56,7 +56,7 @@ _CRLF = "\r\n"
 
 def to_warc_records(
     df: DataFrame, url_col: str = "url", date_col: str = "warc_date",
-    payload_col: str = "payload",
+    payload_col: str = "payload", content_type: str = "text/html",
 ) -> DataFrame:
     """(url, warc_date ISO-8601 string, payload) -> one ``record``
     string column per row, WARC/1.0 response framing."""
@@ -69,7 +69,7 @@ def to_warc_records(
             F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
             F.lit("WARC-Date: "), date, F.lit(_CRLF),
             F.lit("WARC-Record-ID: "), rec_id, F.lit(_CRLF),
-            F.lit("Content-Type: text/html" + _CRLF),
+            F.lit(f"Content-Type: {content_type}" + _CRLF),
             F.lit("Content-Length: "),
             F.octet_length(payload).cast("string"),
             F.lit(_CRLF + _CRLF),

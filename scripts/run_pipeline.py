@@ -55,6 +55,16 @@ def main() -> None:
         " bloom seen-filter (the second discovery channel)",
     )
     ap.add_argument(
+        "--warc-out",
+        default=None,
+        metavar="DIR",
+        help="archive the crawled documents as WARC (ISO 28500):"
+        " one response record per fetched case page, payload = the"
+        " engine's interleaved span document as JSON (a production"
+        " deployment archives raw bytes at fetch time; the span"
+        " table IS this engine's fetch record)",
+    )
+    ap.add_argument(
         "--corpus-prep",
         action="store_true",
         help="after analytics, lay the crawled docs out as a documents"
@@ -138,6 +148,46 @@ def main() -> None:
             f"[refresh g={g}] refetched={docs_g.count()} "
             f"versioned={ins_g.count()} (hash-skipped the rest)"
         )
+
+    # ---- WARC archive sink (optional) --------------------------------------
+    if args.warc_out:
+        from indigent_defense_stats_spark.sources import warc as warc_io
+
+        # one record per case page, latest fetch wins (refresh
+        # generations refetch); date from the engine's virtual clock
+        # (deterministic data, not now()) via the session UTC zone
+        case_log = (
+            eng.fetch_log()
+            .filter(
+                (F.col("status") == "fetched")
+                & F.col("canonical_url").contains("CaseDetail.aspx")
+            )
+            .groupBy(
+                F.regexp_extract("canonical_url", r"CaseID=(\w+)", 1).alias(
+                    "doc_id"
+                )
+            )
+            .agg(
+                F.max_by("canonical_url", "fetch_ts_ms").alias("url"),
+                F.max("fetch_ts_ms").alias("fetch_ts_ms"),
+            )
+        )
+        fetches = docs.join(case_log, "doc_id").select(
+            "url",
+            F.concat(
+                F.date_format(
+                    F.timestamp_millis("fetch_ts_ms"), "yyyy-MM-dd'T'HH:mm:ss"
+                ),
+                F.lit("Z"),
+            ).alias("warc_date"),
+            F.to_json(F.struct("doc_id", "county", "spans")).alias("payload"),
+        )
+        out = warc_io.write_warc(
+            warc_io.to_warc_records(fetches, content_type="application/json"),
+            args.warc_out,
+        )
+        n_back = warc_io.read_warc(spark, out).count()
+        print(f"[warc] records={n_back} archived at {out}")
 
     # ---- sitemap discovery channel (optional) ------------------------------
     if args.discover:
