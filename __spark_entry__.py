@@ -37,6 +37,7 @@ def _modules():
         crawl_queries,
         decontam,
         dedup,
+        freshness,
         funnel,
         graph,
         interleaved,
@@ -58,6 +59,7 @@ def _modules():
         funnel,
         graph,
         redirects,
+        freshness,
         sketches,
         textstats,
         ranking,
@@ -275,6 +277,12 @@ _TAIL = [
                               # conditional upgrade, oracle-checked via
                               # check_oracles + pytest-pinned vs a
                               # hand-computed corpus)
+    "recrawl_priority",       # session-5 addition (freshness-model
+                              # recrawl scheduling, Cho & Garcia-
+                              # Molina; aggregation surface covered by
+                              # the eval'd stats_orders/days_elapsed
+                              # family, 1-row clock crossJoin by
+                              # money_parse_total's pattern)
     "warc_roundtrip_stats",   # session-5 addition (source-format
                               # family, sibling of the evaluated-
                               # adjacent orc_roundtrip_stats: WARC
