@@ -1016,7 +1016,9 @@ class CrawlEngine:
         return stats
 
     # ------------------------------------------------------------------
-    def refresh(self, generation: int) -> DataFrame:
+    def refresh(
+        self, generation: int, case_filter: DataFrame | None = None
+    ) -> DataFrame:
         """Distributed analog of the reference's updater refresh flow
         (updater/__init__.py:69-129 re-runs known cases through scrape
         -> clean -> hash-skip/version upsert): re-fetch every KNOWN
@@ -1026,6 +1028,14 @@ class CrawlEngine:
         chain — publish's content-hash anti-join then skips unchanged
         pages and versions changed ones, exactly the updater's
         semantics, set-based.
+
+        ``case_filter`` (a DataFrame with a ``doc_id`` column, e.g.
+        the staleness-ranked seeds from
+        operators/freshness.recrawl_priority) restricts the refetch to
+        those cases — the rate-proportional refresh policy (Cho &
+        Garcia-Molina) instead of the reference's refetch-everything
+        default; applied as a broadcast semi-join on the seed scan, so
+        the politeness budget is spent only on the selected pages.
 
         What a refresh deliberately does NOT touch: frontier, seen,
         bloom — it discovers nothing (case pages expand to nothing;
@@ -1078,6 +1088,16 @@ class CrawlEngine:
                 F.lit(wave).alias("wave"),
             )
         )
+        if case_filter is not None:
+            wanted = case_filter.select(
+                F.col("doc_id").cast("string").alias("__want_id")
+            ).distinct()
+            seeds = seeds.join(
+                F.broadcast(wanted),
+                F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1)
+                == F.col("__want_id"),
+                "left_semi",
+            )
         fetched = self._fetch(seeds, wave, generation).cache()
         try:
             summary = (

@@ -151,3 +151,16 @@ def test_generation_spans_round_trip_and_drift_law():
             assert s1 == s0
             misses += 1
     assert hits and misses
+
+
+def test_refresh_with_case_filter_refetches_only_selected(refreshed, spark):
+    """The rate-proportional policy hand-off: refresh(case_filter=...)
+    must refetch EXACTLY the selected doc_ids (broadcast semi-join on
+    the seed scan), spending politeness budget on nothing else."""
+    eng, _, docs0_ids, _, _, _ = refreshed
+    wanted = sorted(docs0_ids)[: max(1, len(docs0_ids) // 3)]
+    filt = spark.createDataFrame([(d,) for d in wanted], "doc_id string")
+    docs2 = eng.refresh(generation=2, case_filter=filt)
+    got = [r["doc_id"] for r in docs2.select("doc_id").collect()]
+    assert set(got) == set(wanted)
+    assert len(got) == len(set(got))
