@@ -37,6 +37,7 @@ def _modules():
         crawl_queries,
         decontam,
         dedup,
+        dust,
         freshness,
         funnel,
         graph,
@@ -60,6 +61,7 @@ def _modules():
         graph,
         redirects,
         freshness,
+        dust,
         sketches,
         textstats,
         ranking,
@@ -294,6 +296,24 @@ _TAIL = [
                               # minhash_lsh_neardup cover the doc-level
                               # surface; the inverted-index host-pair
                               # join replays exactly in the oracle)
+    "dust_rules",             # session-7 addition (crawl-hygiene
+                              # family: URL-param irrelevance mining,
+                              # Bar-Yossef DUST; the grouped-distinct
+                              # aggregation surface is eval'd via
+                              # stats_orders/nation_customer_stats and
+                              # the broadcast-dim channel via
+                              # customers_without_big_orders; full
+                              # mining replay oracle-checked via
+                              # check_oracles + pytest brute force)
+    "dust_canonical_urls",    # session-7 addition (rule APPLICATION:
+                              # mined-rule param strip; composition of
+                              # dust_rules with the map-only
+                              # canonicalize family pinned by pytest)
+    "url_trap_hosts",         # session-7 addition (crawler-trap
+                              # detection by URL-template explosion
+                              # ratio; same groupBy-count surface as
+                              # the eval'd crawl analogs, oracle-
+                              # checked via check_oracles)
     "redirect_resolution",    # session-5 addition (iterative-graph
                               # family: click_reachability +
                               # neardup_components eval'd cover the

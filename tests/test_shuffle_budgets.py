@@ -74,6 +74,14 @@ BUDGETS = {
     # this plan was 30 exchanges / 15 scans); what remains: dedup-on-
     # publish, single+index aggs, parse-side freshest-lastmod dedup
     "sitemap_frontier": 7,
+    # catalog distinct + pkey dim distinct + group agg + rule rollup;
+    # the absent-state channel joins the pkey dim by BROADCAST
+    "dust_rules": 4,
+    # mining (4) + the tiny irrelevant-keys collect_set dim (1); the
+    # rewrite itself is a broadcast-join map (pinned by test_dust)
+    "dust_canonical_urls": 5,
+    # catalog distinct + the template countDistinct's two-phase agg
+    "url_trap_hosts": 3,
 }
 
 
@@ -96,6 +104,8 @@ SCAN_BUDGETS = {
     "weighted_sample": 1,
     "mirror_hosts": 0,  # posting table pinned
     "sitemap_frontier": 0,  # build-side row table pinned
+    "dust_rules": 0,  # parsed catalog pinned (2 consumers)
+    "dust_canonical_urls": 0,  # catalog pinned (mining + rewrite)
 }
 
 
