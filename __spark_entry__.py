@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from indigent_defense_stats_spark.operators import (
+        cdc,
         corpusprep,
         crawl_queries,
         decontam,
@@ -62,6 +63,7 @@ def _modules():
         redirects,
         freshness,
         dust,
+        cdc,
         sketches,
         textstats,
         ranking,
@@ -309,6 +311,13 @@ _TAIL = [
                               # mined-rule param strip; composition of
                               # dust_rules with the map-only
                               # canonicalize family pinned by pytest)
+    "cdc_chunk_stats",        # session-7 addition (content-defined
+                              # chunking: shift-robust duplicate-text
+                              # accounting; the chunk-keyed df join
+                              # surface is eval'd via line_dedup /
+                              # clean_corpus and the full gear-hash
+                              # kernel replays in the DuckDB oracle +
+                              # brute-force pytest)
     "url_trap_hosts",         # session-7 addition (crawler-trap
                               # detection by URL-template explosion
                               # ratio; same groupBy-count surface as

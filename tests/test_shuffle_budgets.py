@@ -82,6 +82,9 @@ BUDGETS = {
     "dust_canonical_urls": 5,
     # catalog distinct + the template countDistinct's two-phase agg
     "url_trap_hosts": 3,
+    # chunking is map-only; chunk-df two-phase countDistinct + the
+    # hash join back + final doc agg share the h/doc_id exchanges
+    "cdc_chunk_stats": 3,
 }
 
 
@@ -106,6 +109,7 @@ SCAN_BUDGETS = {
     "sitemap_frontier": 0,  # build-side row table pinned
     "dust_rules": 0,  # parsed catalog pinned (2 consumers)
     "dust_canonical_urls": 0,  # catalog pinned (mining + rewrite)
+    "cdc_chunk_stats": 0,  # chunk-hash table pinned (df + join)
 }
 
 
