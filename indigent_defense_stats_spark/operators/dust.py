@@ -259,6 +259,41 @@ def mine_dust_rules(catalog: DataFrame) -> DataFrame:
     return rules
 
 
+def irrelevant_keys_dim(rules: DataFrame) -> DataFrame:
+    """Mined rules -> broadcastable ``(host, irr_keys array)`` dim."""
+    return (
+        rules.filter(F.col("irrelevant"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("irr_keys"))
+    )
+
+
+def strip_params_col(url: Column, irr_keys: Column) -> Column:
+    """Rewrite ``url`` dropping params whose key is in ``irr_keys``
+    (NULL-safe: no rules on the host -> url unchanged up to param
+    sort).  Pure expression — composes into any map stage."""
+    keys = F.coalesce(irr_keys, F.array().cast("array<string>"))
+    kept = F.array_sort(
+        F.filter(_params(url), lambda p: ~F.array_contains(keys, _pkey(p)))
+    )
+    base = F.regexp_extract(url, "^([^?]*)", 1)
+    return F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+
+
+def template_col(url: Column) -> Column:
+    """URL -> trap template: digit runs in the path -> ``N``, param
+    VALUES dropped (sorted distinct keys)."""
+    tmpl_path = F.regexp_replace(_path(url), "[0-9]+", "N")
+    keyset = F.array_join(
+        F.array_sort(F.array_distinct(F.transform(_params(url), _pkey))), "&"
+    )
+    return F.when(
+        F.size(_params(url)) > 0, F.concat(tmpl_path, F.lit("?"), keyset)
+    ).otherwise(tmpl_path)
+
+
 def apply_dust_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
     """Strip every mined-irrelevant param: ``url -> canonical_url``.
 
@@ -268,46 +303,26 @@ def apply_dust_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
     composes into the frontier's canonicalization stage
     (plans/frontier.py seen-filter keys) for free.
     """
-    dim = (
-        rules.filter(F.col("irrelevant"))
-        .groupBy("host")
-        .agg(F.collect_set("param").alias("irr_keys"))
-    )
+    dim = irrelevant_keys_dim(rules)
     u = F.col("url")
-    parsed = urls.select(
-        "url", _host(u).alias("host"), _params(u).alias("params")
+    joined = urls.select("url", _host(u).alias("host")).join(
+        F.broadcast(dim), "host", "left"
     )
-    joined = parsed.join(F.broadcast(dim), "host", "left")
-    keys = F.coalesce(F.col("irr_keys"), F.array().cast("array<string>"))
-    kept = F.array_sort(
-        F.filter(
-            F.col("params"),
-            lambda p: ~F.array_contains(keys, _pkey(p)),
-        )
+    return joined.select(
+        "url", strip_params_col(u, F.col("irr_keys")).alias("canonical_url")
     )
-    base = F.regexp_extract(u, "^([^?]*)", 1)
-    canon = F.when(
-        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
-    ).otherwise(base)
-    return joined.select("url", canon.alias("canonical_url"))
 
 
 def find_url_traps(catalog: DataFrame) -> DataFrame:
     """Per-(host, template) explosion stats; ``trap`` when distinct
     URLs >= TRAP_MIN_URLS and outrun distinct content TRAP_RATIO x."""
-    parsed = _parsed(catalog)
-    tmpl_path = F.regexp_replace(F.col("path"), "[0-9]+", "N")
-    keyset = F.array_join(
-        F.array_sort(
-            F.array_distinct(F.transform(F.col("params"), lambda p: _pkey(p)))
-        ),
-        "&",
-    )
-    template = F.when(
-        F.size(F.col("params")) > 0, F.concat(tmpl_path, F.lit("?"), keyset)
-    ).otherwise(tmpl_path)
+    u = F.col("url")
     agg = (
-        parsed.select("host", template.alias("path_template"), "content_hash")
+        catalog.select(
+            _host(u).alias("host"),
+            template_col(u).alias("path_template"),
+            "content_hash",
+        )
         .groupBy("host", "path_template")
         .agg(
             F.count("*").cast("long").alias("n_urls"),

@@ -127,7 +127,12 @@ METRICS_SCHEMA = StructType(
 _PRIO_COLS = ["prio", "date_ord", "jo_ord", "link_ord", "canonical_url"]
 
 
-def _fetch_host_group(politeness_ms: int, max_retries: int, generation: int = 0):
+def _fetch_host_group(
+    politeness_ms: int,
+    max_retries: int,
+    generation: int = 0,
+    fetch_col: str = "canonical_url",
+):
     """Per-host sequential fetch with token-bucket spacing.
 
     The row loop below is the network I/O boundary (each row is one
@@ -148,7 +153,10 @@ def _fetch_host_group(politeness_ms: int, max_retries: int, generation: int = 0)
         if "interval_ms" in pdf.columns and pd.notna(pdf["interval_ms"].iloc[0]):
             interval = int(pdf["interval_ms"].iloc[0])
         attempts, ts, payloads, spans_out, statuses = [], [], [], [], []
-        for url in pdf["canonical_url"]:
+        # under DUST alias collapse the dedup key (canonical_url) is a
+        # stripped form the origin server may not serve; the fetch then
+        # targets the representative's pre-strip URL (fetch_col='url')
+        for url in pdf[fetch_col]:
             page = {"status": 503}
             n = 0
             for attempt in range(max_retries):
@@ -260,6 +268,8 @@ class CrawlEngine:
         robots_rules: dict[str, list[str]] | None = None,
         crawl_delay_ms: dict[str, int] | None = None,
         seen_filter: str = "bloom",  # 'bloom' | 'cuckoo' (north rule)
+        dust_rules: "DataFrame | None" = None,
+        trap_blocklist: "DataFrame | None" = None,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -321,6 +331,29 @@ class CrawlEngine:
         # POLITENESS_MS.  A tiny O(#hosts) dimension broadcast onto the
         # wave batch; the default map is empty so every existing crawl
         # (and the ordering/URL-seen parity suite) is byte-identical.
+        # crawl-hygiene hooks (operators/dust.py), both optional and
+        # OFF by default so every existing crawl — and the reference-
+        # ordering/URL-seen parity suite — is byte-identical:
+        # - dust_rules: mine_dust_rules output; mined-irrelevant
+        #   params are stripped from candidate canonical URLs, so the
+        #   seen filter collapses aliases and the engine fetches ONE
+        #   representative (the first-discovered candidate) per class
+        # - trap_blocklist: find_url_traps output; candidates whose
+        #   (host, template) is a flagged trap never enter the
+        #   frontier (calendar/pagination explosion defense)
+        # Both are tiny per-host dims applied broadcast + map-side.
+        self._dust_dim = None
+        if dust_rules is not None:
+            from ..operators.dust import irrelevant_keys_dim
+
+            self._dust_dim = irrelevant_keys_dim(dust_rules)
+        self._trap_dim = None
+        if trap_blocklist is not None:
+            self._trap_dim = (
+                trap_blocklist.filter(F.col("trap"))
+                .select("host", "path_template")
+                .distinct()
+            )
         self.crawl_delay_ms = {
             h: int(v) for h, v in (crawl_delay_ms or {}).items()
         }
@@ -639,7 +672,15 @@ class CrawlEngine:
         # the balance gain.  Revisit on a real cluster where tasks are
         # cheaper relative to fetch CPU.)
         fetched = batch.groupBy("host").applyInPandas(
-            _fetch_host_group(self.politeness_ms, self.max_retries, generation),
+            _fetch_host_group(
+                self.politeness_ms,
+                self.max_retries,
+                generation,
+                # see _apply_hygiene: with dust collapse on, 'url'
+                # always holds the representative's pre-strip
+                # canonical, which is what the origin can serve
+                fetch_col="url" if self._dust_dim is not None else "canonical_url",
+            ),
             schema=FETCH_OUT,
         )
         return fetched.withColumn("wave", F.lit(wave)).withColumn(
@@ -757,9 +798,46 @@ class CrawlEngine:
         )
 
         cand = main.unionByName(search).unionByName(results)
-        return cand.withColumn("canonical_url", canonicalize_col(F.col("url"))).withColumn(
-            "status", F.lit("pending")
-        ).withColumn("wave", F.lit(wave + 1))
+        cand = cand.withColumn("canonical_url", canonicalize_col(F.col("url")))
+        cand = self._apply_hygiene(cand)
+        return cand.withColumn("status", F.lit("pending")).withColumn(
+            "wave", F.lit(wave + 1)
+        )
+
+    def _apply_hygiene(self, cand: DataFrame) -> DataFrame:
+        """Optional DUST alias collapse + trap-template blocklist on
+        expanded candidates (never on seeds); see __init__.  Both are
+        broadcast joins over per-host dims — map-side, no shuffle."""
+        if self._dust_dim is not None:
+            from ..operators.dust import strip_params_col
+
+            # fetch target := the pre-strip canonical (served by the
+            # origin; tracking params/fragments already removed);
+            # dedup key := the dust-stripped canonical
+            cand = (
+                cand.join(F.broadcast(self._dust_dim), "host", "left")
+                .withColumn("url", F.col("canonical_url"))
+                .withColumn(
+                    "canonical_url",
+                    strip_params_col(F.col("canonical_url"), F.col("irr_keys")),
+                )
+                .drop("irr_keys")
+            )
+        if self._trap_dim is not None:
+            from ..operators.dust import template_col
+
+            cand = (
+                cand.withColumn(
+                    "path_template", template_col(F.col("canonical_url"))
+                )
+                .join(
+                    F.broadcast(self._trap_dim),
+                    ["host", "path_template"],
+                    "left_anti",
+                )
+                .drop("path_template")
+            )
+        return cand
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         """Deny-prefix filter on the URL path (C3), per host."""
