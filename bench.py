@@ -74,6 +74,9 @@ OPTIONAL = [
     "variant_props_rollup",
     # CCNet head/middle/tail quality bucketing (ntile over LM scores)
     "ccnet_buckets",
+    # session-7 crawl hygiene + shift-robust chunk dedup
+    "dust_canonical_urls",
+    "cdc_chunk_stats",
 ]
 
 
