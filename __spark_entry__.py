@@ -311,6 +311,20 @@ _TAIL = [
                               # mined-rule param strip; composition of
                               # dust_rules with the map-only
                               # canonicalize family pinned by pytest)
+    "cluster_canonical_docs", # session-7 addition (best-of-cluster
+                              # keeper policy: LSH component labels --
+                              # eval'd via neardup_components -- joined
+                              # to the green quality_score + one
+                              # per-component argmax window; full
+                              # closure+quality replay oracle)
+    "crawl_budget_waterfill", # session-7 addition (max-min fair
+                              # water-filling wave-budget split across
+                              # hosts, closed-form rank windows over
+                              # the O(#hosts) demand dim; the window +
+                              # 1-row-broadcast surface is eval'd via
+                              # event_sequence/money_parse_total and
+                              # the full allocation replays in the
+                              # DuckDB oracle + brute-force pytest)
     "cdc_chunk_stats",        # session-7 addition (content-defined
                               # chunking: shift-robust duplicate-text
                               # accounting; the chunk-keyed df join

@@ -31,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from .textstats import _SQL_TOKENS as _TX_SQL_TOKENS
 from .textstats import md5_int
 
 JACCARD_THRESHOLD = 0.8
@@ -499,6 +500,44 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-cluster keeper policy: within every near-dup component
+    keep the HIGHEST-QUALITY member (tie -> lowest doc_id), not the
+    lowest-id one.  ``neardup_components``' ``is_keeper`` keys on the
+    min label because that is stable and order-free; a curation
+    pipeline instead wants the best page of each mirror/boilerplate
+    cluster (SlimPajama/RefinedWeb keep-best-duplicate policy).
+    Composition: the LSH-edge component labels (the bucketed 100 TB
+    path) joined to textstats' quality score + ONE per-component
+    row_number window — the keep decision adds a single
+    component-keyed shuffle on top of the clustering it reuses.
+
+    Reference analog: updater/__init__.py:92-105 keeps the newest
+    version of a re-scraped case; generalized here to keep the best
+    member of a content cluster."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    comp = neardup_components(spark, sf_dir, edge_source="lsh").select(
+        "doc_id", "component_id"
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "quality",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _large_star(und: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): symmetrize, then connect every
@@ -824,6 +863,7 @@ QUERIES = {
     "neardup_components_star": neardup_components_star,
     "incremental_dedup": incremental_dedup,
     "leakage_safe_split": leakage_safe_split,
+    "cluster_canonical_docs": cluster_canonical_docs,
 }
 
 def _sql_sh_from(src: str) -> str:
@@ -1113,6 +1153,43 @@ ORACLE_SQL = {
                         ::BIGINT % {SPLIT_DEN} = 0
                     THEN 'val' ELSE 'train' END AS split
         FROM comp
+    """,
+    # Same LSH closure, best-quality member kept per component; the
+    # quality expression is textstats' quality_score verbatim (its own
+    # oracle is green), so equality certifies the keep policy.
+    "cluster_canonical_docs": f"""
+        WITH RECURSIVE {_SQL_LSH_PAIR_CTES},
+        edges AS (
+            SELECT d1, d2 FROM pairs
+            WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        ),
+        sym AS (
+            SELECT d1, d2 FROM edges
+            UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, s.d2 FROM reach r JOIN sym s ON r.dst = s.d1
+        ),
+        comp AS (
+            SELECT src AS doc_id, min(dst) AS component_id
+            FROM reach GROUP BY src
+        ),
+        q AS (
+            SELECT doc_id,
+                   round(least(len({_TX_SQL_TOKENS}) / 100.0, 1.0)
+                         * (len(list_distinct({_TX_SQL_TOKENS})) * 1.0
+                            / len({_TX_SQL_TOKENS})), 6) AS quality
+            FROM documents
+        )
+        SELECT c.doc_id, c.component_id, q.quality,
+               (row_number() OVER (
+                    PARTITION BY c.component_id
+                    ORDER BY q.quality DESC, c.doc_id
+                ) = 1) AS keep
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+        ORDER BY c.doc_id
     """,
     "simhash_buckets": f"""
         WITH toks AS (

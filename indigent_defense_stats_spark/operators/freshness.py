@@ -37,7 +37,7 @@ zone (tests/test_tz_independence.py discipline).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from indigent_defense_stats_spark.functions.epochs import epoch_floor_s
 
@@ -69,6 +69,143 @@ def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("page")).limit(TOP_N)
 
 
+_HOST_MOD = 20
+_HOST_CAP = 12  # heavy-tail host (the big-county skew analog)
+
+
+def waterfill(demand: DataFrame, budget: int) -> DataFrame:
+    """Max-min fair (water-filling) split of an integer fetch budget
+    across hosts: ``(host, demand)`` -> ``(host, demand, allocation,
+    capped)``.
+
+    A crawl wave has a global fetch budget (politeness x wave wall
+    clock); per-host demand is the pending frontier per host.  Giving
+    every host its demand overruns the budget; proportional split
+    starves small hosts.  Max-min fairness satisfies every demand
+    below the water level L and caps the rest AT L — the classic
+    link-bandwidth allocation (Bertsekas & Gallager, Data Networks
+    §6.5.2) applied to crawl scheduling.
+
+    Closed-form, not iterative: sort hosts by (demand, host); at rank
+    i (1-based, n hosts, prefix = demand sum before i) the equal
+    share for the rest is ``floor((B - prefix_i) / (n - i + 1))``;
+    the FIRST rank whose share is below its own demand is the binding
+    rank i*, L = its share, and the integer remainder ``r = (B -
+    prefix_{i*}) - L * (n - i* + 1)`` goes +1 to the first r capped
+    ranks.  Ranks before i* get full demand.  No binding rank =>
+    budget covers total demand.  Every quantity is exact integer
+    arithmetic; sum(allocation) == min(B, sum(demand)).
+
+    Scale shape: the demand table is a per-host aggregate — an
+    O(#active hosts) dim, thousands of rows per wave at 10^10-URL
+    scale — so the single-partition rank window is bounded and cheap
+    (the same reasoning as the engine's per-host clock dim); the
+    1-row binding-rank aggregate broadcasts back.  The upstream
+    demand aggregate is the only data-sized shuffle.
+    """
+    n_w = Window.partitionBy(F.lit(1))
+    rank_w = Window.partitionBy(F.lit(1)).orderBy("demand", "host")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = demand.select(
+        "host",
+        "demand",
+        F.row_number().over(rank_w).alias("i"),
+        F.coalesce(F.sum("demand").over(cum_w), F.lit(0)).alias("prefix"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).localCheckpoint(eager=False)
+    left = F.lit(budget) - F.col("prefix")
+    share = F.floor(
+        F.greatest(left, F.lit(0)) / (F.col("n") - F.col("i") + 1)
+    ).cast("long")
+    shared = ranked.withColumn("share", share)
+    binding = shared.filter(F.col("share") < F.col("demand")).agg(
+        F.min("i").alias("i_star"),
+        F.min_by("share", "i").alias("level"),
+        (
+            F.min_by(left, "i")
+            - F.min_by("share", "i") * F.min_by(F.col("n") - F.col("i") + 1, "i")
+        ).alias("rem"),
+    )
+    out = shared.crossJoin(F.broadcast(binding)).select(
+        "host",
+        "demand",
+        F.when(
+            F.col("i_star").isNull() | (F.col("i") < F.col("i_star")),
+            F.col("demand"),
+        )
+        .otherwise(
+            F.col("level")
+            + F.when(F.col("i") - F.col("i_star") < F.col("rem"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+    )
+    return out.withColumn(
+        "capped", F.col("allocation") < F.col("demand")
+    )
+
+
+def crawl_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: demand = docs per synthetic host (redirects.py's
+    host scheme, so host12 carries the heavy tail), budget = 60% of
+    total demand — the binding regime."""
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("host"),
+            F.least(d % _HOST_MOD, F.lit(_HOST_CAP)).cast("string"),
+            F.lit(".example"),
+        ).alias("host")
+    )
+    demand = docs.groupBy("host").agg(F.count(F.lit(1)).alias("demand"))
+    total = demand.agg(F.sum("demand").cast("long").alias("t")).collect()[0]["t"]
+    budget = total * 6 // 10
+    return waterfill(demand, budget).orderBy("host")
+
+
+_WATERFILL_ORACLE = f"""
+    WITH demand AS (
+        SELECT 'host' || LEAST(doc_id % {_HOST_MOD}, {_HOST_CAP})
+                      || '.example'          AS host,
+               CAST(count(*) AS BIGINT)      AS demand
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(demand) AS BIGINT) * 6 // 10 AS b FROM demand
+    ), ranked AS (
+        SELECT host, demand,
+               row_number() OVER w                            AS i,
+               CAST(coalesce(sum(demand) OVER (
+                   ORDER BY demand, host
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT)                               AS prefix,
+               CAST(count(*) OVER () AS BIGINT)               AS n
+        FROM demand
+        WINDOW w AS (ORDER BY demand, host)
+    ), shared AS (
+        SELECT r.*, t.b,
+               GREATEST(b - prefix, 0) // (n - i + 1) AS share
+        FROM ranked r, tot t
+    ), binding AS (
+        SELECT min(i)                                  AS i_star,
+               arg_min(share, i)                       AS level,
+               arg_min(b - prefix, i)
+                 - arg_min(share, i) * arg_min(n - i + 1, i) AS rem
+        FROM shared WHERE share < demand
+    )
+    SELECT host, demand,
+           CAST(CASE WHEN i_star IS NULL OR i < i_star THEN demand
+                     ELSE level + CASE WHEN i - i_star < rem
+                                       THEN 1 ELSE 0 END
+                END AS BIGINT)                         AS allocation,
+           CAST(CASE WHEN i_star IS NULL OR i < i_star THEN demand
+                     ELSE level + CASE WHEN i - i_star < rem
+                                       THEN 1 ELSE 0 END
+                END AS BIGINT) < demand                AS capped
+    FROM shared LEFT JOIN binding ON TRUE
+    ORDER BY host
+"""
+
+
 _ORACLE = f"""
     WITH ev AS (
         SELECT user_id AS page,
@@ -96,8 +233,10 @@ _ORACLE = f"""
 
 QUERIES = {
     "recrawl_priority": recrawl_priority,
+    "crawl_budget_waterfill": crawl_budget_waterfill,
 }
 
 ORACLE_SQL = {
     "recrawl_priority": _ORACLE,
+    "crawl_budget_waterfill": _WATERFILL_ORACLE,
 }

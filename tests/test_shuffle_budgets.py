@@ -85,6 +85,12 @@ BUDGETS = {
     # chunking is map-only; chunk-df two-phase countDistinct + the
     # hash join back + final doc agg share the h/doc_id exchanges
     "cdc_chunk_stats": 3,
+    # O(#hosts) dim windows behind a localCheckpoint pin: the
+    # returned plan has ONLY the single-partition rank exchange
+    "crawl_budget_waterfill": 0,
+    # component labels arrive checkpointed from the propagation loop;
+    # what remains is the quality join + one component window
+    "cluster_canonical_docs": 1,
 }
 
 
