@@ -179,13 +179,17 @@ def _parsed(urls: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- operators
 
-def mine_dust_rules(catalog: DataFrame) -> DataFrame:
+def mine_dust_rules(
+    catalog: DataFrame, min_support: int = MIN_SUPPORT
+) -> DataFrame:
     """``(url, content_hash)`` -> per-(host, param) irrelevance rules.
 
     Generic over any URL shape: group key = (host, path, every OTHER
     param sorted), candidate state = the param's full ``k=v`` token
     value (or the absent marker).  One row per observed (host, param
-    key).
+    key).  ``min_support`` = evidence groups required before a
+    violation-free param is declared irrelevant (small crawl windows
+    warrant a lower bar than a production log).
     """
     parsed = _parsed(catalog).localCheckpoint(eager=False)
     withp = (
@@ -251,12 +255,36 @@ def mine_dust_rules(catalog: DataFrame) -> DataFrame:
             "evidence_groups",
             "violation_groups",
             (
-                (F.col("evidence_groups") >= MIN_SUPPORT)
+                (F.col("evidence_groups") >= min_support)
                 & (F.col("violation_groups") == 0)
             ).alias("irrelevant"),
         )
     )
     return rules
+
+
+def rules_from_crawl(
+    fetch_log: DataFrame,
+    documents: DataFrame,
+    min_support: int = MIN_SUPPORT,
+) -> DataFrame:
+    """Mine rules from a crawl engine's OWN output: depth-4 fetch-log
+    URLs joined to the per-case span documents (content identity =
+    md5 of the canonical span JSON).  This closes the loop the module
+    docstring describes — crawl with aliases, mine, hand the rules to
+    the next ``CrawlEngine(dust_rules=...)`` — with no side channel:
+    everything the miner sees, the crawler observed itself."""
+    urls = fetch_log.filter(
+        (F.col("depth") == 4) & (F.col("status") == "fetched")
+    ).select(
+        F.col("canonical_url").alias("url"),
+        F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias("doc_id"),
+    )
+    content = documents.select(
+        "doc_id", F.md5(F.to_json("spans")).alias("content_hash")
+    )
+    catalog = urls.join(content, "doc_id").select("url", "content_hash")
+    return mine_dust_rules(catalog, min_support=min_support)
 
 
 def irrelevant_keys_dim(rules: DataFrame) -> DataFrame:

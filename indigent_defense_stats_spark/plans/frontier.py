@@ -132,6 +132,7 @@ def _fetch_host_group(
     max_retries: int,
     generation: int = 0,
     fetch_col: str = "canonical_url",
+    alias_noise: bool = False,
 ):
     """Per-host sequential fetch with token-bucket spacing.
 
@@ -161,7 +162,7 @@ def _fetch_host_group(
             n = 0
             for attempt in range(max_retries):
                 clock += interval * (attempt + 1)  # backoff incl. first
-                page = synth.fetch(url, attempt, generation)
+                page = synth.fetch(url, attempt, generation, alias_noise)
                 n = attempt + 1
                 if page.get("status") != 503:
                     break
@@ -270,6 +271,7 @@ class CrawlEngine:
         seen_filter: str = "bloom",  # 'bloom' | 'cuckoo' (north rule)
         dust_rules: "DataFrame | None" = None,
         trap_blocklist: "DataFrame | None" = None,
+        alias_noise: bool = False,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -342,6 +344,10 @@ class CrawlEngine:
         #   (host, template) is a flagged trap never enter the
         #   frontier (calendar/pagination explosion defense)
         # Both are tiny per-host dims applied broadcast + map-side.
+        # synthetic-world knob: decorate case links with ignorable
+        # session params (the DUST pathology the hooks above cure);
+        # default off = the parity world, bit-identical
+        self.alias_noise = alias_noise
         self._dust_dim = None
         if dust_rules is not None:
             from ..operators.dust import irrelevant_keys_dim
@@ -680,6 +686,7 @@ class CrawlEngine:
                 # always holds the representative's pre-strip
                 # canonical, which is what the origin can serve
                 fetch_col="url" if self._dust_dim is not None else "canonical_url",
+                alias_noise=self.alias_noise,
             ),
             schema=FETCH_OUT,
         )

@@ -224,16 +224,27 @@ def cases_for(i: int, day_ord: int, jo_ord: int) -> list[str]:
     return picks
 
 
-def case_links(i: int, day_ord: int, jo_ord: int) -> list[str]:
+def case_links(
+    i: int, day_ord: int, jo_ord: int, alias_noise: bool = False
+) -> list[str]:
     """Relative case-detail hrefs in DOM order, with deterministic
     tracking-param / fragment noise so URL canonicalization is
-    load-bearing (reference hrefs: scraper/hays.py:10-13)."""
+    load-bearing (reference hrefs: scraper/hays.py:10-13).
+
+    ``alias_noise`` (opt-in; a SEPARATE rng stream so the default
+    world is bit-identical) additionally decorates ~half the links
+    with a session-style ``sid`` param the portal ignores — the DUST
+    pathology: the same case reachable under several canonical URLs,
+    wasting a fetch per alias until rules are mined
+    (operators/dust.py) and handed back to the engine."""
     links = []
     for k, cid in enumerate(cases_for(i, day_ord, jo_ord)):
         r = _rng("link", i, day_ord, jo_ord, k)
         href = f"CaseDetail.aspx?CaseID={cid}"
         if r.random() < 0.4:
             href += "&ref=results"
+        if alias_noise and _rng("alias", i, day_ord, jo_ord, k).random() < 0.5:
+            href += f"&sid=s{(day_ord + jo_ord + k) % 13}"
         if r.random() < 0.3:
             href += f"#row{k}"
         links.append(href)
@@ -653,7 +664,12 @@ def make_charge_dim() -> list[dict]:
 # fetch — the synthetic portal's single entry point
 # ---------------------------------------------------------------------------
 
-def fetch(url: str, attempt: int = 0, generation: int = 0) -> dict:
+def fetch(
+    url: str,
+    attempt: int = 0,
+    generation: int = 0,
+    alias_noise: bool = False,
+) -> dict:
     """Deterministic synthetic fetch.  Stands in for the HTTP layer
     (scraper/helpers.py:80-126); both the Spark fetch UDF and the
     sequential oracle call this same function, so content equality is
@@ -700,7 +716,7 @@ def fetch(url: str, attempt: int = 0, generation: int = 0) -> dict:
         return {
             "kind": "results",
             "status": 200,
-            "case_links": case_links(i, day_ord, jo_ord),
+            "case_links": case_links(i, day_ord, jo_ord, alias_noise),
         }
     if path.startswith("/CaseDetail.aspx?"):
         q = dict(
