@@ -65,6 +65,15 @@ def main() -> None:
         " table IS this engine's fetch record)",
     )
     ap.add_argument(
+        "--hygiene",
+        action="store_true",
+        help="crawl an alias-decorated portal (session params the"
+        " origin ignores), mine DUST irrelevance rules from the"
+        " crawl's own fetch log + documents, then re-crawl with the"
+        " rules and report the alias-collapse fetch savings; the"
+        " cured crawl feeds the rest of the pipeline",
+    )
+    ap.add_argument(
         "--corpus-prep",
         action="store_true",
         help="after analytics, lay the crawled docs out as a documents"
@@ -90,6 +99,7 @@ def main() -> None:
         date.fromisoformat(args.start),
         args.days,
         priority=args.priority,
+        alias_noise=args.hygiene,
     )
     stats = eng.run()
     docs = eng.documents()
@@ -98,6 +108,37 @@ def main() -> None:
           f"fetched={sum(s.fetched for s in stats)} "
           f"failed={sum(s.failed for s in stats)} "
           f"({time.time()-t0:.1f}s)")
+
+    # ---- crawl hygiene (DUST mine + cure, optional) -----------------------
+    if args.hygiene:
+        from indigent_defense_stats_spark.operators import dust
+
+        rules = dust.rules_from_crawl(
+            eng.fetch_log(), docs, min_support=3
+        ).cache()
+        mined = [
+            (r["host"], r["param"])
+            for r in rules.filter("irrelevant").collect()
+        ]
+        print(f"[hygiene] mined rules: {sorted(mined)}")
+        cured = CrawlEngine(
+            spark,
+            os.path.join(args.base_dir, "crawl_cured"),
+            synth.make_registry(args.counties, n_scrape=args.counties),
+            date.fromisoformat(args.start),
+            args.days,
+            priority=args.priority,
+            alias_noise=True,
+            dust_rules=rules,
+        )
+        cured.run()
+        before = eng.fetch_log().count()
+        after = cured.fetch_log().count()
+        print(
+            f"[hygiene] fetches {before} -> {after} "
+            f"({before - after} aliases collapsed)"
+        )
+        eng, docs = cured, cured.documents()
 
     # ---- parse (P7-P13, A1-A2, O1-O2, F8) --------------------------------
     # quality counters ride the SAME action via Observation (side-
