@@ -47,6 +47,7 @@ def _modules():
         ranking,
         redirects,
         relational,
+        robotsmatch,
         sketches,
         similarity,
         temporal,
@@ -64,6 +65,7 @@ def _modules():
         freshness,
         dust,
         cdc,
+        robotsmatch,
         sketches,
         textstats,
         ranking,
@@ -311,6 +313,13 @@ _TAIL = [
                               # mined-rule param strip; composition of
                               # dust_rules with the map-only
                               # canonicalize family pinned by pytest)
+    "robots_path_matching",   # session-7 addition (full RFC 9309
+                              # Allow/Disallow wildcard matching with
+                              # longest-match precedence as a broadcast
+                              # map — the engine's robots_texts= filter
+                              # surface; rule compilation pinned by
+                              # tests/test_robots_parse.py, match
+                              # arithmetic oracle-checked)
     "cluster_canonical_docs", # session-7 addition (best-of-cluster
                               # keeper policy: LSH component labels --
                               # eval'd via neardup_components -- joined

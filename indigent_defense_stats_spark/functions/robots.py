@@ -16,15 +16,16 @@ Parsing model (RFC 9309 §2.2):
   case-insensitive prefix of the product token win; ``*`` matches when
   no specific group does.  Multiple groups for the same agent merge;
 - ``Disallow:`` with an empty value allows everything (no rule);
-  values are path prefixes (the engine's filter semantics —
-  ``$``/``*`` wildcards are Google extensions deliberately NOT
-  implemented: a prefix filter never over-blocks a compliant crawl,
-  the conservative failure mode);
+- TWO rule views are produced: ``deny`` (prefix-only Disallow list —
+  the conservative legacy consumer, never over-blocks) and ``rules``
+  (the FULL RFC 9309 §2.2.2-3 model: Allow + Disallow with ``*`` /
+  trailing-``$`` wildcards compiled to portable regexes, precedence =
+  pattern octet length, Allow beats Disallow on ties — evaluate with
+  :func:`robots_allowed` / :func:`robots_allowed_col`);
 - ``Crawl-delay: <seconds>`` (may be fractional) applies per group;
   milliseconds, rounded half-up to an int, capped at one hour;
-- comments (``#`` to end of line), blank lines, unknown directives
-  and ``Allow:`` lines are tolerated and skipped (Allow would only
-  ever RELAX the deny set; skipping it is again conservative);
+- comments (``#`` to end of line), blank lines and unknown
+  directives are tolerated and skipped;
 - an unparseable or empty file yields allow-all, no delay (RFC 9309
   §2.3.1.2-4: unreachable robots means unrestricted).
 
@@ -35,7 +36,36 @@ for a crawl that stores millions of robots files as a table.
 
 from __future__ import annotations
 
+import re as _re
+
 MAX_DELAY_MS = 3_600_000  # cap: one hour between requests
+
+
+def pattern_to_regex(pat: str) -> str:
+    """RFC 9309 §2.2.3 path pattern -> anchored regex.
+
+    ``*`` matches any run of characters; a TRAILING ``$`` anchors the
+    end of the path; every other character (including a non-trailing
+    ``$``) is literal.  The output uses only escaped literals, ``.*``
+    and anchors, so it evaluates identically under Java regex (Spark)
+    and RE2 (DuckDB oracle)."""
+    anchored = pat.endswith("$")
+    body = pat[:-1] if anchored else pat
+    rx = "^" + ".*".join(_re.escape(part) for part in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def robots_allowed(path: str, rules: list[dict]) -> bool:
+    """RFC 9309 §2.2.2 rule evaluation: the matching rule with the
+    longest pattern (octets) wins; at equal length Allow beats
+    Disallow; no matching rule means allowed."""
+    best: tuple[int, bool] | None = None
+    for r in rules:
+        if _re.match(r["regex"], path):
+            key = (r["prec"], r["allow"])
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
 
 
 def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
@@ -52,7 +82,7 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     points).
     """
     if not text:
-        return {"deny": [], "crawl_delay_ms": None, "sitemaps": []}
+        return {"deny": [], "crawl_delay_ms": None, "sitemaps": [], "rules": []}
     agent_l = agent.lower()
     sitemaps: list[str] = []
 
@@ -98,6 +128,7 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     )
     use_star = best <= 0  # no specific (non-*) token matched
     deny: list[str] = []
+    full_rules: list[tuple[str, bool]] = []
     delay_ms: int | None = None
     for agents, rules in groups:
         selected = (
@@ -110,6 +141,9 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
         for key, val in rules:
             if key == "disallow" and val:
                 deny.append(val)
+                full_rules.append((val, False))
+            elif key == "allow" and val:
+                full_rules.append((val, True))
             elif key == "crawl-delay":
                 try:
                     ms = int(round(float(val) * 1000.0))
@@ -123,7 +157,23 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     deny = [d for d in deny if not (d in seen or seen.add(d))]
     seen_sm: set[str] = set()
     sitemaps = [s for s in sitemaps if not (s in seen_sm or seen_sm.add(s))]
-    return {"deny": deny, "crawl_delay_ms": delay_ms, "sitemaps": sitemaps}
+    seen_fr: set[tuple[str, bool]] = set()
+    rules_out = [
+        {
+            "pattern": p,
+            "regex": pattern_to_regex(p),
+            "allow": a,
+            "prec": len(p.encode("utf-8")),
+        }
+        for (p, a) in full_rules
+        if not ((p, a) in seen_fr or seen_fr.add((p, a)))
+    ]
+    return {
+        "deny": deny,
+        "crawl_delay_ms": delay_ms,
+        "sitemaps": sitemaps,
+        "rules": rules_out,
+    }
 
 
 def rules_from_robots_texts(
@@ -163,3 +213,30 @@ def parse_robots_batch(agent: str = "*"):
             )
 
     return run
+
+
+def robots_allowed_col(path, rules):
+    """Native-expression mirror of :func:`robots_allowed`.
+
+    ``rules`` is an ``array<struct<rx string, allow boolean,
+    prec int>>`` column (one row per host, broadcast as a tiny dim);
+    NULL or empty means allow-all.  The winning rule is
+    ``array_max`` over ``struct(prec, allow)`` of the matching rules
+    — lexicographic struct ordering IS the RFC precedence (longest
+    pattern first, Allow beats Disallow on ties, since
+    false < true)."""
+    import pyspark.sql.functions as F
+
+    matched = F.filter(
+        F.coalesce(
+            rules, F.array().cast("array<struct<rx:string,allow:boolean,prec:int>>")
+        ),
+        lambda r: F.rlike(path, r["rx"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(r["prec"].alias("p"), r["allow"].alias("a")),
+        )
+    )
+    return F.when(F.size(matched) == 0, F.lit(True)).otherwise(best["a"])

@@ -272,6 +272,7 @@ class CrawlEngine:
         dust_rules: "DataFrame | None" = None,
         trap_blocklist: "DataFrame | None" = None,
         alias_noise: bool = False,
+        robots_texts: "dict[str, str] | None" = None,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -327,6 +328,29 @@ class CrawlEngine:
             ),
             "host string, deny array<string>",
         )
+        # full RFC 9309 matching (Allow + Disallow with */$ wildcards,
+        # longest-match precedence) when raw robots.txt TEXTS are
+        # provided; compiled once to a per-host regex-rule dim and
+        # evaluated with robots_allowed_col.  The prefix-deny
+        # robots_df above stays the default (parity + conservative)
+        self._rfc_rules_df = None
+        if robots_texts is not None:
+            from ..functions.robots import parse_robots_txt
+
+            rows = [
+                (
+                    h,
+                    [
+                        (r["regex"], r["allow"], r["prec"])
+                        for r in parse_robots_txt(t)["rules"]
+                    ],
+                )
+                for h, t in sorted(robots_texts.items())
+            ]
+            self._rfc_rules_df = spark.createDataFrame(
+                rows,
+                "host string, rules array<struct<rx:string,allow:boolean,prec:int>>",
+            )
         # per-host politeness interval: the robots.txt ``Crawl-delay``
         # directive where a host declares one (the de-facto extension
         # next to RFC 9309 allow/deny), else the reference-parity
@@ -847,8 +871,19 @@ class CrawlEngine:
         return cand
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
-        """Deny-prefix filter on the URL path (C3), per host."""
+        """robots.txt filter on the URL path (C3), per host: full RFC
+        9309 rule evaluation when raw texts were provided
+        (``robots_texts=``), else the conservative deny-prefix dim."""
         path = F.regexp_replace("canonical_url", "^[a-z]+://[^/]*", "")
+        if self._rfc_rules_df is not None:
+            from ..functions.robots import robots_allowed_col
+
+            return (
+                df.join(F.broadcast(self._rfc_rules_df), "host", "left")
+                .withColumn("__path", path)
+                .filter(robots_allowed_col(F.col("__path"), F.col("rules")))
+                .drop("rules", "__path")
+            )
         return (
             df.join(F.broadcast(self.robots_df), "host", "left")
             .withColumn("__path", path)

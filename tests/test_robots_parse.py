@@ -124,7 +124,12 @@ def test_messy_file_is_conservative():
 def test_empty_or_missing_allows_all():
     for text in (None, "", "# only comments\n"):
         p = parse_robots_txt(text)
-        assert p == {"deny": [], "crawl_delay_ms": None, "sitemaps": []}
+        assert p == {
+                "deny": [],
+                "crawl_delay_ms": None,
+                "sitemaps": [],
+                "rules": [],
+            }
 
 
 def test_delay_capped():
@@ -193,3 +198,126 @@ def test_engine_accepts_compiled_rules(spark, tmp_path):
     )
     iv = {r["host"]: r["interval_ms"] for r in eng._intervals_df.collect()}
     assert iv == {h0: 1000, h1: POLITENESS_MS}
+
+
+# ---------------------------------------------------------------- RFC 9309
+# full-rule model: Allow + Disallow with wildcards (session-7)
+
+from indigent_defense_stats_spark.functions.robots import (  # noqa: E402
+    pattern_to_regex,
+    robots_allowed,
+)
+
+WILD = """
+User-agent: *
+Disallow: /case/*9$
+Allow: /case/199$
+Disallow: /private
+Allow: /private/ok*
+Disallow: /lit$eral
+"""
+
+
+def test_pattern_to_regex():
+    assert pattern_to_regex("/a/*9$") == "^/a/.*9$"
+    assert pattern_to_regex("/a") == "^/a"
+    assert pattern_to_regex("/a$b") == "^/a\\$b"  # non-trailing $ literal
+    assert pattern_to_regex("/*/x") == "^/.*/x"
+
+
+def test_full_rules_compiled():
+    rules = parse_robots_txt(WILD)["rules"]
+    assert [(r["pattern"], r["allow"]) for r in rules] == [
+        ("/case/*9$", False),
+        ("/case/199$", True),
+        ("/private", False),
+        ("/private/ok*", True),
+        ("/lit$eral", False),
+    ]
+    # precedence = pattern octet length
+    assert [r["prec"] for r in rules] == [9, 10, 8, 12, 9]
+
+
+def test_rfc_rule_evaluation():
+    rules = parse_robots_txt(WILD)["rules"]
+    cases = {
+        "/case/9": False,  # wildcard + end anchor
+        "/case/19": False,
+        "/case/199": True,  # longer Allow wins
+        "/case/1990": True,  # $ anchor: no match -> allowed
+        "/private": False,
+        "/private/oknow": True,  # Allow carve-out, longer pattern
+        "/private/x": False,
+        "/lit$eral/x": False,  # non-trailing $ matched literally
+        "/public": True,  # no rule matches
+    }
+    for path, want in cases.items():
+        assert robots_allowed(path, rules) == want, path
+
+
+def test_allow_beats_disallow_on_equal_length():
+    txt = "User-agent: *\nDisallow: /same\nAllow: /same\n"
+    rules = parse_robots_txt(txt)["rules"]
+    assert robots_allowed("/same/x", rules) is True
+
+
+def test_empty_text_has_empty_rules():
+    assert parse_robots_txt(None)["rules"] == []
+    assert parse_robots_txt("")["rules"] == []
+
+
+def test_column_matcher_equals_python(spark):
+    """robots_allowed_col over randomized paths == the Python
+    evaluator, rule set compiled from WILD."""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.functions.robots import (
+        robots_allowed_col,
+    )
+
+    rules = parse_robots_txt(WILD)["rules"]
+    paths = (
+        [f"/case/{n}" for n in range(0, 250, 7)]
+        + [f"/private/ok{n}" for n in range(5)]
+        + ["/private", "/public", "/lit$eral/x", "/case/199", "/"]
+    )
+    dim = [(r["regex"], r["allow"], r["prec"]) for r in rules]
+    df = spark.createDataFrame([(p,) for p in paths], "path string").withColumn(
+        "rules",
+        F.lit(None).cast(
+            "array<struct<rx:string,allow:boolean,prec:int>>"
+        ),
+    )
+    # literal rule array via a python-side broadcast join substitute
+    rules_df = spark.createDataFrame(
+        [(1, dim)],
+        "k int, rules array<struct<rx:string,allow:boolean,prec:int>>",
+    )
+    got = {
+        r["path"]: r["allowed"]
+        for r in df.drop("rules")
+        .crossJoin(F.broadcast(rules_df))
+        .select(
+            "path",
+            robots_allowed_col(F.col("path"), F.col("rules")).alias("allowed"),
+        )
+        .collect()
+    }
+    assert got == {p: robots_allowed(p, rules) for p in paths}
+
+
+def test_column_matcher_null_rules_allows(spark):
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.functions.robots import (
+        robots_allowed_col,
+    )
+
+    df = spark.createDataFrame([("/x",)], "path string").withColumn(
+        "rules",
+        F.lit(None).cast("array<struct<rx:string,allow:boolean,prec:int>>"),
+    )
+    [row] = df.select(
+        robots_allowed_col(F.col("path"), F.col("rules")).alias("a")
+    ).collect()
+    assert row["a"] is True

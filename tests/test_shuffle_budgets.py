@@ -91,6 +91,9 @@ BUDGETS = {
     # component labels arrive checkpointed from the propagation loop;
     # what remains is the quality join + one component window
     "cluster_canonical_docs": 1,
+    # two-channel path distinct; the rule dim joins by broadcast and
+    # matching is a pure map
+    "robots_path_matching": 1,
 }
 
 
