@@ -313,6 +313,13 @@ _TAIL = [
                               # mined-rule param strip; composition of
                               # dust_rules with the map-only
                               # canonicalize family pinned by pytest)
+    "temperature_mixture_quota", # session-7 addition (mT5-style
+                              # temperature-rebalanced source quotas
+                              # via Hamilton largest-remainder; the
+                              # sampling/quota surface is eval'd via
+                              # mixture_sample, the bounded-dim window
+                              # via the waterfill pattern; sqrt-only
+                              # float contract, oracle-checked)
     "robots_path_matching",   # session-7 addition (full RFC 9309
                               # Allow/Disallow wildcard matching with
                               # longest-match precedence as a broadcast

@@ -383,6 +383,70 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGET = 100_000  # token budget to apportion across sources
+
+
+def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source quotas by largest-remainder
+    apportionment — the multilingual/multi-source rebalancing rule
+    (mT5/XLM-R: sample source s with p_s ∝ w_s^alpha, alpha<1 boosts
+    small sources).  Here alpha = 0.5 EXACTLY so the power is
+    ``sqrt`` — IEEE-754 sqrt is correctly rounded by spec in both
+    engines, unlike ``pow``, whose libm rounding varies; this is the
+    whole reason the exposed temperature is fixed at 0.5 (the
+    float-contract discipline of weighted_sample/recrawl_priority).
+
+    Integer quotas via Hamilton's method (largest remainder): ideal
+    share q_s = B * sqrt(w_s) / S with S = ordered fold of sqrt over
+    sources sorted by name (bit-identical sum both engines); floor
+    everywhere; the B - sum(floor) leftover goes +1 to the largest
+    fractional parts (tie -> source name asc).  sum(quota) == B
+    exactly.
+
+    Scale shape: one data-sized aggregate (weights per source); the
+    apportionment itself runs on the O(#sources) dim — the
+    single-partition-window-on-a-bounded-dim pattern shared with
+    freshness.waterfill."""
+    per = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    ssum = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "weight"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["weight"].cast("double")),
+        ).alias("s_sum")
+    )
+    q = F.lit(float(MIX_BUDGET)) * F.sqrt(F.col("weight").cast("double")) / F.col(
+        "s_sum"
+    )
+    full = Window.partitionBy(F.lit(1))
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("frac"), F.asc("source")
+    )
+    based = (
+        per.crossJoin(F.broadcast(ssum))
+        .withColumn("base", F.floor(q).cast("long"))
+        .withColumn("frac", q - F.floor(q))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        based.withColumn(
+            "leftover", F.lit(MIX_BUDGET) - F.sum("base").over(full)
+        )
+        .withColumn("r", F.row_number().over(rank_w))
+        .select(
+            "source",
+            "weight",
+            (
+                F.col("base")
+                + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "stratified_sample_threshold": stratified_sample_threshold,
@@ -391,9 +455,38 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "dsir_select": dsir_select,
     "weighted_sample": weighted_sample,
+    "temperature_mixture_quota": temperature_mixture_quota,
 }
 
 _SQL_H = "('0x' || left(md5('shuf:' || doc_id), 15))::BIGINT"
+
+_SQL_TEMP_MIX = f"""
+    WITH per AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+        FROM documents GROUP BY source
+    ), s AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list(sqrt(CAST(weight AS DOUBLE)) ORDER BY source)),
+                   (a, b) -> a + b) AS s_sum
+        FROM per
+    ), based AS (
+        SELECT source, weight,
+               FLOOR({MIX_BUDGET}.0 * sqrt(CAST(weight AS DOUBLE)) / s_sum)
+                   AS fl,
+               {MIX_BUDGET}.0 * sqrt(CAST(weight AS DOUBLE)) / s_sum
+                 - FLOOR({MIX_BUDGET}.0 * sqrt(CAST(weight AS DOUBLE)) / s_sum)
+                   AS frac
+        FROM per, s
+    )
+    SELECT source, weight,
+           CAST(fl + CASE WHEN row_number() OVER
+                              (ORDER BY frac DESC, source)
+                          <= {MIX_BUDGET} - (SELECT sum(fl) FROM based)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM based
+    ORDER BY source
+"""
 
 ORACLE_SQL = {
     "stratified_sample": f"""
@@ -593,4 +686,5 @@ ORACLE_SQL = {
         SELECT doc_id, source, weight, sample_rank
         FROM r WHERE sample_rank <= {WSAMPLE_K}
     """,
+    "temperature_mixture_quota": _SQL_TEMP_MIX,
 }

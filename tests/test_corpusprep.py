@@ -335,3 +335,47 @@ def test_weighted_sample_under_quota_source(spark, tmp_path):
     big = [r for r in got if r["source"] == "big"]
     assert tiny == [1, 2, 3, 4, 5]
     assert len(big) == corpusprep.WSAMPLE_K
+
+
+# ------------------------------------------------- temperature quotas
+
+
+def test_temperature_mixture_quota_brute_force(spark):
+    import math
+
+    from indigent_defense_stats_spark.operators.corpusprep import (
+        MIX_BUDGET,
+        temperature_mixture_quota,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    weights = {
+        r["source"]: r["w"]
+        for r in docs.groupBy("source")
+        .agg({"n_chars": "sum"})
+        .withColumnRenamed("sum(n_chars)", "w")
+        .collect()
+    }
+    srcs = sorted(weights)
+    sq = {s: math.sqrt(float(weights[s])) for s in srcs}
+    total = 0.0
+    for s in srcs:  # ordered fold, mirroring the engine
+        total += sq[s]
+    ideal = {s: MIX_BUDGET * sq[s] / total for s in srcs}
+    base = {s: math.floor(ideal[s]) for s in srcs}
+    left = MIX_BUDGET - sum(base.values())
+    for s in sorted(srcs, key=lambda s: (-(ideal[s] - base[s]), s))[:left]:
+        base[s] += 1
+
+    got = {
+        r["source"]: r["quota"]
+        for r in temperature_mixture_quota(spark, sf).collect()
+    }
+    assert got == base
+    assert sum(got.values()) == MIX_BUDGET
+    # temperature < 1 boosts small sources: the smallest source's
+    # quota share strictly exceeds its raw weight share
+    small = min(srcs, key=lambda s: weights[s])
+    tot_w = sum(weights.values())
+    assert got[small] / MIX_BUDGET > weights[small] / tot_w

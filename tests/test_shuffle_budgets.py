@@ -94,6 +94,9 @@ BUDGETS = {
     # two-channel path distinct; the rule dim joins by broadcast and
     # matching is a pure map
     "robots_path_matching": 1,
+    # O(#sources) dim behind the checkpointed weight aggregate; the
+    # returned plan is windows on the pinned dim only
+    "temperature_mixture_quota": 0,
 }
 
 
