@@ -273,6 +273,7 @@ class CrawlEngine:
         trap_blocklist: "DataFrame | None" = None,
         alias_noise: bool = False,
         robots_texts: "dict[str, str] | None" = None,
+        wave_budget: int | None = None,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -286,6 +287,12 @@ class CrawlEngine:
         self.bloom_threshold = bloom_threshold
         self._seen_count = 0
         self.max_per_host = max_per_host_per_wave
+        # global per-wave fetch budget, split ACROSS hosts max-min
+        # fairly (operators/freshness.waterfill) — small hosts get
+        # their full demand, big hosts share the rest at the water
+        # level; composes with max_per_host (the tighter cap wins).
+        # Unselected rows simply stay pending for later waves.
+        self.wave_budget = wave_budget
         self.priority = priority
         assert seen_filter in ("bloom", "cuckoo")
         # note: priority only matters under a per-wave budget — with
@@ -533,7 +540,17 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _eligible(self, pending: DataFrame) -> DataFrame:
-        if self.max_per_host is None:
+        caps = None
+        if self.wave_budget is not None:
+            from ..operators.freshness import waterfill
+
+            demand = pending.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("demand")
+            )
+            caps = waterfill(demand, self.wave_budget).select(
+                "host", F.col("allocation").alias("__cap")
+            )
+        if self.max_per_host is None and caps is None:
             return pending
         if self.priority == "recency":
             order = [F.col("case_date").desc_nulls_last(), F.col("depth").asc()] + [
@@ -542,10 +559,18 @@ class CrawlEngine:
         else:
             order = [F.col(c) for c in _PRIO_COLS]
         w = Window.partitionBy("host").orderBy(*order)
+        out = pending
+        if caps is not None:
+            out = out.join(F.broadcast(caps), "host", "left")
+            cap = F.coalesce(F.col("__cap"), F.lit(0))
+            if self.max_per_host is not None:
+                cap = F.least(cap, F.lit(self.max_per_host))
+        else:
+            cap = F.lit(self.max_per_host)
         return (
-            pending.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= self.max_per_host)
-            .drop("__rn")
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn", "__cap")
         )
 
     def _write_host_state_local(self, wave: int) -> None:
