@@ -77,6 +77,7 @@ from . import bloom
 
 POLITENESS_MS = 200  # scraper/__init__.py:57
 MAX_RETRIES = 5  # scraper/helpers.py:88
+AIMD_CAP = 8  # adaptive politeness: interval ceiling, x base
 
 FETCH_OUT = StructType(
     schemas.FRONTIER.fields
@@ -274,6 +275,7 @@ class CrawlEngine:
         alias_noise: bool = False,
         robots_texts: "dict[str, str] | None" = None,
         wave_budget: int | None = None,
+        adaptive_politeness: bool = False,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -394,16 +396,26 @@ class CrawlEngine:
         self.crawl_delay_ms = {
             h: int(v) for h, v in (crawl_delay_ms or {}).items()
         }
+        self._hosts = sorted(hosts)
         self._intervals_df = spark.createDataFrame(
             pd.DataFrame(
                 [
                     (h, self.crawl_delay_ms.get(h, politeness_ms))
-                    for h in sorted(hosts)
+                    for h in self._hosts
                 ],
                 columns=["host", "interval_ms"],
             ),
             "host string, interval_ms int",
         )
+        # AIMD adaptive politeness (opt-in; default = the fixed
+        # per-host interval above, reference parity): a host that
+        # returned ANY 503 this wave (retries or a final failure)
+        # doubles its interval next wave, capped at AIMD_CAP x base;
+        # an all-clean wave decays it additively (base/2 per wave)
+        # back down to base.  Driver state, O(#hosts); deterministic
+        # replay from the fetch log on resume (no schema change).
+        self.adaptive_politeness = adaptive_politeness
+        self._aimd: dict[str, int] | None = None
         # static dimensions, built once per engine (a createDataFrame
         # from a Python list pays a pickled-row Python-worker round
         # trip on *every* job that scans it — the Arrow/pandas path
@@ -697,6 +709,67 @@ class CrawlEngine:
         )
         self.bloom_t.write_local(out, {"wave": wave})
 
+    # ---------------------------------------------------------- AIMD
+    def _aimd_base(self, host: str) -> int:
+        return self.crawl_delay_ms.get(host, self.politeness_ms)
+
+    def _aimd_update(self, per_host: dict[str, tuple[int, int, int]]) -> None:
+        """per_host: host -> (rows, total_attempts, failed_rows)."""
+        assert self._aimd is not None
+        for h, (n, att, failed) in sorted(per_host.items()):
+            base = self._aimd_base(h)
+            cur = self._aimd.get(h, base)
+            if failed or att > n:  # some request saw a 503 this wave
+                cur = min(cur * 2, base * AIMD_CAP)
+            else:
+                cur = max(base, cur - (base + 1) // 2)
+            self._aimd[h] = cur
+
+    def _aimd_replay(self) -> None:
+        """Rebuild the interval state from the fetch log (resume path):
+        the state is a pure function of per-wave per-host outcomes, so
+        replaying the bounded (wave x host) aggregate reproduces it
+        exactly — no extra checkpoint table needed."""
+        self._aimd = {}
+        log = self.fetch_log()
+        if log is None:
+            return
+        rows = (
+            log.groupBy("wave", "host")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("attempts").alias("att"),
+                F.sum(
+                    F.when(F.col("status") == "failed", 1).otherwise(0)
+                ).alias("failed"),
+            )
+            .orderBy("wave")
+            .collect()
+        )
+        by_wave: dict[int, dict[str, tuple[int, int, int]]] = {}
+        for r in rows:
+            by_wave.setdefault(r["wave"], {})[r["host"]] = (
+                r["n"],
+                r["att"],
+                r["failed"],
+            )
+        for w in sorted(by_wave):
+            self._aimd_update(by_wave[w])
+
+    def _current_intervals_df(self) -> DataFrame:
+        if self._aimd is None:
+            return self._intervals_df
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (h, self._aimd.get(h, self._aimd_base(h)))
+                    for h in self._hosts
+                ],
+                columns=["host", "interval_ms"],
+            ),
+            "host string, interval_ms int",
+        ).coalesce(1)
+
     def _host_state_df(self) -> DataFrame:
         # Arrow/pandas path + coalesce(1): O(#hosts) rows, one file,
         # no Python-worker round trip per downstream job
@@ -715,7 +788,7 @@ class CrawlEngine:
         batch = (
             eligible.join(F.broadcast(hs), "host", "left")
             .withColumn("clock_ms", F.coalesce(F.col("clock_ms"), F.lit(0)))
-            .join(F.broadcast(self._intervals_df), "host", "left")
+            .join(F.broadcast(self._current_intervals_df()), "host", "left")
             .withColumn(
                 "interval_ms",
                 F.coalesce(F.col("interval_ms"), F.lit(self.politeness_ms)),
@@ -1019,6 +1092,8 @@ class CrawlEngine:
                 if r["host"] != "__none__"
             }
         self._seen_count = self.seen_t.rowcount()  # footer metadata, no job
+        if self.adaptive_politeness:
+            self._aimd_replay()  # deterministic from the fetch log
         # pending cardinality is tracked driver-side across waves
         # (n_pending += new - fetched - failed), initialized from
         # parquet footer metadata — no Spark job
@@ -1060,6 +1135,16 @@ class CrawlEngine:
                 clocks: dict[str, int] = {}
                 for r in summary:
                     clocks[r["host"]] = max(clocks.get(r["host"], 0), r["clock"])
+                if self._aimd is not None:
+                    per_host: dict[str, tuple[int, int, int]] = {}
+                    for r in summary:
+                        n0, a0, f0 = per_host.get(r["host"], (0, 0, 0))
+                        per_host[r["host"]] = (
+                            n0 + r["n"],
+                            a0 + r["attempts"],
+                            f0 + (r["n"] if r["status"] == "failed" else 0),
+                        )
+                    self._aimd_update(per_host)
                 mark("fetch")
                 lineage_future = self._pool.submit(
                     _lineage_writer(self, wave, fetched, summary)
