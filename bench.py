@@ -77,6 +77,8 @@ OPTIONAL = [
     # session-7 crawl hygiene + shift-robust chunk dedup
     "dust_canonical_urls",
     "cdc_chunk_stats",
+    "robots_path_matching",
+    "temperature_mixture_quota",
 ]
 
 
