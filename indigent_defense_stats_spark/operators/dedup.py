@@ -821,6 +821,84 @@ def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mirror_map_from_crawl(
+    fetch_log: DataFrame, documents: DataFrame, containment: float = 0.8
+) -> DataFrame:
+    """Mine a ``(alias_host, canonical_host)`` collapse map from a
+    crawl engine's OWN output — the host-level sibling of
+    dust.rules_from_crawl: depth-4 fetch-log URLs joined to the span
+    documents give each host's content-hash set; host pairs whose
+    CONTAINMENT ``|A∩B| / min(|A|,|B|)`` clears the threshold are
+    mirrors (containment, not Jaccard: a mirror discovered late has
+    only a subset of the primary's corpus, which Jaccard under-scores
+    but containment sees at 1.0).  The canonical side of a pair is
+    the SHORTER host name (lexicographic min on ties) — the classic
+    www-strip/clean-hostname canonicalization heuristic; observed
+    content-set size is deliberately NOT used for direction, because
+    which twin a crawl happened to discover more links on is routing
+    noise, not identity.  Only alias rows are returned — feed
+    straight into ``CrawlEngine(host_aliases=...)``.
+
+    Same inverted-index shape as :func:`mirror_hosts` (posting list
+    per hash, map-side pair generation — cost bounded by the content
+    replication factor, never O(hosts^2))."""
+    urls = fetch_log.filter(
+        (F.col("depth") == 4) & (F.col("status") == "fetched")
+    ).select(
+        "host",
+        F.regexp_extract("canonical_url", "CaseID=(\\d+)", 1).alias("doc_id"),
+    )
+    content = documents.select(
+        "doc_id", F.md5(F.to_json("spans")).alias("h")
+    ).distinct()
+    cat = urls.join(content, "doc_id").select("host", "h").distinct()
+    by_hash = (
+        cat.groupBy("h")
+        .agg(F.sort_array(F.collect_set("host")).alias("hosts"))
+        .localCheckpoint(eager=False)  # feeds pair gen AND sizes
+    )
+    hosts = F.col("hosts")
+    pair_arr = F.flatten(
+        F.transform(
+            hosts,
+            lambda x, i: F.transform(
+                F.slice(hosts, i + 2, F.size(hosts)),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
+    shared = (
+        by_hash.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = (
+        by_hash.select(F.explode("hosts").alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_shared").cast("double") / F.least("n_a", "n_b").cast(
+        "double"
+    )
+    qualified = (
+        shared.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .filter(cont >= containment)
+    )
+    la, lb = F.length("host_a"), F.length("host_b")
+    a_is_primary = (la < lb) | ((la == lb) & (F.col("host_a") < F.col("host_b")))
+    return qualified.select(
+        F.when(a_is_primary, F.col("host_b"))
+        .otherwise(F.col("host_a"))
+        .alias("alias_host"),
+        F.when(a_is_primary, F.col("host_a"))
+        .otherwise(F.col("host_b"))
+        .alias("canonical_host"),
+    ).distinct()
+
+
 _MIRROR_ORACLE = """
     WITH docs AS (
         SELECT doc_id, md5(text) AS h FROM documents

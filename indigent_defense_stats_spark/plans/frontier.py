@@ -134,6 +134,7 @@ def _fetch_host_group(
     generation: int = 0,
     fetch_col: str = "canonical_url",
     alias_noise: bool = False,
+    mirror_noise: bool = False,
 ):
     """Per-host sequential fetch with token-bucket spacing.
 
@@ -163,7 +164,9 @@ def _fetch_host_group(
             n = 0
             for attempt in range(max_retries):
                 clock += interval * (attempt + 1)  # backoff incl. first
-                page = synth.fetch(url, attempt, generation, alias_noise)
+                page = synth.fetch(
+                    url, attempt, generation, alias_noise, mirror_noise
+                )
                 n = attempt + 1
                 if page.get("status") != 503:
                     break
@@ -273,6 +276,8 @@ class CrawlEngine:
         dust_rules: "DataFrame | None" = None,
         trap_blocklist: "DataFrame | None" = None,
         alias_noise: bool = False,
+        mirror_noise: bool = False,
+        host_aliases: "DataFrame | None" = None,
         robots_texts: "dict[str, str] | None" = None,
         wave_budget: int | None = None,
         adaptive_politeness: bool = False,
@@ -381,6 +386,18 @@ class CrawlEngine:
         # session params (the DUST pathology the hooks above cure);
         # default off = the parity world, bit-identical
         self.alias_noise = alias_noise
+        self.mirror_noise = mirror_noise
+        # mirror-host collapse (operators/dedup.mirror_map_from_crawl
+        # output, (alias_host, canonical_host)): candidate canonical
+        # URLs on an alias host are rekeyed onto the canonical host so
+        # the seen filter collapses mirror copies; the representative
+        # fetch still targets the host it was discovered on.  Same
+        # contract as dust_rules: tiny broadcast dim, off by default.
+        self._alias_dim = None
+        if host_aliases is not None:
+            self._alias_dim = host_aliases.select(
+                F.col("alias_host").alias("host"), "canonical_host"
+            )
         self._dust_dim = None
         if dust_rules is not None:
             from ..operators.dust import irrelevant_keys_dim
@@ -804,11 +821,16 @@ class CrawlEngine:
                 self.politeness_ms,
                 self.max_retries,
                 generation,
-                # see _apply_hygiene: with dust collapse on, 'url'
-                # always holds the representative's pre-strip
+                # see _apply_hygiene: with dust/mirror collapse on,
+                # 'url' always holds the representative's pre-collapse
                 # canonical, which is what the origin can serve
-                fetch_col="url" if self._dust_dim is not None else "canonical_url",
+                fetch_col=(
+                    "url"
+                    if (self._dust_dim is not None or self._alias_dim is not None)
+                    else "canonical_url"
+                ),
                 alias_noise=self.alias_noise,
+                mirror_noise=self.mirror_noise,
             ),
             schema=FETCH_OUT,
         )
@@ -928,6 +950,15 @@ class CrawlEngine:
 
         cand = main.unionByName(search).unionByName(results)
         cand = cand.withColumn("canonical_url", canonicalize_col(F.col("url")))
+        # host := the URL's own authority — an ABSOLUTE href may point
+        # off the parent page's host (e.g. a mirror); politeness,
+        # robots and the per-host dims must attribute such candidates
+        # to the host that will actually serve them.  Relative hrefs
+        # (the reference world) resolve to the parent host: unchanged.
+        url_host = F.regexp_extract(F.col("canonical_url"), "^[a-z]+://([^/]+)", 1)
+        cand = cand.withColumn(
+            "host", F.when(url_host != "", url_host).otherwise(F.col("host"))
+        )
         cand = self._apply_hygiene(cand)
         return cand.withColumn("status", F.lit("pending")).withColumn(
             "wave", F.lit(wave + 1)
@@ -937,20 +968,40 @@ class CrawlEngine:
         """Optional DUST alias collapse + trap-template blocklist on
         expanded candidates (never on seeds); see __init__.  Both are
         broadcast joins over per-host dims — map-side, no shuffle."""
+        if self._dust_dim is not None or self._alias_dim is not None:
+            # fetch target := the pre-collapse canonical (served by
+            # the origin; tracking params/fragments already removed);
+            # dedup key := the collapsed canonical built below
+            cand = cand.withColumn("url", F.col("canonical_url"))
         if self._dust_dim is not None:
             from ..operators.dust import strip_params_col
 
-            # fetch target := the pre-strip canonical (served by the
-            # origin; tracking params/fragments already removed);
-            # dedup key := the dust-stripped canonical
             cand = (
                 cand.join(F.broadcast(self._dust_dim), "host", "left")
-                .withColumn("url", F.col("canonical_url"))
                 .withColumn(
                     "canonical_url",
                     strip_params_col(F.col("canonical_url"), F.col("irr_keys")),
                 )
                 .drop("irr_keys")
+            )
+        if self._alias_dim is not None:
+            # rekey the canonical URL onto the canonical host (dedup
+            # only; 'host'/'url' keep the discovered host for fetch +
+            # politeness)
+            scheme = F.regexp_extract(F.col("canonical_url"), "^([a-z]+://)", 1)
+            rest = F.regexp_replace(
+                F.col("canonical_url"), "^[a-z]+://[^/]*", ""
+            )
+            cand = (
+                cand.join(F.broadcast(self._alias_dim), "host", "left")
+                .withColumn(
+                    "canonical_url",
+                    F.when(
+                        F.col("canonical_host").isNotNull(),
+                        F.concat(scheme, F.col("canonical_host"), rest),
+                    ).otherwise(F.col("canonical_url")),
+                )
+                .drop("canonical_host")
             )
         if self._trap_dim is not None:
             from ..operators.dust import template_col

@@ -225,7 +225,11 @@ def cases_for(i: int, day_ord: int, jo_ord: int) -> list[str]:
 
 
 def case_links(
-    i: int, day_ord: int, jo_ord: int, alias_noise: bool = False
+    i: int,
+    day_ord: int,
+    jo_ord: int,
+    alias_noise: bool = False,
+    mirror_noise: bool = False,
 ) -> list[str]:
     """Relative case-detail hrefs in DOM order, with deterministic
     tracking-param / fragment noise so URL canonicalization is
@@ -236,7 +240,14 @@ def case_links(
     with a session-style ``sid`` param the portal ignores — the DUST
     pathology: the same case reachable under several canonical URLs,
     wasting a fetch per alias until rules are mined
-    (operators/dust.py) and handed back to the engine."""
+    (operators/dust.py) and handed back to the engine.
+
+    ``mirror_noise`` (opt-in, separate rng stream) rewrites ~40% of
+    links ABSOLUTE onto the county's mirror host
+    (``portal-{i}-m.example``, same content — :func:`fetch` serves
+    both) — the mirror-host pathology: the crawler pays politeness
+    and fetches on two hosts for one corpus until the mirror map is
+    mined (operators/dedup.mirror_map_from_crawl) and handed back."""
     links = []
     for k, cid in enumerate(cases_for(i, day_ord, jo_ord)):
         r = _rng("link", i, day_ord, jo_ord, k)
@@ -247,6 +258,8 @@ def case_links(
             href += f"&sid=s{(day_ord + jo_ord + k) % 13}"
         if r.random() < 0.3:
             href += f"#row{k}"
+        if mirror_noise and _rng("mirror", i, day_ord, jo_ord, k).random() < 0.4:
+            href = f"http://portal-{i}-m.example/{href}"
         links.append(href)
     return links
 
@@ -669,6 +682,7 @@ def fetch(
     attempt: int = 0,
     generation: int = 0,
     alias_noise: bool = False,
+    mirror_noise: bool = False,
 ) -> dict:
     """Deterministic synthetic fetch.  Stands in for the HTTP layer
     (scraper/helpers.py:80-126); both the Spark fetch UDF and the
@@ -686,10 +700,12 @@ def fetch(
 
     if attempt < transient_failures(url):
         return {"kind": "retry", "status": 503}
-    m = re.match(r"http://portal-(\d+)\.example(/.*)", url)
+    # the optional -m suffix is the county's mirror host: same content
+    # (only reachable when mirror_noise emitted links to it)
+    m = re.match(r"http://portal-(\d+)(-m)?\.example(/.*)", url)
     if not m:
         return {"kind": "error", "status": 404}
-    i, path = int(m.group(1)), m.group(2)
+    i, path = int(m.group(1)), m.group(3)
     if path == "/login.aspx":
         return {"kind": "login", "status": 200}
     if path == "/":
@@ -716,7 +732,7 @@ def fetch(
         return {
             "kind": "results",
             "status": 200,
-            "case_links": case_links(i, day_ord, jo_ord, alias_noise),
+            "case_links": case_links(i, day_ord, jo_ord, alias_noise, mirror_noise),
         }
     if path.startswith("/CaseDetail.aspx?"):
         q = dict(
