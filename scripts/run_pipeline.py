@@ -67,11 +67,11 @@ def main() -> None:
     ap.add_argument(
         "--hygiene",
         action="store_true",
-        help="crawl an alias-decorated portal (session params the"
-        " origin ignores), mine DUST irrelevance rules from the"
-        " crawl's own fetch log + documents, then re-crawl with the"
-        " rules and report the alias-collapse fetch savings; the"
-        " cured crawl feeds the rest of the pipeline",
+        help="crawl a pathological portal (session-param aliases +"
+        " mirror-host links), mine DUST irrelevance rules AND the"
+        " mirror-host collapse map from the crawl's own fetch log +"
+        " documents, then re-crawl with both and report the fetch"
+        " savings; the cured crawl feeds the rest of the pipeline",
     )
     ap.add_argument(
         "--corpus-prep",
@@ -100,6 +100,7 @@ def main() -> None:
         args.days,
         priority=args.priority,
         alias_noise=args.hygiene,
+        mirror_noise=args.hygiene,
     )
     stats = eng.run()
     docs = eng.documents()
@@ -112,15 +113,23 @@ def main() -> None:
     # ---- crawl hygiene (DUST mine + cure, optional) -----------------------
     if args.hygiene:
         from indigent_defense_stats_spark.operators import dust
+        from indigent_defense_stats_spark.operators.dedup import (
+            mirror_map_from_crawl,
+        )
 
         rules = dust.rules_from_crawl(
             eng.fetch_log(), docs, min_support=3
         ).cache()
+        amap = mirror_map_from_crawl(eng.fetch_log(), docs).cache()
         mined = [
             (r["host"], r["param"])
             for r in rules.filter("irrelevant").collect()
         ]
+        pairs = [
+            (r["alias_host"], r["canonical_host"]) for r in amap.collect()
+        ]
         print(f"[hygiene] mined rules: {sorted(mined)}")
+        print(f"[hygiene] mirror map: {sorted(pairs)}")
         cured = CrawlEngine(
             spark,
             os.path.join(args.base_dir, "crawl_cured"),
@@ -129,7 +138,9 @@ def main() -> None:
             args.days,
             priority=args.priority,
             alias_noise=True,
+            mirror_noise=True,
             dust_rules=rules,
+            host_aliases=amap,
         )
         cured.run()
         before = eng.fetch_log().count()
