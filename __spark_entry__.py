@@ -348,6 +348,12 @@ _TAIL = [
                               # clean_corpus and the full gear-hash
                               # kernel replays in the DuckDB oracle +
                               # brute-force pytest)
+    "host_reputation",        # session-7 addition (per-host crawl-
+                              # quality rollup composing the three
+                              # hygiene miners over one pinned
+                              # catalog; the grouped-agg + left-join
+                              # surface is eval'd broadly; full
+                              # composite replay oracle)
     "url_trap_hosts",         # session-7 addition (crawler-trap
                               # detection by URL-template explosion
                               # ratio; same groupBy-count surface as

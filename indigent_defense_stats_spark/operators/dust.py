@@ -387,6 +387,60 @@ def url_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-quality rollup — the scheduler-facing summary a
+    frontier uses to deprioritize junk hosts: distinct URLs vs
+    distinct content (duplication ratio), flagged trap templates, and
+    mined-irrelevant params, with ``low_quality`` set when a host has
+    any trap template or its URL count outruns content 5x at >= 20
+    URLs.  Composes the three hygiene miners over one shared catalog
+    (pinned — three consumers); all per-host dims, broadcast-sized.
+    The reference analog is manual: a human removes a broken county
+    from the registry (``scrape != 'yes'``); at 10^10 URLs the
+    blocklist must be computed."""
+    catalog = variant_urls(spark, sf_dir).localCheckpoint(eager=False)
+    u = F.col("url")
+    base = (
+        catalog.select(_host(u).alias("host"), "content_hash")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("content_hash").alias("n_content"),
+        )
+    )
+    traps = (
+        find_url_traps(catalog)
+        .filter(F.col("trap"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("trap_templates"))
+    )
+    aliases = (
+        mine_dust_rules(catalog)
+        .filter(F.col("irrelevant"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("alias_params"))
+    )
+    out = (
+        base.join(traps, "host", "left")
+        .join(aliases, "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            "n_content",
+            (
+                F.col("n_content").cast("double")
+                / F.col("n_urls").cast("double")
+            ).alias("content_ratio"),
+            F.coalesce("trap_templates", F.lit(0)).alias("trap_templates"),
+            F.coalesce("alias_params", F.lit(0)).alias("alias_params"),
+        )
+    )
+    low = (F.col("trap_templates") > 0) | (
+        (F.col("n_urls") >= 20) & (F.col("n_content") * 5 <= F.col("n_urls"))
+    )
+    return out.withColumn("low_quality", low).orderBy("host")
+
+
 # ---------------------------------------------------------------- oracles
 
 # the mining replay, shared by the rules + canonicalization oracles;
@@ -488,14 +542,62 @@ _TRAP_ORACLE = f"""
     ORDER BY host, path_template
 """
 
+_REPUTATION_ORACLE = f"""
+    WITH {_SYNTH_SQL}, {_MINE_SQL},
+    tmpl AS (
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_replace(regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1),
+                              '[0-9]+', 'N', 'g')
+                   || CASE WHEN contains(url, '?')
+                           THEN '?' || split_part(
+                               regexp_replace(url, '^[^?]*\\?', ''), '=', 1)
+                           ELSE '' END AS path_template,
+               content_hash
+        FROM catalog
+    ), traps AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS trap_templates
+        FROM (
+            SELECT host, path_template,
+                   count(*) AS c, count(DISTINCT content_hash) AS d
+            FROM tmpl GROUP BY host, path_template
+        )
+        WHERE c >= {TRAP_MIN_URLS} AND d * {TRAP_RATIO} <= c
+        GROUP BY host
+    ), aliasr AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS alias_params
+        FROM rules
+        WHERE evidence_groups >= {MIN_SUPPORT} AND violation_groups = 0
+        GROUP BY host
+    ), base AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT)      AS n_urls,
+               count(DISTINCT content_hash)  AS n_content
+        FROM parsed GROUP BY host
+    )
+    SELECT b.host AS host, b.n_urls, b.n_content,
+           CAST(b.n_content AS DOUBLE) / CAST(b.n_urls AS DOUBLE)
+               AS content_ratio,
+           coalesce(t.trap_templates, 0) AS trap_templates,
+           coalesce(a.alias_params, 0)   AS alias_params,
+           (coalesce(t.trap_templates, 0) > 0
+            OR (b.n_urls >= 20 AND b.n_content * 5 <= b.n_urls))
+               AS low_quality
+    FROM base b
+    LEFT JOIN traps t ON t.host = b.host
+    LEFT JOIN aliasr a ON a.host = b.host
+    ORDER BY b.host
+"""
+
 QUERIES = {
     "dust_rules": dust_rules,
     "dust_canonical_urls": dust_canonical_urls,
     "url_trap_hosts": url_trap_hosts,
+    "host_reputation": host_reputation,
 }
 
 ORACLE_SQL = {
     "dust_rules": _RULES_ORACLE,
     "dust_canonical_urls": _CANON_ORACLE,
     "url_trap_hosts": _TRAP_ORACLE,
+    "host_reputation": _REPUTATION_ORACLE,
 }

@@ -210,3 +210,18 @@ def test_canonical_rewrite_is_map_side(spark):
     # the only hash exchange allowed is the tiny rules-dim collect_set
     # aggregate feeding the broadcast; the url side is a pure map
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_host_reputation_flags_trap_host(spark):
+    rows = {
+        r["host"]: r for r in dust.host_reputation(spark, SF_DIR).collect()
+    }
+    assert rows["trap.example"]["low_quality"]
+    assert rows["trap.example"]["trap_templates"] == 1
+    assert rows["trap.example"]["alias_params"] == 0
+    for h, r in rows.items():
+        if h != "trap.example":
+            assert not r["low_quality"], h
+            assert r["alias_params"] >= 1  # sess mined everywhere
+        assert r["n_content"] <= r["n_urls"]
+        assert abs(r["content_ratio"] - r["n_content"] / r["n_urls"]) == 0.0

@@ -97,6 +97,10 @@ BUDGETS = {
     # O(#sources) dim behind the checkpointed weight aggregate; the
     # returned plan is windows on the pinned dim only
     "temperature_mixture_quota": 0,
+    # composite of the three hygiene miners over ONE pinned catalog:
+    # base agg + trap aggs + the mining chain + two per-host joins,
+    # all post-aggregate-sized
+    "host_reputation": 10,
 }
 
 
