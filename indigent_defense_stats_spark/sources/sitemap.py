@@ -278,6 +278,26 @@ def parse_sitemaps(fetched: DataFrame, entry_points: DataFrame | None = None) ->
     )
 
 
+def stale_case_seeds(parsed: DataFrame, last_crawl_date) -> DataFrame:
+    """Lastmod-driven revalidation seeds: sitemap entries whose
+    ``lastmod`` is AFTER the last crawl are the pages the portal
+    itself says changed — the sitemap-protocol analog of
+    If-Modified-Since, and the cheapest refresh policy of all (zero
+    refetches to discover staleness, unlike the observed-change-rate
+    model in operators/freshness.py, which needs fetch history).
+    Returns a ``doc_id`` seed frame for
+    ``CrawlEngine.refresh(case_filter=...)``; non-case URLs are
+    ignored.  The unchanged pages a lastmod filter skips would have
+    been hash-skipped at publish anyway — the filter saves the
+    FETCHES, not the correctness."""
+    return (
+        parsed.filter(F.col("lastmod") > F.lit(last_crawl_date))
+        .select(F.regexp_extract("url", "CaseID=(\\d+)", 1).alias("doc_id"))
+        .filter(F.col("doc_id") != "")
+        .distinct()
+    )
+
+
 def sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build + parse round trip: the discovered-URL table a crawl
     would merge into its frontier (after plans/bloom.filter_new)."""
