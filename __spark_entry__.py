@@ -52,6 +52,7 @@ def _modules():
         similarity,
         temporal,
         textstats,
+        tokenizer,
     )
     from indigent_defense_stats_spark.sources import orc_io, sitemap, views, warc, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
@@ -68,6 +69,7 @@ def _modules():
         robotsmatch,
         sketches,
         textstats,
+        tokenizer,
         ranking,
         decontam,
         dedup,
@@ -367,6 +369,22 @@ _TAIL = [
                               # form, oracle-checked via a recursive-
                               # CTE chain re-walk + pytest cycle/cap
                               # cases)
+    "bpe_merge_ranks",        # session-8 addition (tokenizer-training
+                              # family: distributed BPE merge learning
+                              # — ONE corpus shuffle to a Zipf-bounded
+                              # vocab, then vocab-only merge rounds;
+                              # the groupBy-count + argmax surface is
+                              # eval'd via stats_orders /
+                              # top_charge_argmin_analog; oracle = an
+                              # independent pure-Python BPE baked as
+                              # literals, the IVF-centroid convention)
+    "bpe_segment_stats",      # session-8 addition (tokenizer APPLY
+                              # side: learned merges rewrite the
+                              # bounded vocab, the corpus pays one
+                              # broadcast join + linear aggregate —
+                              # the broadcast-dim surface is eval'd
+                              # via nation_customer_stats; same
+                              # independent-replay oracle)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -79,6 +79,9 @@ OPTIONAL = [
     "cdc_chunk_stats",
     "robots_path_matching",
     "temperature_mixture_quota",
+    # session-8: distributed BPE tokenizer training + segmentation
+    "bpe_merge_ranks",
+    "bpe_segment_stats",
 ]
 
 
