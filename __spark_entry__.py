@@ -48,6 +48,7 @@ def _modules():
         redirects,
         relational,
         robotsmatch,
+        sharding,
         sketches,
         similarity,
         temporal,
@@ -68,6 +69,7 @@ def _modules():
         cdc,
         robotsmatch,
         sketches,
+        sharding,
         textstats,
         tokenizer,
         ranking,
@@ -385,6 +387,16 @@ _TAIL = [
                               # the broadcast-dim surface is eval'd
                               # via nation_customer_stats; same
                               # independent-replay oracle)
+    "balanced_shards",        # session-8 addition (output-layout
+                              # family: deterministic global row index
+                              # WITHOUT a single-partition sort — the
+                              # zipWithIndex idiom as range exchange +
+                              # O(#partitions) offset collect — cut
+                              # into fixed-size shards; the grouped
+                              # checksum surface is eval'd via
+                              # event_sequence / pack_sequences; exact
+                              # row_number replay oracle + the
+                              # one-file-per-shard writer pytest)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

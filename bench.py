@@ -79,9 +79,11 @@ OPTIONAL = [
     "cdc_chunk_stats",
     "robots_path_matching",
     "temperature_mixture_quota",
-    # session-8: distributed BPE tokenizer training + segmentation
+    # session-8: distributed BPE tokenizer training + segmentation,
+    # sort-free global indexing + balanced output shards
     "bpe_merge_ranks",
     "bpe_segment_stats",
+    "balanced_shards",
 ]
 
 

@@ -101,6 +101,9 @@ BUDGETS = {
     # base agg + trap aggs + the mining chain + two per-host joins,
     # all post-aggregate-sized
     "host_reputation": 10,
+    # numbered table arrives checkpointed (the offset-consistency
+    # pin); what remains is the broadcast offset join + ONE shard agg
+    "balanced_shards": 1,
     # the RETURNED table is the o(1)-row training artifact; the
     # trainer's shuffles (one corpus->vocab agg + per-round
     # vocab-sized pair aggs) run behind bounded argmax collects
@@ -133,6 +136,7 @@ SCAN_BUDGETS = {
     "dust_rules": 0,  # parsed catalog pinned (2 consumers)
     "dust_canonical_urls": 0,  # catalog pinned (mining + rewrite)
     "cdc_chunk_stats": 0,  # chunk-hash table pinned (df + join)
+    "balanced_shards": 0,  # numbered table pinned (offset consistency)
     "bpe_merge_ranks": 0,  # local artifact table — no scan at all
     "bpe_segment_stats": 1,  # corpus scan; vocab side checkpointed
 }
