@@ -336,6 +336,37 @@ def main() -> None:
             f"clean_corpus_keep={kept.count()} packed_seqs={n_seqs}"
         )
 
+        # tokenizer trained on the crawl's OWN corpus (the closed
+        # crawl -> corpus -> tokenizer loop), artifact persisted for
+        # the segmentation jobs downstream
+        from indigent_defense_stats_spark.operators import sharding, tokenizer
+
+        merges = tokenizer.bpe_merge_ranks(spark, corpus_dir)
+        merges.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "bpe_merges.parquet")
+        )
+        seg = tokenizer.bpe_segment_stats(spark, corpus_dir)
+        tot = seg.agg(
+            F.sum("n_chars").alias("c"), F.sum("n_tokens").alias("t")
+        ).head()
+        print(
+            f"[tokenizer] merges={merges.count()} corpus_chars={tot['c']} "
+            f"bpe_tokens={tot['t']}"
+        )
+
+        # size-balanced corpus shards: one parquet file per shard so
+        # the next job's scan tasks are uniform
+        corpus_docs = spark.read.parquet(
+            os.path.join(corpus_dir, "documents.parquet")
+        )
+        n_files = sharding.write_balanced(
+            corpus_docs,
+            os.path.join(corpus_dir, "shards"),
+            ["doc_id"],
+            rows_per_file=256,
+        )
+        print(f"[shards] files={n_files}")
+
     print(f"[done] total {time.time()-t0:.1f}s")
     spark.stop()
 
