@@ -92,3 +92,46 @@ def test_segment_stats_invariants(spark):
         # merges only ever shrink the token count, never below the
         # word count; chars is an upper bound (1 token per char)
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+
+
+def _mini_corpus(spark, tmp_path, rows):
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, "en", f"s{i % 2}", len(t or "")) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p)
+    return str(tmp_path)
+
+
+def test_trainer_stops_when_pairs_run_out(spark, tmp_path):
+    # single-char words only -> zero adjacent pairs -> zero merges
+    d = _mini_corpus(spark, tmp_path, ["a b c", "a b"])
+    merges, _ = T._train(spark, d, n_merges=4)
+    assert merges == []
+    assert T.bpe_merge_ranks(spark, d).count() == 0
+
+
+def test_trainer_early_stop_partial_merges(spark, tmp_path):
+    # 'ab' exhausts after one merge: round 2 has no pairs left
+    d = _mini_corpus(spark, tmp_path, ["ab ab ab"])
+    merges, _ = T._train(spark, d, n_merges=4)
+    assert [(m[1], m[2], m[4]) for m in merges] == [("a", "b", 3)]
+
+
+def test_null_and_empty_text_rows_are_ignored(spark, tmp_path):
+    d = _mini_corpus(spark, tmp_path, [None, "", "xy xy", "  !!  "])
+    merges, _ = T._train(spark, d, n_merges=1)
+    assert [(m[1], m[2], m[4]) for m in merges] == [("x", "y", 2)]
+    seg = {r["source"]: tuple(r)[1:] for r in
+           T.bpe_segment_stats(spark, d).collect()}
+    # only the 'xy xy' doc (doc_id 2 -> source s0) contributes
+    assert seg == {"s0": (2, 4, 2)}
+
+
+def test_identical_docs_scale_counts_not_merges(spark, tmp_path):
+    a = _mini_corpus(spark, tmp_path / "a", ["the cat sat"])
+    b = _mini_corpus(spark, tmp_path / "b", ["the cat sat"] * 7)
+    ma, _ = T._train(spark, a, n_merges=3)
+    mb, _ = T._train(spark, b, n_merges=3)
+    assert [(m[1], m[2]) for m in ma] == [(m[1], m[2]) for m in mb]
+    assert [m[4] * 7 for m in ma] == [m[4] for m in mb]
