@@ -44,6 +44,8 @@ def _modules():
         graph,
         interleaved,
         pipeline_queries,
+        psl,
+        qualityclf,
         ranking,
         redirects,
         relational,
@@ -72,6 +74,8 @@ def _modules():
         sharding,
         textstats,
         tokenizer,
+        qualityclf,
+        psl,
         ranking,
         decontam,
         dedup,
@@ -397,6 +401,45 @@ _TAIL = [
                               # event_sequence / pack_sequences; exact
                               # row_number replay oracle + the
                               # one-file-per-shard writer pytest)
+    "quality_classifier_score", # session-9 addition (model-based
+                              # quality filtering: fastText-style
+                              # hashed unigram+bigram linear scorer,
+                              # the FineWeb-Edu/DCLM filter shape;
+                              # zero-shuffle map-only HOF surface is
+                              # eval'd via gopher_quality_filters /
+                              # unigram_lm_score, the md5-bucket
+                              # hashing-trick channel via
+                              # cms_heavy_hitters; integer micro-unit
+                              # weights -> exact BIGINT score, oracle-
+                              # checked via check_oracles + pytest)
+    "registrable_domain_stats", # session-9 addition (eTLD+1 rollup
+                              # via a baked public-suffix set with
+                              # longest-suffix match — the host-
+                              # granularity rollup every crawl metric
+                              # aggregates by; the groupBy-count
+                              # surface is eval'd broadly and the
+                              # label-slice HOF arithmetic replays
+                              # exactly in the DuckDB oracle)
+    "media_phash_neardup",    # session-9 addition (perceptual-hash
+                              # near-dup over the binary media
+                              # payloads: aHash bits from real byte
+                              # parsing in mapInPandas, banded 16-bit
+                              # buckets + Hamming verify — the image-
+                              # dedup shape; the banding join surface
+                              # is eval'd via minhash_lsh_neardup,
+                              # media plumbing via media_features;
+                              # arithmetic body -> exact integer
+                              # oracle replay)
+    "hyperball_centrality",   # session-9 addition (HyperBall, Boldi
+                              # & Vigna WWW'13: per-node HLL register
+                              # propagation along click-graph edges ->
+                              # neighborhood function -> harmonic
+                              # centrality, the crawl-priority
+                              # centrality signal; iterative-join
+                              # surface eval'd via click_pagerank,
+                              # register mechanics via hll_distinct's
+                              # exact-integer discipline; unrolled-
+                              # iteration DuckDB oracle)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

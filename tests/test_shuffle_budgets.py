@@ -111,6 +111,11 @@ BUDGETS = {
     # (source, word) count + final per-source agg; the learned
     # token-length vocab joins by BROADCAST off its checkpoint
     "bpe_segment_stats": 2,
+    # map-only HOF scorer: weights are a closed-form expression, no
+    # vocabulary join, no shuffle at any corpus size
+    "quality_classifier_score": 0,
+    # grouped agg + the n_hosts distinct's two-phase expansion
+    "registrable_domain_stats": 2,
 }
 
 
