@@ -246,6 +246,116 @@ def resize_media(
     return payloads.mapInPandas(rz, schema=PAYLOAD_SCHEMA)
 
 
+PHASH_BODY = 512  # payload body bytes (64 cells x 8 bytes)
+PHASH_CELLS = 64  # aHash grid: 8x8 cells -> 64-bit hash
+PHASH_GROUPS = 100  # near-dup group mixing for the arithmetic body
+PHASH_HAM_MAX = 8  # Hamming threshold for a verified near-dup pair
+
+
+def media_payloads_arith(decoded: DataFrame, body_len: int = PHASH_BODY) -> DataFrame:
+    """Payloads whose body bytes are ARITHMETIC in doc_id (vs the
+    xxh64-seeded :func:`media_payloads`): byte[i] = (g*131 + i*17) mod
+    256 with g = doc_id mod PHASH_GROUPS, plus a single per-doc
+    perturbation byte — so documents sharing g are near-identical
+    images and the DuckDB oracle can recompute every byte.  The
+    binary pack/parse contract is identical to media_payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        i = np.arange(body_len, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id, w, h, fmt in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["format"]
+            ):
+                d = int(doc_id)
+                g = d % PHASH_GROUPS
+                # per-(group, cell) md5 base values decorrelate the
+                # aHash bit patterns ACROSS groups (measured: min
+                # cross-group Hamming 20/64; arithmetic-only bodies
+                # left aliased groups within the verify threshold);
+                # same md5-int convention as textstats.md5_int, so
+                # the oracle replays every byte in SQL
+                base = np.array(
+                    [
+                        int(
+                            hashlib.md5(f"c:{g}:{c}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % 256
+                        for c in range(PHASH_CELLS)
+                    ],
+                    dtype=np.int64,
+                )
+                body = (base[i // (body_len // PHASH_CELLS)] + i * 17) % 256
+                body = body.copy()
+                body[d % body_len] = (
+                    body[d % body_len] + (d // PHASH_GROUPS) % 5
+                ) % 256
+                content.append(
+                    _MAGIC[fmt]
+                    + int(w).to_bytes(2, "big")
+                    + int(h).to_bytes(2, "big")
+                    + bytes(body.astype(np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": pdf["format"],
+                    "content": content,
+                }
+            )
+
+    return decoded.mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def perceptual_hash(payloads: DataFrame) -> DataFrame:
+    """64-bit aHash over the binary payload body — the image near-dup
+    fingerprint (average hash: downsample to an 8x8 grid, bit = cell
+    above the global mean; in production the grid comes from the
+    PIL-decoded, resized grayscale image — here from the raw body
+    bytes, same contract).  The mean comparison is kept INTEGER
+    (64*cell_sum > total_sum), so the hash is exactly replayable.
+    Returns (doc_id BIGINT, hi, lo): the hash split into two 32-bit
+    halves so band extraction and XOR stay sign-free in BIGINTs."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            his, los = [], []
+            for c in pdf["content"]:
+                c = bytes(c)
+                hdr = 2 if c[:2] == _MAGIC["jpeg"] else 4
+                body = np.frombuffer(c, dtype=np.uint8)[hdr + 4:]
+                cells = body.astype(np.int64).reshape(PHASH_CELLS, -1).sum(
+                    axis=1
+                )
+                bits = (PHASH_CELLS * cells > cells.sum()).astype(np.int64)
+                hi = int((bits[:32] << np.arange(31, -1, -1)).sum())
+                lo = int((bits[32:] << np.arange(31, -1, -1)).sum())
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "hi": his,
+                    "lo": los,
+                }
+            )
+
+    return payloads.mapInPandas(ph, schema="doc_id long, hi long, lo long")
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Every-nth-frame sample rows (video-shaped path): frame count is
     fabricated from n_bytes by the stub; the sequence/explode plumbing

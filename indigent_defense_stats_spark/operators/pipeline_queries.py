@@ -384,6 +384,68 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the binary media
+    payloads — the image analog of minhash_lsh_neardup: aHash bits
+    from REAL byte parsing in mapInPandas, then 4x16-bit LSH banding
+    (pairs sharing any band are candidates) and an exact Hamming
+    verify at PHASH_HAM_MAX.  Body bytes are arithmetic in doc_id
+    (multimodal.media_payloads_arith), so the DuckDB oracle replays
+    every byte, every cell sum, every bit.
+
+    Scale shape: the hash table is one map-only pass over the media
+    payloads (O(1) state per image); banding shuffles 4 shorts per
+    image; candidate verification joins hash-table rows only — the
+    same linear-shuffle banding contract as the MinHash LSH dedup.
+    The phash table feeds 3 consumers (band explode + both sides of
+    the verify join) and is localCheckpoint-pinned."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_arith(_media_decoded(spark, sf_dir))
+    ph = multimodal.perceptual_hash(payloads).localCheckpoint(eager=False)
+    hi, lo = F.col("hi"), F.col("lo")
+    bands = ph.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.shiftright(hi, 16),
+                hi.bitwiseAND(F.lit(65535)),
+                F.shiftright(lo, 16),
+                lo.bitwiseAND(F.lit(65535)),
+            )
+        ).alias("band_pos", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("d1"), "band_pos", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), "band_pos", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_pos", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    h1 = ph.select(
+        F.col("doc_id").alias("d1"),
+        hi.alias("hi1"),
+        lo.alias("lo1"),
+    )
+    h2 = ph.select(
+        F.col("doc_id").alias("d2"),
+        hi.alias("hi2"),
+        lo.alias("lo2"),
+    )
+    ham = F.expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").cast("int")
+    return (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= multimodal.PHASH_HAM_MAX)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -397,9 +459,73 @@ QUERIES = {
     "media_resize_dims": media_resize_dims,
     "media_frame_sample": media_frame_sample,
     "media_features": media_features,
+    "media_phash_neardup": media_phash_neardup,
 }
 
 ORACLE_SQL = {
+    # full independent replay of the aHash near-dup: body bytes ->
+    # cell sums -> integer mean-comparison bits -> hi/lo halves ->
+    # 16-bit bands -> candidate join -> Hamming verify.  Everything
+    # is integer arithmetic, so the match is exact.
+    "media_phash_neardup": """
+        WITH ids AS (SELECT doc_id FROM documents),
+        bytes AS (
+            SELECT doc_id, g.i AS i,
+                   (('0x' || left(md5('c:' || (doc_id % 100)::VARCHAR
+                                      || ':' || (g.i // 8)::VARCHAR), 15))
+                        ::BIGINT % 256
+                    + g.i * 17
+                    + CASE WHEN g.i = doc_id % 512
+                           THEN (doc_id // 100) % 5 ELSE 0 END) % 256 AS b
+            FROM ids, unnest(generate_series(0, 511)) AS g(i)
+        ),
+        cells AS (
+            SELECT doc_id, i // 8 AS c, CAST(sum(b) AS BIGINT) AS cs
+            FROM bytes GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+            FROM cells GROUP BY 1
+        ),
+        bits AS (
+            SELECT c.doc_id, c.c,
+                   CASE WHEN 64 * c.cs > t.ts THEN 1 ELSE 0 END AS bit
+            FROM cells c JOIN tot t USING (doc_id)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c < 32
+                                 THEN bit * (CAST(1 AS BIGINT) << (31 - c))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(sum(CASE WHEN c >= 32
+                                 THEN bit * (CAST(1 AS BIGINT) << (63 - c))
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, g.p AS band_pos,
+                   CASE g.p WHEN 0 THEN hi // 65536
+                            WHEN 1 THEN hi % 65536
+                            WHEN 2 THEN lo // 65536
+                            ELSE lo % 65536 END AS band_val
+            FROM hashes, unnest(generate_series(0, 3)) AS g(p)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band_pos = b.band_pos
+                        AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.d1, c.d2,
+               CAST(bit_count(xor(h1.hi, h2.hi))
+                    + bit_count(xor(h1.lo, h2.lo)) AS INT) AS hamming
+        FROM cand c
+        JOIN hashes h1 ON h1.doc_id = c.d1
+        JOIN hashes h2 ON h2.doc_id = c.d2
+        WHERE bit_count(xor(h1.hi, h2.hi))
+              + bit_count(xor(h1.lo, h2.lo)) <= 8
+    """,
     "media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                'm://' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -116,6 +116,9 @@ BUDGETS = {
     "quality_classifier_score": 0,
     # grouped agg + the n_hosts distinct's two-phase expansion
     "registrable_domain_stats": 2,
+    # banding self-join off the pinned phash table: the candidate
+    # distinct is the single shuffle; verify joins broadcast
+    "media_phash_neardup": 1,
 }
 
 
@@ -144,6 +147,7 @@ SCAN_BUDGETS = {
     "balanced_shards": 0,  # numbered table pinned (offset consistency)
     "bpe_merge_ranks": 0,  # local artifact table — no scan at all
     "bpe_segment_stats": 1,  # corpus scan; vocab side checkpointed
+    "media_phash_neardup": 0,  # phash table pinned (3 consumers)
 }
 
 
