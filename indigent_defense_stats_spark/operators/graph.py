@@ -274,11 +274,135 @@ def click_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("WITH RECURSIVE " + _reach_cte("__reach_beam"))
 
 
+HB_ITERS = 3  # HyperBall radius (t = 1..HB_ITERS)
+
+
+def _hb_rho() -> F.Column:
+    """Flajolet-Martin rank of the 54-bit suffix — the exact bit-math
+    form pinned in sketches.hll_registers (identical two's-complement
+    semantics in Spark and DuckDB)."""
+    return F.expr("least(1 + bit_count((suffix & -suffix) - 1), 55)")
+
+
+def _hb_ball_est(r: DataFrame) -> DataFrame:
+    """(v, e): the HLL estimate of a node's current ball from its
+    register rows — sketches.hll_distinct's exact-integer harmonic sum
+    + precomputed linear-counting table, per NODE instead of per
+    event_type."""
+    from .sketches import _HLL_LC, _HLL_NUM, _HLL_RHO_MAX, _HLL_SMALL, HLL_M
+
+    per = r.groupBy("v").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - mj)")
+        ).alias("hit_sum"),
+        F.count(F.lit(1)).cast("long").alias("hits"),
+    )
+    s_scaled = (
+        F.col("hit_sum")
+        + (F.lit(HLL_M).cast("long") - F.col("hits"))
+        * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    )
+    raw = F.lit(_HLL_NUM) / s_scaled
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]),
+        (F.lit(HLL_M).cast("int") - F.col("hits").cast("int")),
+    )
+    est = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (F.col("hits") < HLL_M), lc
+    ).otherwise(raw)
+    return per.select("v", est.alias("e"))
+
+
+def hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", WWW 2013 workshop / arXiv 1308.2144)
+    over the click graph: every node keeps an HLL REGISTER TABLE of
+    the nodes reachable within t hops; one round of elementwise
+    max-merge along out-edges grows every ball by one hop
+    simultaneously.  The per-round ball-size estimates yield the
+    neighborhood function N(v, t), and harmonic centrality accumulates
+    sum_t (N(t) - N(t-1)) / t — the crawl-priority centrality signal
+    computable on a 10^10-edge graph where exact per-node BFS is
+    hopeless (HyperBall's whole point: O(nodes x m) state, linear
+    shuffles, no frontier explosion).
+
+    Engine shape: register state is a sparse (v, reg, mj) table; each
+    round is ONE join of the register table against the edge list
+    (dst side) + ONE (v, reg) max aggregate — both linear in
+    |edges| x m/64, the same shuffle contract as click_pagerank's
+    rank updates; per-round lineage truncated with localCheckpoint.
+
+    Determinism: registers are exact integers (sketches.hll_registers
+    discipline); the estimate is one IEEE division of a shared
+    literal (or a precomputed linear-counting lookup); estimates are
+    MONOTONIZED with greatest() per HyperBall §4 before the harmonic
+    sum, whose three subtract-divide terms fold in a fixed order —
+    bit-identical in Spark and DuckDB.
+    """
+    from .textstats import md5_int
+
+    edges = (
+        click_graph_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    h = md5_int(F.col("v").cast("string"))
+    r = (
+        nodes.select(
+            "v",
+            (h % 64).alias("reg"),
+            F.shiftright(h, 6).alias("suffix"),
+        )
+        .select("v", "reg", _hb_rho().cast("long").alias("mj"))
+        # EAGER: est_t for every round joins into ONE final action, so
+        # lazy checkpoints would nest (each round's materialization
+        # re-entering the previous round's) — Spark then reports
+        # late accumulator updates and recomputes lineage; eager
+        # rounds are tiny (nodes x m rows) and keep the final plan
+        # flat (measured 35 s -> ~8 s at sf0.01)
+        .localCheckpoint()
+    )
+    ests = [_hb_ball_est(r)]
+    for _ in range(HB_ITERS):
+        prop = edges.join(r, r["v"] == edges["dst"]).select(
+            edges["src"].alias("v"), "reg", "mj"
+        )
+        r = (
+            r.unionByName(prop)
+            .groupBy("v", "reg")
+            .agg(F.max("mj").cast("long").alias("mj"))
+            .localCheckpoint()
+        )
+        ests.append(_hb_ball_est(r))
+    out = ests[0].select("v", F.col("e").alias("e0"))
+    for t, est in enumerate(ests[1:], start=1):
+        out = out.join(est.select("v", F.col("e").alias(f"e{t}")), "v")
+    # monotonize (HyperBall uses monotone counters; the raw->LC
+    # crossover could otherwise dip), then the harmonic sum
+    m1 = F.greatest(F.col("e1"), F.col("e0"))
+    m2 = F.greatest(F.col("e2"), m1)
+    m3 = F.greatest(F.col("e3"), m2)
+    harmonic = (m1 - F.col("e0")) + (m2 - m1) / 2 + (m3 - m2) / 3
+    return out.select(
+        F.col("v").alias("page"),
+        F.round(m1, 6).alias("ball1"),
+        F.round(m2, 6).alias("ball2"),
+        F.round(m3, 6).alias("ball3"),
+        F.round(harmonic, 6).alias("harmonic_c"),
+    )
+
+
 QUERIES = {
     "click_graph_edges": click_graph_edges,
     "click_pagerank": click_pagerank,
     "click_triangles": click_triangles,
     "click_reachability": click_reachability,
+    "hyperball_centrality": hyperball_centrality,
 }
 
 _SQL_EDGES = """
@@ -342,7 +466,88 @@ def _pagerank_sql() -> str:
     return "".join(parts)
 
 
+def _hyperball_sql() -> str:
+    """Unrolled HB_ITERS-round HyperBall: register propagation as
+    UNION ALL + max aggregates, per-round estimates via the exact
+    shared-literal HLL machinery (sketches.hll_distinct oracle),
+    monotonized and folded into the harmonic sum in the same fixed
+    order as the Spark side."""
+    from .sketches import _HLL_LC, _HLL_NUM, _HLL_SMALL
+
+    md5v = "('0x' || left(md5(v::VARCHAR), 15))::BIGINT"
+    parts = [
+        f"WITH {_SQL_EDGES}",
+        """,
+    n AS (SELECT DISTINCT page AS v FROM
+          (SELECT src AS page FROM e UNION SELECT dst FROM e)),""",
+        f"""
+    k AS (SELECT v, {md5v} % 64 AS reg, {md5v} // 64 AS suffix FROM n),
+    r0 AS (
+        SELECT v, reg,
+               CAST(least(1 + bit_count((suffix & (-suffix)) - 1), 55)
+                    AS BIGINT) AS mj
+        FROM k
+    )""",
+    ]
+    for i in range(HB_ITERS):
+        parts.append(
+            f""",
+    r{i + 1} AS (
+        SELECT v, reg, CAST(max(mj) AS BIGINT) AS mj FROM (
+            SELECT v, reg, mj FROM r{i}
+            UNION ALL
+            SELECT ew.src AS v, r.reg, r.mj
+            FROM ew JOIN r{i} r ON r.v = ew.dst
+        ) GROUP BY 1, 2
+    )"""
+        )
+    for i in range(HB_ITERS + 1):
+        parts.append(
+            f""",
+    b{i} AS (
+        SELECT v,
+               CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS hit_sum,
+               count(*)::BIGINT AS hits
+        FROM r{i} GROUP BY 1
+    ),
+    est{i} AS (
+        SELECT v, CASE WHEN raw <= {_HLL_SMALL!r} AND hits < 64
+                       THEN list_extract({_HLL_LC}, (64 - hits)::INT)
+                       ELSE raw END AS e
+        FROM (SELECT v, hits,
+                     {_HLL_NUM!r} / (hit_sum + (64 - hits)
+                                     * (1::BIGINT << 55)) AS raw
+              FROM b{i})
+    )"""
+        )
+    parts.append(
+        """,
+    j AS (
+        SELECT est0.v, est0.e AS e0, est1.e AS x1, est2.e AS x2,
+               est3.e AS x3
+        FROM est0 JOIN est1 USING (v) JOIN est2 USING (v)
+                  JOIN est3 USING (v)
+    ),
+    mm AS (
+        SELECT v, e0,
+               greatest(x1, e0) AS m1,
+               greatest(x2, greatest(x1, e0)) AS m2,
+               greatest(x3, greatest(x2, greatest(x1, e0))) AS m3
+        FROM j
+    )
+    SELECT v AS page,
+           round(m1, 6) AS ball1,
+           round(m2, 6) AS ball2,
+           round(m3, 6) AS ball3,
+           round((m1 - e0) + (m2 - m1) / 2 + (m3 - m2) / 3, 6)
+               AS harmonic_c
+    FROM mm"""
+    )
+    return "".join(parts)
+
+
 ORACLE_SQL = {
+    "hyperball_centrality": _hyperball_sql(),
     "click_graph_edges": f"WITH {_SQL_EDGES} SELECT src, dst, w, ow FROM ew",
     "click_triangles": f"""
         WITH {_SQL_EDGES},

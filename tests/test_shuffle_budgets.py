@@ -119,6 +119,9 @@ BUDGETS = {
     # banding self-join off the pinned phash table: the candidate
     # distinct is the single shuffle; verify joins broadcast
     "media_phash_neardup": 1,
+    # final plan only (rounds are eager checkpoints): four per-node
+    # ball aggregates joined on v — all post-aggregate-sized
+    "hyperball_centrality": 4,
 }
 
 
