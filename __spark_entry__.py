@@ -430,6 +430,15 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "exact_substr_cut",       # session-9 addition (ExactSubstr
+                              # REMOVAL, Lee et al. ACL'22: the edit
+                              # duplicate_span_stats only measures,
+                              # via the sorted interval-union fold;
+                              # the gram-df chain is eval'd via
+                              # line_dedup / cross_doc_chunk_dup and
+                              # the window surface via event_sequence;
+                              # full islands replay in the DuckDB
+                              # oracle + crafted-corpus pytest)
     "hyperball_centrality",   # session-9 addition (HyperBall, Boldi
                               # & Vigna WWW'13: per-node HLL register
                               # propagation along click-graph edges ->

@@ -343,12 +343,101 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al., ACL'22 "Deduplicating Training
+    Data Makes Language Models Better", §4.1): rewrite every document
+    with the tokens covered by any corpus-duplicated ``NGRAM``-token
+    window CUT OUT.  ``duplicate_span_stats`` measures this quantity;
+    this operator performs the edit — and because duplicated windows
+    OVERLAP arbitrarily (unlike ``line_dedup``'s aligned chunks), the
+    cut runs through the sorted INTERVAL-UNION fold: per doc, order
+    duplicated window starts, carry a running max of interval ends
+    (window frame ``rows unbounded preceding .. 1 preceding``), open a
+    new island when a start clears it, and collapse each island to
+    [min start, max end) — the standard islands-and-gaps reduction,
+    one linear window pass instead of the O(dups x k) distinct-index
+    materialization.
+
+    This variant cuts EVERY occurrence (the decontamination-style
+    policy); keep-first is the one-line row_number change line_dedup
+    already demonstrates.
+
+    Scale shape: positional-gram explode (linear) -> gram-count
+    aggregate (map-side partial) -> df>1 join-back on the same key ->
+    per-doc window over DUPLICATED starts only (skew bounded by doc
+    length) -> island aggregate -> one broadcast-sized struct-array
+    join back to the corpus for the HOF rebuild.  No all-pairs; every
+    shuffle is linear in corpus grams.
+    """
+    from pyspark.sql import Window
+
+    K = NGRAM
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", _tokens())
+        .localCheckpoint(eager=False)
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(_ngrams(F.col("_toks"), K)).alias("pos", "gram"),
+    ).localCheckpoint(eager=False)
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(cnt.filter(F.col("c") > 1), "gram").select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max(F.col("pos") + K).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(prev_max.isNull() | (F.col("pos") >= prev_max), 1)
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn("island", F.sum("brk").over(w))
+    iv = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("s"),
+            (F.max("pos") + K).cast("int").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    per = d.join(iv, "doc_id", "left").select(
+        "doc_id",
+        "_toks",
+        F.coalesce(
+            "ivs", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("ivs"),
+    )
+    idx = F.sequence(F.lit(0), F.size("_toks") - 1)
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    clean = F.array_join(
+        F.transform(kept, lambda i: F.element_at(F.col("_toks"), i + 1)),
+        " ",
+    )
+    return per.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_cut"),
+        clean.alias("clean_text"),
+    )
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_stats": repetition_stats,
     "line_dedup": line_dedup,
     "cross_doc_chunk_dup": cross_doc_chunk_dup,
     "duplicate_span_stats": duplicate_span_stats,
+    "exact_substr_cut": exact_substr_cut,
     "clean_corpus": clean_corpus,
 }
 
@@ -499,6 +588,75 @@ ORACLE_SQL["duplicate_span_stats"] = f"""
            round(coalesce(a.covered_tokens, 0) * 1.0 / len(t.ts), 6)
                AS dup_frac
     FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+# exact_substr_cut: the same positional-gram + df>1 chain as
+# duplicate_span_stats, then the islands-and-gaps reduction (running
+# max over the preceding frame -> break flags -> running sum) and a
+# NOT EXISTS anti-join of token positions against the islands.
+ORACLE_SQL["exact_substr_cut"] = f"""
+    WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ts) - {NGRAM - 1})) AS i, ts
+        FROM t WHERE len(ts) >= {NGRAM}
+    ),
+    g2 AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ts[i:i+{NGRAM - 1}], ' ') AS gram
+        FROM g
+    ),
+    cnt AS (SELECT gram, count(*) AS c FROM g2 GROUP BY 1),
+    dup AS (
+        SELECT g2.doc_id, g2.pos FROM g2 JOIN cnt USING (gram)
+        WHERE cnt.c > 1
+    ),
+    isl0 AS (
+        SELECT doc_id, pos,
+               max(pos + {NGRAM}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM dup
+    ),
+    isl1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_max IS NULL OR pos >= prev_max
+                    THEN 1 ELSE 0 END AS brk
+        FROM isl0
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl1
+    ),
+    iv AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {NGRAM} AS e
+        FROM isl2 GROUP BY 1, 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(generate_series(0, len(ts) - 1)) AS i, ts
+        FROM t
+    ),
+    tok2 AS (SELECT doc_id, i, ts[i + 1] AS w FROM tok),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.w FROM tok2 tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM iv
+            WHERE iv.doc_id = tp.doc_id
+              AND tp.i >= iv.s AND tp.i < iv.e
+        )
+    ),
+    ka AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS INT) AS n_tokens,
+           CAST(len(t.ts) - coalesce(k.n_kept, 0) AS INT) AS n_cut,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM t LEFT JOIN ka k USING (doc_id)
 """
 
 ORACLE_SQL["clean_corpus"] = f"""

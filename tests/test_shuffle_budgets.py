@@ -122,6 +122,9 @@ BUDGETS = {
     # final plan only (rounds are eager checkpoints): four per-node
     # ball aggregates joined on v — all post-aggregate-sized
     "hyperball_centrality": 4,
+    # gram count + df join-back + per-doc island window + island agg
+    # + the struct-array join home — all linear in corpus grams
+    "exact_substr_cut": 5,
 }
 
 
