@@ -47,6 +47,7 @@ def _modules():
         psl,
         qualityclf,
         ranking,
+        rfc3986,
         redirects,
         relational,
         robotsmatch,
@@ -76,6 +77,7 @@ def _modules():
         tokenizer,
         qualityclf,
         psl,
+        rfc3986,
         ranking,
         decontam,
         dedup,
@@ -430,6 +432,15 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "rfc3986_canonical_urls", # session-9 addition (spec-based URL
+                              # normalization, RFC 3986 §6.2.2/6.2.3:
+                              # case + percent-encoding + dot-segment
+                              # + default-port — the layer under the
+                              # policy canonicalizer (frontier) and
+                              # the mined DUST rules, map-only; three
+                              # agreeing implementations: Python
+                              # mirror, Spark exprs, DuckDB fold
+                              # oracle + RFC §5.4 vector pytest)
     "exact_substr_cut",       # session-9 addition (ExactSubstr
                               # REMOVAL, Lee et al. ACL'22: the edit
                               # duplicate_span_stats only measures,

@@ -70,3 +70,135 @@ def absolutize(base_url: Column, href: Column) -> Column:
     return F.when(
         href.rlike("^[a-zA-Z]+://"), href
     ).otherwise(F.concat(base_url, href))
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 syntax-based normalization (§6.2.2) + scheme-based port rule
+# (§6.2.3).  :func:`canonicalize_col` is the crawl-policy form
+# (tracking params, query sort); this is the SPEC form every frontier
+# needs underneath it: case normalization, percent-encoding
+# normalization (uppercase hex, decode unreserved), default-port
+# removal, dot-segment resolution, empty-path -> '/'.
+#
+# Implemented three ways that must agree exactly (pytest + oracle):
+# pure Python (below), Spark column expressions, and the DuckDB SQL
+# in operators/rfc3986.py.  All three use the same primitive steps so
+# divergence is structural, not incidental.
+# ---------------------------------------------------------------------------
+
+import string as _string
+
+UNRESERVED = _string.ascii_letters + _string.digits + "-._~"
+# RFC 3986 appendix B splitting regex (no backrefs/lookaround: runs
+# identically under Java regex and RE2)
+_SPLIT_RE = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?$"
+DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def _pct_upper(s: str) -> str:
+    parts = s.split("%")
+    return parts[0] + "".join(
+        "%" + p[:2].upper() + p[2:] for p in parts[1:]
+    )
+
+
+def _pct_decode_unreserved(s: str) -> str:
+    for c in UNRESERVED:
+        s = s.replace("%%%02X" % ord(c), c)
+    return s
+
+
+def _remove_dot_segments(path: str) -> str:
+    segs = path.split("/")
+    acc = ""
+    for seg in segs[1:]:
+        if seg == ".":
+            continue
+        if seg == "..":
+            acc = acc.rsplit("/", 1)[0] if "/" in acc else ""
+        else:
+            acc = acc + "/" + seg
+    if segs and segs[-1] in (".", "..") and not acc.endswith("/"):
+        acc = acc + "/"
+    return acc
+
+
+def rfc3986_normalize(url: str) -> str:
+    """Pure-Python mirror (oracle/test ground truth)."""
+    import re
+
+    m = re.match(_SPLIT_RE, url)
+    scheme = (m.group(2) or "").lower()
+    auth = (m.group(4) or "").lower()
+    port = DEFAULT_PORTS.get(scheme)
+    if port and auth.endswith(port):
+        auth = auth[: -len(port)]
+    path = _pct_decode_unreserved(_pct_upper(m.group(5) or ""))
+    path = _remove_dot_segments(path)
+    if auth and not path:
+        path = "/"
+    query = _pct_decode_unreserved(_pct_upper(m.group(7) or ""))
+    out = f"{scheme}://{auth}{path}"
+    if query:
+        out += "?" + query
+    return out
+
+
+def _pct_upper_col(s: Column) -> Column:
+    parts = F.split(s, "%")
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.element_at(parts, 1),
+        lambda acc, p: F.concat(
+            acc, F.lit("%"), F.upper(F.substring(p, 1, 2)), F.substring(p, 3, 2**30)
+        ),
+    )
+
+
+def _pct_decode_unreserved_col(s: Column) -> Column:
+    for c in UNRESERVED:
+        s = F.replace(s, F.lit("%%%02X" % ord(c)), F.lit(c))
+    return s
+
+
+def remove_dot_segments_col(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an ABSOLUTE (or empty) path, as a string
+    fold: '.' skips, '..' pops the last '/segment', anything else
+    appends; a trailing '.'/'..' leaves the trailing slash the RFC
+    algorithm produces."""
+    segs = F.split(path, "/")
+    rest = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    acc = F.aggregate(
+        rest,
+        F.lit(""),
+        lambda a, s: F.when(s == ".", a)
+        .when(s == "..", F.regexp_replace(a, "/[^/]*$", ""))
+        .otherwise(F.concat(a, F.lit("/"), s)),
+    )
+    last = F.element_at(segs, -1)
+    return F.when(
+        last.isin(".", "..") & ~acc.endswith("/"), F.concat(acc, F.lit("/"))
+    ).otherwise(acc)
+
+
+def rfc3986_normalize_col(url: Column) -> Column:
+    """Spark column form of :func:`rfc3986_normalize` — pure JVM
+    string/array expressions, zero Python in the hot path."""
+    scheme = F.lower(F.regexp_extract(url, _SPLIT_RE, 2))
+    auth = F.lower(F.regexp_extract(url, _SPLIT_RE, 4))
+    for sch, port in DEFAULT_PORTS.items():
+        auth = F.when(
+            (scheme == sch) & auth.endswith(port),
+            F.substring(auth, 1, F.length(auth) - len(port)),
+        ).otherwise(auth)
+    path = _pct_decode_unreserved_col(
+        _pct_upper_col(F.regexp_extract(url, _SPLIT_RE, 5))
+    )
+    path = remove_dot_segments_col(path)
+    path = F.when((auth != "") & (path == ""), F.lit("/")).otherwise(path)
+    query = _pct_decode_unreserved_col(
+        _pct_upper_col(F.regexp_extract(url, _SPLIT_RE, 7))
+    )
+    out = F.concat(scheme, F.lit("://"), auth, path)
+    return F.when(query != "", F.concat(out, F.lit("?"), query)).otherwise(out)

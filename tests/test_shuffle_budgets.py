@@ -125,6 +125,8 @@ BUDGETS = {
     # gram count + df join-back + per-doc island window + island agg
     # + the struct-array join home — all linear in corpus grams
     "exact_substr_cut": 5,
+    # spec URL normalization: regex split + string folds, map-only
+    "rfc3986_canonical_urls": 0,
 }
 
 
