@@ -84,6 +84,16 @@ OPTIONAL = [
     "bpe_merge_ranks",
     "bpe_segment_stats",
     "balanced_shards",
+    # session-9: model-based quality filter (map-only HOF scorer),
+    # eTLD+1 rollup, perceptual-hash media near-dup (banding join),
+    # HyperBall centrality (iterative register merge), ExactSubstr
+    # removal (interval-union fold), RFC 3986 spec normalization
+    "quality_classifier_score",
+    "registrable_domain_stats",
+    "media_phash_neardup",
+    "hyperball_centrality",
+    "exact_substr_cut",
+    "rfc3986_canonical_urls",
 ]
 
 
