@@ -432,6 +432,16 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "hll_rolling_distinct",   # session-9 addition (sliding-window
+                              # distinct via HLL register merge over a
+                              # day-scaffold RANGE frame — the
+                              # temporal form of the mergeable-sketch
+                              # contract; register machinery shared
+                              # with the eval'd-family hll_distinct,
+                              # window surface eval'd via
+                              # rolling_week_user_events' family;
+                              # full register+estimate+exact replay
+                              # oracle)
     "rfc3986_canonical_urls", # session-9 addition (spec-based URL
                               # normalization, RFC 3986 §6.2.2/6.2.3:
                               # case + percent-encoding + dot-segment

@@ -94,6 +94,7 @@ OPTIONAL = [
     "hyperball_centrality",
     "exact_substr_cut",
     "rfc3986_canonical_urls",
+    "hll_rolling_distinct",
 ]
 
 

@@ -349,9 +349,112 @@ def bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_WIN = 3  # rolling window, days
+
+
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via HLL register MERGE — the
+    temporal form of the sketch's mergeability contract: per-day
+    register tables fold into a 3-day rolling estimate with ONE
+    element-wise max per register (a RANGE-frame window), no re-scan
+    of the raw events per window.  This is how a crawl/production
+    metric pipeline answers "distinct users/URLs in the trailing N
+    days" at 100 TB: daily sketches are O(m) each, the rolling merge
+    is O(days x m) — independent of event volume — where the exact
+    rolling countDistinct re-shuffles the full key universe per
+    window.  The exact answer is computed alongside (day-dim
+    broadcast range join) as the oracle-checked accuracy reference.
+
+    Determinism: identical register/rho/estimate machinery as
+    :func:`hll_distinct` (exact integers + one shared-literal IEEE
+    division + precomputed linear-counting table); gap days inside a
+    window contribute nothing on both engines (max ignores NULL).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.epochs import epoch_floor_s
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.floor(epoch_floor_s(F.col("ts")) / 86400).cast("long")
+    h = md5_int(F.col("user_id").cast("string"))
+    rho = F.expr("least(1 + bit_count((suffix & -suffix) - 1), 55)")
+    daily = (
+        ev.select(
+            day.alias("d"),
+            (h % HLL_M).alias("reg"),
+            F.shiftright(h, 6).alias("suffix"),
+        )
+        .select("d", "reg", rho.alias("rho"))
+        .groupBy("d", "reg")
+        .agg(F.max("rho").cast("long").alias("mj"))
+        .localCheckpoint(eager=False)
+    )
+    dmin, dmax = daily.agg(F.min("d"), F.max("d")).first()
+    days = spark.range(1).select(
+        F.explode(F.sequence(F.lit(dmin), F.lit(dmax))).alias("d")
+    )
+    scaffold = days.select(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
+    )
+    joined = scaffold.join(daily, ["d", "reg"], "left")
+    w = (
+        Window.partitionBy("reg")
+        .orderBy("d")
+        .rangeBetween(-(HLL_WIN - 1), 0)
+    )
+    rm = joined.select("d", "reg", F.max("mj").over(w).alias("rmj"))
+    per = rm.groupBy("d").agg(
+        F.sum(
+            F.when(
+                F.col("rmj").isNotNull(),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rmj)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("hit_sum"),
+        F.count("rmj").cast("long").alias("registers_hit"),
+    )
+    s_scaled = (
+        F.col("hit_sum")
+        + (F.lit(HLL_M).cast("long") - F.col("registers_hit"))
+        * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    )
+    raw = F.lit(_HLL_NUM) / s_scaled
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]),
+        (F.lit(HLL_M).cast("int") - F.col("registers_hit").cast("int")),
+    )
+    est = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (F.col("registers_hit") < HLL_M), lc
+    ).otherwise(raw)
+    # exact reference: range join with the DAY DIM broadcast (events
+    # side streams — the only scale-correct orientation), then a left
+    # join back to the scaffold so empty windows report 0
+    hits3 = (
+        ev.select(day.alias("ed"), "user_id")
+        .join(
+            F.broadcast(days),
+            F.col("ed").between(F.col("d") - (HLL_WIN - 1), F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_3d"))
+    )
+    exact = days.join(hits3, "d", "left").select(
+        "d", F.coalesce("exact_3d", F.lit(0).cast("long")).alias("exact_3d")
+    )
+    return (
+        per.join(exact, "d")
+        .select(
+            F.col("d").alias("epoch_day"),
+            "registers_hit",
+            est.alias("hll_est"),
+            "exact_3d",
+        )
+    )
+
+
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "hll_distinct": hll_distinct,
+    "hll_rolling_distinct": hll_rolling_distinct,
     "bottomk_quantiles": bottomk_quantiles,
 }
 
@@ -466,6 +569,81 @@ ORACLE_SQL = {
                        - floor(0.9::DOUBLE * (s.kkb - 1)))
                     * (hi90 - lo90) AS est_p90
         FROM ex e JOIN est s USING (grp)
+    """,
+    # rolling 3-day register merge: day scaffold x 64 registers, RANGE
+    # frame max per register, then the identical estimate chain; exact
+    # reference via a day-range join, empty windows coalesced to 0
+    "hll_rolling_distinct": f"""
+        WITH ev AS (
+            SELECT (epoch_us(ts) // 1000000) // 86400 AS d, user_id
+            FROM events
+        ),
+        keyed AS (
+            SELECT d,
+                   {_MD5.format("user_id::VARCHAR")} % {HLL_M} AS reg,
+                   {_MD5.format("user_id::VARCHAR")} // {HLL_M} AS suffix
+            FROM ev
+        ),
+        regs AS (
+            SELECT d, reg,
+                   CAST(max(least(1 + bit_count((suffix & (-suffix)) - 1),
+                                  55)) AS BIGINT) AS mj
+            FROM keyed GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM regs),
+        days AS (
+            SELECT unnest(generate_series(dmin, dmax)) AS d FROM bounds
+        ),
+        scaffold AS (
+            SELECT d, g.r AS reg
+            FROM days, unnest(generate_series(0, {HLL_M - 1})) AS g(r)
+        ),
+        j AS (
+            SELECT s.d, s.reg, r.mj
+            FROM scaffold s LEFT JOIN regs r USING (d, reg)
+        ),
+        rm AS (
+            SELECT d, reg,
+                   max(mj) OVER (PARTITION BY reg ORDER BY d
+                                 RANGE BETWEEN {HLL_WIN - 1} PRECEDING
+                                       AND CURRENT ROW) AS rmj
+            FROM j
+        ),
+        per AS (
+            SELECT d,
+                   CAST(sum(CASE WHEN rmj IS NOT NULL
+                                 THEN 1::BIGINT << ({_HLL_RHO_MAX} - rmj)
+                                 ELSE 0 END) AS BIGINT) AS hit_sum,
+                   CAST(count(rmj) AS BIGINT) AS registers_hit
+            FROM rm GROUP BY d
+        ),
+        est AS (
+            SELECT d, registers_hit,
+                   {_HLL_NUM!r} / (hit_sum
+                       + ({HLL_M} - registers_hit)
+                         * (1::BIGINT << {_HLL_RHO_MAX})) AS raw
+            FROM per
+        ),
+        hits3 AS (
+            SELECT dy.d,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_3d
+            FROM ev e JOIN days dy
+              ON e.d BETWEEN dy.d - {HLL_WIN - 1} AND dy.d
+            GROUP BY dy.d
+        ),
+        exact AS (
+            SELECT days.d, coalesce(h.exact_3d, CAST(0 AS BIGINT))
+                       AS exact_3d
+            FROM days LEFT JOIN hits3 h USING (d)
+        )
+        SELECT p.d AS epoch_day, p.registers_hit,
+               CASE WHEN p.raw <= {_HLL_SMALL!r}
+                         AND p.registers_hit < {HLL_M}
+                    THEN list_extract({_HLL_LC},
+                                      ({HLL_M} - p.registers_hit)::INT)
+                    ELSE p.raw END AS hll_est,
+               x.exact_3d
+        FROM est p JOIN exact x USING (d)
     """,
     "hll_distinct": f"""
         WITH keyed AS (

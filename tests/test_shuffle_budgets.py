@@ -127,6 +127,10 @@ BUDGETS = {
     "exact_substr_cut": 5,
     # spec URL normalization: regex split + string folds, map-only
     "rfc3986_canonical_urls": 0,
+    # daily register agg (pinned) + scaffold join + per-reg RANGE
+    # window + per-day fold + the exact reference's distinct pair +
+    # final day joins — every shuffle is day- or register-sized
+    "hll_rolling_distinct": 8,
 }
 
 
