@@ -432,6 +432,21 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "lsh_recall_report",      # session-9 addition (sketch-quality
+                              # audit: the LSH pair set full-outer-
+                              # joined against the exact prefix-
+                              # filtered pairs -> recall/precision;
+                              # composes two eval'd-family pair
+                              # generators verbatim, both oracles
+                              # reused as CTEs)
+    "hll_overlap_estimate",   # session-9 addition (HLL set algebra:
+                              # inclusion-exclusion intersection
+                              # estimate from max-merged register
+                              # tables — the join-cardinality
+                              # estimation primitive; register and
+                              # estimate machinery shared with
+                              # hll_distinct, exact reference
+                              # alongside; full replay oracle)
     "hll_rolling_distinct",   # session-9 addition (sliding-window
                               # distinct via HLL register merge over a
                               # day-scaffold RANGE frame — the

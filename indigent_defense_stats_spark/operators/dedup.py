@@ -929,7 +929,53 @@ _MIRROR_ORACLE = """
 """
 
 
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row sketch-quality report: the MinHash-LSH pair set audited
+    against the exact prefix-filtered Jaccard pairs at the same
+    threshold — n_exact / n_lsh / n_common plus recall and precision.
+
+    This is the measurement a production dedup pipeline runs on a
+    SAMPLE before trusting the banded sketch on the full corpus (the
+    banding parameters trade recall for candidate volume; an unstated
+    recall is an unstated amount of residual duplicate data).  Composes the
+    two in-tree pair generators verbatim; the exact side is the
+    oracle-grade baseline, the LSH side is the 100 TB path.
+
+    Scale: run on a bounded sample in production — the exact side is
+    the expensive one by design; the report itself is two full outer
+    joined pair sets + one global aggregate.
+    """
+    exact = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    lsh = minhash_lsh_neardup(spark, sf_dir).select("d1", "d2")
+    j = exact.withColumn("in_e", F.lit(1)).join(
+        lsh.withColumn("in_l", F.lit(1)), ["d1", "d2"], "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce("in_e", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("in_l", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(
+                F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.round(F.col("n_common") * 1.0 / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
+        F.round(F.col("n_common") * 1.0 / F.col("n_lsh"), 6).alias(
+            "precision"
+        ),
+    )
+
+
 QUERIES = {
+    "lsh_recall_report": lsh_recall_report,
     "mirror_hosts": mirror_hosts,
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1299,3 +1345,25 @@ ORACLE_SQL = {
         FROM sim GROUP BY 1 HAVING count(*) > 1
     """,
 }
+
+
+# composed sketch-quality report: both pair oracles verbatim as CTEs
+# + a full outer join; integer counts + two single-division ratios
+ORACLE_SQL["lsh_recall_report"] = f"""
+    WITH ex AS ({ORACLE_SQL["ngram_jaccard_pairs"]}),
+    ls AS ({ORACLE_SQL["minhash_lsh_neardup"]}),
+    flags AS (
+        SELECT CASE WHEN ex.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+               CASE WHEN ls.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_l
+        FROM ex FULL OUTER JOIN ls
+          ON ex.d1 = ls.d1 AND ex.d2 = ls.d2
+    )
+    SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+           CAST(sum(in_l) AS BIGINT) AS n_lsh,
+           CAST(sum(in_e * in_l) AS BIGINT) AS n_common,
+           round(CAST(sum(in_e * in_l) AS BIGINT) * 1.0
+                 / CAST(sum(in_e) AS BIGINT), 6) AS recall,
+           round(CAST(sum(in_e * in_l) AS BIGINT) * 1.0
+                 / CAST(sum(in_l) AS BIGINT), 6) AS "precision"
+    FROM flags
+"""

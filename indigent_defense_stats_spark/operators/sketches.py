@@ -451,10 +451,106 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_est_over(per: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., registers_hit, e) from a (keys..., reg, mj) register
+    table — the shared estimate chain (exact-integer harmonic sum, one
+    shared-literal division, precomputed linear-counting lookup)."""
+    agg = per.groupBy(*keys).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - mj)")
+        ).alias("hit_sum"),
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+    )
+    s_scaled = (
+        F.col("hit_sum")
+        + (F.lit(HLL_M).cast("long") - F.col("registers_hit"))
+        * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    )
+    raw = F.lit(_HLL_NUM) / s_scaled
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]),
+        (F.lit(HLL_M).cast("int") - F.col("registers_hit").cast("int")),
+    )
+    est = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (F.col("registers_hit") < HLL_M), lc
+    ).otherwise(raw)
+    return agg.select(*keys, "registers_hit", est.alias("e"))
+
+
+def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user OVERLAP between event-type pairs via HLL set
+    algebra: |A n B| ~ est(A) + est(B) - est(A u B), with est(A u B)
+    from the element-wise MAX merge of the two register tables — no
+    rescan of either side.  This inclusion-exclusion identity is how
+    sketch-carrying systems estimate join/intersection cardinalities
+    for planning (the HLL union is exact-on-registers; only the
+    intersection goes through subtraction).  The exact intersection is
+    computed alongside as the accuracy reference.
+
+    Scale: register tables are O(m) per group — the pairing is
+    group-dim-sized, never data-sized; the exact side (distinct pair
+    self-join) is the expensive baseline the sketch replaces.
+    """
+    regs = hll_registers(spark, sf_dir).localCheckpoint(eager=False)
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    singles = _hll_est_over(regs, ["event_type"])
+    pr = pairs.join(
+        regs,
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    ).groupBy("ta", "tb", "reg").agg(F.max("mj").cast("long").alias("mj"))
+    unions = _hll_est_over(pr, ["ta", "tb"])
+    ea = singles.select(
+        F.col("event_type").alias("ta"), F.col("e").alias("e_a")
+    )
+    eb = singles.select(
+        F.col("event_type").alias("tb"), F.col("e").alias("e_b")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    exact = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    out = (
+        unions.select("ta", "tb", F.col("e").alias("e_union"))
+        .join(ea, "ta")
+        .join(eb, "tb")
+        .join(exact, ["ta", "tb"], "left")
+    )
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round("e_a", 6).alias("est_a"),
+        F.round("e_b", 6).alias("est_b"),
+        F.round("e_union", 6).alias("est_union"),
+        F.round(
+            F.col("e_a") + F.col("e_b") - F.col("e_union"), 6
+        ).alias("est_overlap"),
+        F.coalesce("exact_overlap", F.lit(0).cast("long")).alias(
+            "exact_overlap"
+        ),
+    )
+
+
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "hll_distinct": hll_distinct,
     "hll_rolling_distinct": hll_rolling_distinct,
+    "hll_overlap_estimate": hll_overlap_estimate,
     "bottomk_quantiles": bottomk_quantiles,
 }
 
@@ -569,6 +665,86 @@ ORACLE_SQL = {
                        - floor(0.9::DOUBLE * (s.kkb - 1)))
                     * (hi90 - lo90) AS est_p90
         FROM ex e JOIN est s USING (grp)
+    """,
+    # inclusion-exclusion overlap: per-type and max-merged per-pair
+    # register tables through the identical estimate chain, plus the
+    # exact distinct-pair intersection
+    "hll_overlap_estimate": f"""
+        WITH keyed AS (
+            SELECT event_type,
+                   {_MD5.format("user_id::VARCHAR")} % {HLL_M} AS reg,
+                   {_MD5.format("user_id::VARCHAR")} // {HLL_M} AS suffix
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, reg,
+                   CAST(max(least(1 + bit_count((suffix & (-suffix)) - 1),
+                                  55)) AS BIGINT) AS mj
+            FROM keyed GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT event_type FROM regs),
+        pairs AS (
+            SELECT a.event_type AS ta, b.event_type AS tb
+            FROM types a, types b WHERE a.event_type < b.event_type
+        ),
+        sagg AS (
+            SELECT event_type,
+                   CAST(sum(1::BIGINT << ({_HLL_RHO_MAX} - mj)) AS BIGINT)
+                       AS hit_sum,
+                   count(*)::BIGINT AS hits
+            FROM regs GROUP BY 1
+        ),
+        singles AS (
+            SELECT event_type, hits,
+                   CASE WHEN raw <= {_HLL_SMALL!r} AND hits < {HLL_M}
+                        THEN list_extract({_HLL_LC}, ({HLL_M} - hits)::INT)
+                        ELSE raw END AS e
+            FROM (SELECT event_type, hits,
+                         {_HLL_NUM!r} / (hit_sum + ({HLL_M} - hits)
+                             * (1::BIGINT << {_HLL_RHO_MAX})) AS raw
+                  FROM sagg)
+        ),
+        pu AS (
+            SELECT p.ta, p.tb, r.reg, CAST(max(r.mj) AS BIGINT) AS mj
+            FROM pairs p JOIN regs r ON r.event_type IN (p.ta, p.tb)
+            GROUP BY 1, 2, 3
+        ),
+        uagg AS (
+            SELECT ta, tb,
+                   CAST(sum(1::BIGINT << ({_HLL_RHO_MAX} - mj)) AS BIGINT)
+                       AS hit_sum,
+                   count(*)::BIGINT AS hits
+            FROM pu GROUP BY 1, 2
+        ),
+        unions AS (
+            SELECT ta, tb,
+                   CASE WHEN raw <= {_HLL_SMALL!r} AND hits < {HLL_M}
+                        THEN list_extract({_HLL_LC}, ({HLL_M} - hits)::INT)
+                        ELSE raw END AS e
+            FROM (SELECT ta, tb, hits,
+                         {_HLL_NUM!r} / (hit_sum + ({HLL_M} - hits)
+                             * (1::BIGINT << {_HLL_RHO_MAX})) AS raw
+                  FROM uagg)
+        ),
+        du AS (SELECT DISTINCT event_type, user_id FROM events),
+        exact AS (
+            SELECT a.event_type AS ta, b.event_type AS tb,
+                   CAST(count(*) AS BIGINT) AS exact_overlap
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT u.ta AS type_a, u.tb AS type_b,
+               round(sa.e, 6) AS est_a,
+               round(sb.e, 6) AS est_b,
+               round(u.e, 6) AS est_union,
+               round(sa.e + sb.e - u.e, 6) AS est_overlap,
+               coalesce(x.exact_overlap, CAST(0 AS BIGINT))
+                   AS exact_overlap
+        FROM unions u
+        JOIN singles sa ON sa.event_type = u.ta
+        JOIN singles sb ON sb.event_type = u.tb
+        LEFT JOIN exact x ON x.ta = u.ta AND x.tb = u.tb
     """,
     # rolling 3-day register merge: day scaffold x 64 registers, RANGE
     # frame max per register, then the identical estimate chain; exact

@@ -131,6 +131,10 @@ BUDGETS = {
     # window + per-day fold + the exact reference's distinct pair +
     # final day joins — every shuffle is day- or register-sized
     "hll_rolling_distinct": 8,
+    # per-type + per-pair register folds off one pinned register
+    # table, the exact distinct-pair baseline, and type-dim joins —
+    # everything post-aggregate- or dim-sized
+    "hll_overlap_estimate": 8,
 }
 
 
