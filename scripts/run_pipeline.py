@@ -336,6 +336,22 @@ def main() -> None:
             f"clean_corpus_keep={kept.count()} packed_seqs={n_seqs}"
         )
 
+        # model-based quality filter (rule filters above, learned
+        # filter here — the FineWeb-Edu/DCLM stage order) + ExactSubstr
+        # duplicated-span removal on the crawl's own corpus
+        from indigent_defense_stats_spark.operators import qualityclf
+
+        clf = qualityclf.quality_classifier_score(spark, corpus_dir)
+        n_clf = clf.filter(F.col("keep")).count()
+        cut = decontam.exact_substr_cut(spark, corpus_dir)
+        ncut = cut.agg(
+            F.sum("n_cut").alias("c"), F.sum("n_tokens").alias("t")
+        ).head()
+        print(
+            f"[quality] classifier_keep={n_clf}/{clf.count()} "
+            f"substr_cut_tokens={ncut['c']}/{ncut['t']}"
+        )
+
         # tokenizer trained on the crawl's OWN corpus (the closed
         # crawl -> corpus -> tokenizer loop), artifact persisted for
         # the segmentation jobs downstream
