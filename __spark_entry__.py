@@ -432,6 +432,14 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "hyperball_neighborhood", # session-9 addition (HyperANF/HyperBall
+                              # neighborhood function N(t) + 90%
+                              # effective diameter — exact integer
+                              # micro-unit sums of the per-node
+                              # estimates (float sums are order-
+                              # dependent) + interpolation CASE;
+                              # shares the hyperball_centrality CTE
+                              # prefix verbatim in the oracle)
     "lsh_recall_report",      # session-9 addition (sketch-quality
                               # audit: the LSH pair set full-outer-
                               # joined against the exact prefix-

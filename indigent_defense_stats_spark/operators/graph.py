@@ -313,7 +313,7 @@ def _hb_ball_est(r: DataFrame) -> DataFrame:
     return per.select("v", est.alias("e"))
 
 
-def hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hyperball_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
     Centralities with HyperBall", WWW 2013 workshop / arXiv 1308.2144)
     over the click graph: every node keeps an HLL REGISTER TABLE of
@@ -383,17 +383,75 @@ def hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t, est in enumerate(ests[1:], start=1):
         out = out.join(est.select("v", F.col("e").alias(f"e{t}")), "v")
     # monotonize (HyperBall uses monotone counters; the raw->LC
-    # crossover could otherwise dip), then the harmonic sum
+    # crossover could otherwise dip)
     m1 = F.greatest(F.col("e1"), F.col("e0"))
     m2 = F.greatest(F.col("e2"), m1)
     m3 = F.greatest(F.col("e3"), m2)
-    harmonic = (m1 - F.col("e0")) + (m2 - m1) / 2 + (m3 - m2) / 3
+    return out.select("v", "e0", m1.alias("m1"), m2.alias("m2"), m3.alias("m3"))
+
+
+def hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node HyperBall output: monotone ball estimates at t=1..3
+    plus harmonic centrality sum_t (N(t)-N(t-1))/t — see
+    :func:`_hyperball_monotone` for the algorithm and determinism
+    contract."""
+    out = _hyperball_monotone(spark, sf_dir)
+    harmonic = (
+        (F.col("m1") - F.col("e0"))
+        + (F.col("m2") - F.col("m1")) / 2
+        + (F.col("m3") - F.col("m2")) / 3
+    )
     return out.select(
         F.col("v").alias("page"),
-        F.round(m1, 6).alias("ball1"),
-        F.round(m2, 6).alias("ball2"),
-        F.round(m3, 6).alias("ball3"),
+        F.round("m1", 6).alias("ball1"),
+        F.round("m2", 6).alias("ball2"),
+        F.round("m3", 6).alias("ball3"),
         F.round(harmonic, 6).alias("harmonic_c"),
+    )
+
+
+def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEIGHBORHOOD FUNCTION N(t) = sum_v |B_t(v)| and the
+    interpolated 90% effective diameter — HyperBall/HyperANF's
+    headline graph statistic (Boldi-Vigna-Rosa, WWW 2011): how much of
+    the graph is within t hops, and at what (fractional) radius 90%
+    of the measured horizon is covered.  On a web graph this is the
+    number a crawl planner reads to bound frontier depth.
+
+    Determinism: per-node estimates are identical doubles in both
+    engines (shared-literal division / LC lookup), but a FLOAT SUM
+    across nodes is order-dependent — so each estimate is converted
+    to exact integer MICRO-UNITS first (floor(x*1e6 + 0.5), an
+    explicit identical op chain, NOT engine round()) and summed as
+    BIGINT; one final division recovers the double.  The
+    interpolation CASE runs on those identical doubles."""
+    tbl = _hyperball_monotone(spark, sf_dir)
+
+    def micro(c: str) -> F.Column:
+        return F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")
+
+    agg = tbl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(micro("e0")).alias("s0"),
+        F.sum(micro("m1")).alias("s1"),
+        F.sum(micro("m2")).alias("s2"),
+        F.sum(micro("m3")).alias("s3"),
+    )
+    nb = [F.col(f"s{t}") / F.lit(1e6) for t in range(4)]
+    target = F.lit(0.9) * nb[3]
+    eff = (
+        F.when(nb[0] >= target, F.lit(0.0))
+        .when(nb[1] >= target, (target - nb[0]) / (nb[1] - nb[0]))
+        .when(nb[2] >= target, F.lit(1.0) + (target - nb[1]) / (nb[2] - nb[1]))
+        .otherwise(F.lit(2.0) + (target - nb[2]) / (nb[3] - nb[2]))
+    )
+    return agg.select(
+        "n_nodes",
+        F.round(nb[0], 6).alias("nb0"),
+        F.round(nb[1], 6).alias("nb1"),
+        F.round(nb[2], 6).alias("nb2"),
+        F.round(nb[3], 6).alias("nb3"),
+        F.round(eff, 6).alias("eff_diameter_90"),
     )
 
 
@@ -403,6 +461,7 @@ QUERIES = {
     "click_triangles": click_triangles,
     "click_reachability": click_reachability,
     "hyperball_centrality": hyperball_centrality,
+    "hyperball_neighborhood": hyperball_neighborhood,
 }
 
 _SQL_EDGES = """
@@ -466,12 +525,12 @@ def _pagerank_sql() -> str:
     return "".join(parts)
 
 
-def _hyperball_sql() -> str:
-    """Unrolled HB_ITERS-round HyperBall: register propagation as
-    UNION ALL + max aggregates, per-round estimates via the exact
-    shared-literal HLL machinery (sketches.hll_distinct oracle),
-    monotonized and folded into the harmonic sum in the same fixed
-    order as the Spark side."""
+def _hyperball_prefix() -> str:
+    """Unrolled HB_ITERS-round HyperBall CTE chain (through the
+    monotonized ``mm`` relation): register propagation as UNION ALL +
+    max aggregates, per-round estimates via the exact shared-literal
+    HLL machinery (sketches.hll_distinct oracle), monotonized with
+    the same greatest() chain as the Spark side."""
     from .sketches import _HLL_LC, _HLL_NUM, _HLL_SMALL
 
     md5v = "('0x' || left(md5(v::VARCHAR), 15))::BIGINT"
@@ -534,7 +593,15 @@ def _hyperball_sql() -> str:
                greatest(x2, greatest(x1, e0)) AS m2,
                greatest(x3, greatest(x2, greatest(x1, e0))) AS m3
         FROM j
+    )"""
     )
+    return "".join(parts)
+
+
+def _hyperball_sql() -> str:
+    return (
+        _hyperball_prefix()
+        + """
     SELECT v AS page,
            round(m1, 6) AS ball1,
            round(m2, 6) AS ball2,
@@ -543,11 +610,54 @@ def _hyperball_sql() -> str:
                AS harmonic_c
     FROM mm"""
     )
-    return "".join(parts)
+
+
+def _hyperball_nf_sql() -> str:
+    """Neighborhood function: exact integer micro-unit sums (the same
+    floor(x*1e6 + 0.5) op chain as the Spark side — float sums are
+    order-dependent, integer sums are not) + the interpolation CASE
+    on the recovered doubles."""
+    return (
+        _hyperball_prefix()
+        + """,
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(CAST(floor(e0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s0,
+               CAST(sum(CAST(floor(m1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s1,
+               CAST(sum(CAST(floor(m2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s2,
+               CAST(sum(CAST(floor(m3 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s3
+        FROM mm
+    ),
+    nbs AS (
+        SELECT n_nodes,
+               s0 / 1e6 AS nb0, s1 / 1e6 AS nb1,
+               s2 / 1e6 AS nb2, s3 / 1e6 AS nb3,
+               0.9::DOUBLE * (s3 / 1e6) AS target
+        FROM s
+    )
+    SELECT n_nodes,
+           round(nb0, 6) AS nb0,
+           round(nb1, 6) AS nb1,
+           round(nb2, 6) AS nb2,
+           round(nb3, 6) AS nb3,
+           round(CASE
+               WHEN nb0 >= target THEN 0.0::DOUBLE
+               WHEN nb1 >= target THEN (target - nb0) / (nb1 - nb0)
+               WHEN nb2 >= target
+                   THEN 1.0::DOUBLE + (target - nb1) / (nb2 - nb1)
+               ELSE 2.0::DOUBLE + (target - nb2) / (nb3 - nb2)
+           END, 6) AS eff_diameter_90
+    FROM nbs"""
+    )
 
 
 ORACLE_SQL = {
     "hyperball_centrality": _hyperball_sql(),
+    "hyperball_neighborhood": _hyperball_nf_sql(),
     "click_graph_edges": f"WITH {_SQL_EDGES} SELECT src, dst, w, ow FROM ew",
     "click_triangles": f"""
         WITH {_SQL_EDGES},

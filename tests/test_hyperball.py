@@ -121,3 +121,19 @@ def test_lc_table_is_m_ln_m_over_v(spark):
         assert math.isclose(
             _HLL_LC[v - 1], HLL_M * math.log(HLL_M / v), rel_tol=1e-12
         )
+
+
+def test_neighborhood_function_consistent_with_per_node(spark):
+    nf = G.hyperball_neighborhood(spark, SF_DIR).collect()
+    assert len(nf) == 1
+    r = nf[0]
+    per = G.hyperball_centrality(spark, SF_DIR).collect()
+    assert r["n_nodes"] == len(per)
+    # the global sums equal the per-node ball sums (rounding slack:
+    # per-node outputs are rounded to 6dp independently)
+    for col, key in (("nb1", "ball1"), ("nb2", "ball2"), ("nb3", "ball3")):
+        s = sum(p[key] for p in per)
+        assert abs(r[col] - s) < 1e-3, (col, r[col], s)
+    # monotone N(t), and the 90% effective diameter sits in [0, 3]
+    assert r["nb0"] <= r["nb1"] <= r["nb2"] <= r["nb3"]
+    assert 0.0 <= r["eff_diameter_90"] <= 3.0

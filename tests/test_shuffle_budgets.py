@@ -135,6 +135,8 @@ BUDGETS = {
     # table, the exact distinct-pair baseline, and type-dim joins —
     # everything post-aggregate- or dim-sized
     "hll_overlap_estimate": 8,
+    # hyperball table + one global aggregate (single row)
+    "hyperball_neighborhood": 5,
 }
 
 
