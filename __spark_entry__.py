@@ -57,6 +57,7 @@ def _modules():
         temporal,
         textstats,
         tokenizer,
+        unicodenorm,
     )
     from indigent_defense_stats_spark.sources import orc_io, sitemap, views, warc, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
@@ -75,6 +76,7 @@ def _modules():
         sharding,
         textstats,
         tokenizer,
+        unicodenorm,
         qualityclf,
         psl,
         rfc3986,
@@ -432,6 +434,15 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "nfc_normalize_docs",     # session-9 addition (Unicode NFC
+                              # normalization — the pre-hash text
+                              # hygiene pass; Spark has no builtin so
+                              # it is a declared Arrow-batched Python
+                              # boundary over stdlib unicodedata,
+                              # cross-checked against the INDEPENDENT
+                              # utf8proc implementation in the DuckDB
+                              # oracle; decomposed/precomposed/
+                              # singleton/ligature fixtures)
     "hyperball_neighborhood", # session-9 addition (HyperANF/HyperBall
                               # neighborhood function N(t) + 90%
                               # effective diameter — exact integer

@@ -137,6 +137,8 @@ BUDGETS = {
     "hll_overlap_estimate": 8,
     # hyperball table + one global aggregate (single row)
     "hyperball_neighborhood": 5,
+    # NFC pass: one Arrow-batched map stage, zero shuffle
+    "nfc_normalize_docs": 0,
 }
 
 
