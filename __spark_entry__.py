@@ -434,6 +434,15 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "decontaminate_cut",      # session-9 addition (SPAN-level
+                              # benchmark decontamination: cut only
+                              # the eval-overlapping windows instead
+                              # of dropping whole docs — composes the
+                              # eval'd benchmark_contamination's
+                              # broadcast-membership channel with
+                              # exact_substr_cut's islands fold;
+                              # train side never shuffles; full
+                              # islands replay oracle)
     "nfc_normalize_docs",     # session-9 addition (Unicode NFC
                               # normalization — the pre-hash text
                               # hygiene pass; Spark has no builtin so

@@ -369,8 +369,6 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to the corpus for the HOF rebuild.  No all-pairs; every
     shuffle is linear in corpus grams.
     """
-    from pyspark.sql import Window
-
     K = NGRAM
     d = (
         _docs(spark, sf_dir)
@@ -385,8 +383,18 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = grams.join(cnt.filter(F.col("c") > 1), "gram").select(
         "doc_id", "pos"
     )
+    return _island_cut(d, dup, K)
+
+
+def _island_cut(d: DataFrame, dup: DataFrame, k: int) -> DataFrame:
+    """The interval-union cut shared by :func:`exact_substr_cut` and
+    :func:`decontaminate_cut`: ``dup`` = (doc_id, pos) marked window
+    starts -> islands via the running-max fold -> HOF rebuild of each
+    document in ``d`` (doc_id, _toks) with covered tokens removed."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max = F.max(F.col("pos") + K).over(
+    prev_max = F.max(F.col("pos") + k).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     isl = dup.select(
@@ -400,7 +408,7 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         isl.groupBy("doc_id", "island")
         .agg(
             F.min("pos").cast("int").alias("s"),
-            (F.max("pos") + K).cast("int").alias("e"),
+            (F.max("pos") + k).cast("int").alias("e"),
         )
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
@@ -431,6 +439,46 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL benchmark decontamination: instead of dropping every
+    training document that shares a 13-gram with the eval split
+    (``benchmark_contamination``'s document-level flag, the
+    GPT-3/PaLM appendix policy), cut ONLY the overlapping spans and
+    keep the rest of the document — the span-level variant used when
+    whole-document removal wastes too much data (e.g. Llama-2's
+    sampled-window decontamination).  Same islands machinery as
+    :func:`exact_substr_cut`; the marked positions come from a
+    BROADCAST membership join against the distinct eval-split grams
+    instead of a corpus-wide df aggregate, so the training corpus
+    never shuffles — the decontamination scale contract
+    (benchmark_contamination pins the BroadcastHashJoin-only plan).
+
+    Output covers TRAIN documents only (eval docs are not rewritten).
+    """
+    K = NGRAM
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", _tokens())
+        .localCheckpoint(eager=False)
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(_ngrams(F.col("_toks"), K)).alias("pos", "gram"),
+    )
+    eval_grams = (
+        grams.where((F.col("doc_id") % EVAL_MOD) == EVAL_REM)
+        .select("gram")
+        .distinct()
+    )
+    dup = (
+        grams.where((F.col("doc_id") % EVAL_MOD) != EVAL_REM)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id", "pos")
+    )
+    return _island_cut(d.where(~is_eval), dup, K)
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "repetition_stats": repetition_stats,
@@ -438,6 +486,7 @@ QUERIES = {
     "cross_doc_chunk_dup": cross_doc_chunk_dup,
     "duplicate_span_stats": duplicate_span_stats,
     "exact_substr_cut": exact_substr_cut,
+    "decontaminate_cut": decontaminate_cut,
     "clean_corpus": clean_corpus,
 }
 
@@ -610,6 +659,86 @@ ORACLE_SQL["exact_substr_cut"] = f"""
     dup AS (
         SELECT g2.doc_id, g2.pos FROM g2 JOIN cnt USING (gram)
         WHERE cnt.c > 1
+    ),
+    isl0 AS (
+        SELECT doc_id, pos,
+               max(pos + {NGRAM}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM dup
+    ),
+    isl1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_max IS NULL OR pos >= prev_max
+                    THEN 1 ELSE 0 END AS brk
+        FROM isl0
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl1
+    ),
+    iv AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {NGRAM} AS e
+        FROM isl2 GROUP BY 1, 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(generate_series(0, len(ts) - 1)) AS i, ts
+        FROM t
+    ),
+    tok2 AS (SELECT doc_id, i, ts[i + 1] AS w FROM tok),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.w FROM tok2 tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM iv
+            WHERE iv.doc_id = tp.doc_id
+              AND tp.i >= iv.s AND tp.i < iv.e
+        )
+    ),
+    ka AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS INT) AS n_tokens,
+           CAST(len(t.ts) - coalesce(k.n_kept, 0) AS INT) AS n_cut,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM t LEFT JOIN ka k USING (doc_id)
+"""
+
+# decontaminate_cut: identical islands chain, but the marked starts
+# come from eval-gram membership and only train docs are rewritten
+ORACLE_SQL["decontaminate_cut"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TS} AS ts FROM documents
+        WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}
+    ),
+    ev AS (
+        SELECT doc_id, {_TS} AS ts FROM documents
+        WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+    ),
+    eg AS (
+        SELECT DISTINCT array_to_string(ts[i:i+{NGRAM - 1}], ' ') AS gram
+        FROM (
+            SELECT ts, unnest(generate_series(1, len(ts) - {NGRAM - 1}))
+                       AS i
+            FROM ev WHERE len(ts) >= {NGRAM}
+        )
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ts) - {NGRAM - 1})) AS i, ts
+        FROM t WHERE len(ts) >= {NGRAM}
+    ),
+    g2 AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ts[i:i+{NGRAM - 1}], ' ') AS gram
+        FROM g
+    ),
+    dup AS (
+        SELECT g2.doc_id, g2.pos FROM g2 JOIN eg USING (gram)
     ),
     isl0 AS (
         SELECT doc_id, pos,

@@ -104,3 +104,44 @@ def test_real_corpus_consistency(spark):
         assert r["n_cut"] == st["covered_tokens"], r["doc_id"]
         n_kept_words = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
         assert n_kept_words == r["n_tokens"] - r["n_cut"]
+
+
+def test_decontaminate_cut_semantics(spark):
+    # eval doc shares a 15-token run with one train doc; another train
+    # doc is clean.  Only the overlapping span is cut, only from the
+    # train doc.  doc_id % 10 == 7 marks the eval split.
+    shared = _words("s", 15)
+    corpus = {
+        7: _words("e", 3) + " " + shared,          # eval
+        1: _words("a", 4) + " " + shared + " " + _words("z", 3),  # train hit
+        2: _words("c", 30),                        # train clean
+    }
+    got = _run_decon(spark, corpus)
+    assert set(got) == {1, 2}  # eval doc not rewritten
+    assert got[1] == (22, 15, _words("a", 4) + " " + _words("z", 3))
+    assert got[2] == (30, 0, _words("c", 30))
+
+
+def _run_decon(spark, corpus):
+    df = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    orig = D._docs
+    try:
+        D._docs = lambda spark, sf_dir: df
+        return {
+            r["doc_id"]: (r["n_tokens"], r["n_cut"], r["clean_text"])
+            for r in D.decontaminate_cut(spark, SF_DIR).collect()
+        }
+    finally:
+        D._docs = orig
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    plan = (
+        D.decontaminate_cut(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -139,6 +139,9 @@ BUDGETS = {
     "hyperball_neighborhood": 5,
     # NFC pass: one Arrow-batched map stage, zero shuffle
     "nfc_normalize_docs": 0,
+    # eval grams arrive by BROADCAST (train side never shuffles on the
+    # gram key); island window + island agg + the rebuild join remain
+    "decontaminate_cut": 4,
 }
 
 
