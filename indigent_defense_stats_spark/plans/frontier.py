@@ -281,6 +281,7 @@ class CrawlEngine:
         robots_texts: "dict[str, str] | None" = None,
         wave_budget: int | None = None,
         adaptive_politeness: bool = False,
+        rfc_normalize: bool = False,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -300,6 +301,13 @@ class CrawlEngine:
         # level; composes with max_per_host (the tighter cap wins).
         # Unselected rows simply stay pending for later waves.
         self.wave_budget = wave_budget
+        # default-off RFC 3986 syntax normalization (case, percent-
+        # encoding, default ports, dot segments) UNDER the policy
+        # canonicalizer: two spec-equivalent spellings of one URL then
+        # share a canonical_url, so the seen filter drops the refetch
+        # no mined DUST rule has to learn.  Off => byte-identical to
+        # the reference parity path (pinned by pytest).
+        self.rfc_normalize = rfc_normalize
         self.priority = priority
         assert seen_filter in ("bloom", "cuckoo")
         # note: priority only matters under a per-wave budget — with
@@ -534,6 +542,17 @@ class CrawlEngine:
     def counties_df(self) -> DataFrame:
         return self._counties_df
 
+    def _canon(self, url_expr) -> F.Column:
+        """The frontier's canonical-URL key: policy canonicalization
+        (fragment/tracking/query-sort), optionally over the RFC 3986
+        spec normalizer (functions/urls.rfc3986_normalize_col) when
+        ``rfc_normalize=True``."""
+        if self.rfc_normalize:
+            from ..functions.urls import rfc3986_normalize_col
+
+            url_expr = rfc3986_normalize_col(url_expr)
+        return canonicalize_col(url_expr)
+
     def seeds(self) -> DataFrame:
         """Wave-0 frontier: login POST (when notes carry PUBLICLOGIN#,
         scraper/__init__.py:254-263) + portal main page, per active
@@ -541,7 +560,7 @@ class CrawlEngine:
         def seed_rows(df: DataFrame, url_expr, depth: int, prio: int) -> DataFrame:
             return df.select(
                 url_expr.alias("url"),
-                canonicalize_col(url_expr).alias("canonical_url"),
+                self._canon(url_expr).alias("canonical_url"),
                 "host",
                 "county",
                 "county_ord",
@@ -949,7 +968,7 @@ class CrawlEngine:
         )
 
         cand = main.unionByName(search).unionByName(results)
-        cand = cand.withColumn("canonical_url", canonicalize_col(F.col("url")))
+        cand = cand.withColumn("canonical_url", self._canon(F.col("url")))
         # host := the URL's own authority — an ABSOLUTE href may point
         # off the parent page's host (e.g. a mirror); politeness,
         # robots and the per-host dims must attribute such candidates
