@@ -95,6 +95,11 @@ OPTIONAL = [
     "exact_substr_cut",
     "rfc3986_canonical_urls",
     "hll_rolling_distinct",
+    "hll_overlap_estimate",
+    "hyperball_neighborhood",
+    "nfc_normalize_docs",
+    "decontaminate_cut",
+    "lsh_recall_report",
 ]
 
 
