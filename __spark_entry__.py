@@ -43,6 +43,7 @@ def _modules():
         funnel,
         graph,
         interleaved,
+        linkage,
         pipeline_queries,
         psl,
         qualityclf,
@@ -83,6 +84,7 @@ def _modules():
         ranking,
         decontam,
         dedup,
+        linkage,
         interleaved,
         similarity,
         corpusprep,
@@ -434,6 +436,14 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "fuzzy_name_pairs",       # session-9 addition (fuzzy record
+                              # linkage: blocked edit-distance name
+                              # matching, the approximate side of the
+                              # J1 exact-mapping family; levenshtein
+                              # is a builtin with identical integer
+                              # semantics in both engines, typo
+                              # universe arithmetic in doc_id, full
+                              # blocked-join replay oracle)
     "decontaminate_cut",      # session-9 addition (SPAN-level
                               # benchmark decontamination: cut only
                               # the eval-overlapping windows instead

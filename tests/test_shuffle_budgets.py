@@ -142,6 +142,9 @@ BUDGETS = {
     # eval grams arrive by BROADCAST (train side never shuffles on the
     # gram key); island window + island agg + the rebuild join remain
     "decontaminate_cut": 4,
+    # one name-count aggregate (pinned); the blocked self-join runs
+    # off the checkpointed dim, block key is the single shuffle
+    "fuzzy_name_pairs": 2,
 }
 
 
