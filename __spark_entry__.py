@@ -42,6 +42,7 @@ def _modules():
         freshness,
         funnel,
         graph,
+        ingestq,
         interleaved,
         linkage,
         pipeline_queries,
@@ -85,6 +86,7 @@ def _modules():
         decontam,
         dedup,
         linkage,
+        ingestq,
         interleaved,
         similarity,
         corpusprep,
@@ -436,6 +438,15 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "csv_quarantine_stats",   # session-9 addition (dirty-CSV ingest
+                              # with quarantine accounting: PERMISSIVE
+                              # corrupt-record semantics probed and
+                              # pinned per corruption channel; the S9
+                              # keep-every-error discipline applied to
+                              # the CSV source family; generated feed
+                              # parsed by the REAL Spark CSV reader,
+                              # oracle recomputes the accounting
+                              # arithmetically)
     "fuzzy_name_pairs",       # session-9 addition (fuzzy record
                               # linkage: blocked edit-distance name
                               # matching, the approximate side of the

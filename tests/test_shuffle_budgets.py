@@ -145,6 +145,8 @@ BUDGETS = {
     # one name-count aggregate (pinned); the blocked self-join runs
     # off the checkpointed dim, block key is the single shuffle
     "fuzzy_name_pairs": 2,
+    # CSV scan + one grouped aggregate
+    "csv_quarantine_stats": 1,
 }
 
 
