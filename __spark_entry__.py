@@ -438,6 +438,12 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "retention_cohorts",      # session-9 addition (cohort retention:
+                              # first-activity cohort x age decay
+                              # curve — min-per-user + distinct-day
+                              # aggregates, one division; the window/
+                              # aggregate surface is eval'd broadly,
+                              # full SQL replay oracle)
     "csv_quarantine_stats",   # session-9 addition (dirty-CSV ingest
                               # with quarantine accounting: PERMISSIVE
                               # corrupt-record semantics probed and

@@ -100,6 +100,9 @@ OPTIONAL = [
     "nfc_normalize_docs",
     "decontaminate_cut",
     "lsh_recall_report",
+    "fuzzy_name_pairs",
+    "csv_quarantine_stats",
+    "retention_cohorts",
 ]
 
 

@@ -157,9 +157,51 @@ def range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the canonical product/crawl-health analytic:
+    group every user by their FIRST-activity day (the cohort), then
+    for each cohort age report how many of its users were active
+    again.  Over a crawl log the same query reads "of the hosts first
+    seen on day D, how many still serve new pages at age a" — the
+    engagement-decay curve.
+
+    Engine shape: one (user, day) distinct (two-phase, linear), one
+    per-user min aggregate for the cohort day, a broadcast-sized join
+    back (the cohort dim is user-sized but the join key is user —
+    co-partitioned with the distinct's output, so AQE reuses the
+    exchange), and one final (cohort, age) aggregate.  All integer
+    arithmetic + ONE division for the retention rate.
+    """
+    ev = _events(spark, sf_dir)
+    day = F.floor(epoch_floor_s(F.col("ts")) / 86400).cast("long")
+    ud = ev.select("user_id", day.alias("d")).distinct().localCheckpoint(
+        eager=False
+    )
+    cohort = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    aged = ud.join(cohort, "user_id").select(
+        "cohort_d", (F.col("d") - F.col("cohort_d")).alias("age"), "user_id"
+    )
+    ret = aged.groupBy("cohort_d", "age").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    size = ret.filter(F.col("age") == 0).select(
+        F.col("cohort_d").alias("c2"), F.col("n_active").alias("cohort_size")
+    )
+    return ret.join(size, ret["cohort_d"] == size["c2"]).select(
+        "cohort_d",
+        "age",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
 QUERIES = {
     "asof_attribution": asof_attribution,
     "range_attribution": range_attribution,
+    "retention_cohorts": retention_cohorts,
 }
 
 # epoch seconds idiom: epoch_us // 1000000 floors exactly like Spark's
@@ -167,6 +209,34 @@ QUERIES = {
 _EPOCH = "CAST(epoch_us({0}) // 1000000 AS BIGINT)"
 
 ORACLE_SQL = {
+    "retention_cohorts": """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 1000000) // 86400 AS d
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, CAST(min(d) AS BIGINT) AS cohort_d
+            FROM ud GROUP BY 1
+        ),
+        aged AS (
+            SELECT c.cohort_d, CAST(ud.d - c.cohort_d AS BIGINT) AS age,
+                   ud.user_id
+            FROM ud JOIN cohort c USING (user_id)
+        ),
+        ret AS (
+            SELECT cohort_d, age,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM aged GROUP BY 1, 2
+        ),
+        size_t AS (
+            SELECT cohort_d, n_active AS cohort_size
+            FROM ret WHERE age = 0
+        )
+        SELECT r.cohort_d, r.age, r.n_active, s.cohort_size,
+               round(r.n_active * 1.0 / s.cohort_size, 6) AS retention
+        FROM ret r JOIN size_t s USING (cohort_d)
+    """,
     # the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     # first-class implementation of the operator, not a replay of the
     # engine's own plan

@@ -147,6 +147,9 @@ BUDGETS = {
     "fuzzy_name_pairs": 2,
     # CSV scan + one grouped aggregate
     "csv_quarantine_stats": 1,
+    # (user, day) distinct two-phase + cohort min + age agg + the
+    # age-0 size join — all post-distinct-sized, pinned base table
+    "retention_cohorts": 6,
 }
 
 

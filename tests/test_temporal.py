@@ -135,3 +135,22 @@ def test_range_matches_bruteforce_on_testdata(spark):
             and (ts - r["ts"]).total_seconds() < temporal.RANGE_WINDOW_S
         )
         assert got[r["event_id"]] == want, r["event_id"]
+
+
+def test_retention_cohort_invariants(spark):
+    from indigent_defense_stats_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    rows = retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["age"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert 0.0 < r["retention"] <= 1.0
+        by_cohort.setdefault(r["cohort_d"], {})[r["age"]] = r
+    for c, ages in by_cohort.items():
+        # age 0 always present and is the cohort size itself
+        assert 0 in ages and ages[0]["retention"] == 1.0
+        assert ages[0]["n_active"] == ages[0]["cohort_size"]
