@@ -438,6 +438,14 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "rolling_zscore_anomalies", # session-9 addition (daily-volume
+                              # anomaly monitor: trailing RANGE-frame
+                              # mean/std + z-score; integer centi-unit
+                              # sums keep float order-independence and
+                              # IEEE's correctly-rounded sqrt makes the
+                              # z bit-identical cross-engine; window
+                              # surface eval'd broadly, full replay
+                              # oracle)
     "retention_cohorts",      # session-9 addition (cohort retention:
                               # first-activity cohort x age decay
                               # curve — min-per-user + distinct-day

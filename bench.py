@@ -103,6 +103,7 @@ OPTIONAL = [
     "fuzzy_name_pairs",
     "csv_quarantine_stats",
     "retention_cohorts",
+    "rolling_zscore_anomalies",
 ]
 
 

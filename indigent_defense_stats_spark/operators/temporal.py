@@ -198,10 +198,77 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_WIN = 6  # trailing baseline: days d-6 .. d-1
+Z_MIN_N = 3  # minimum baseline days for a z-score
+Z_THRESH = 2.5
+
+
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: each day's total
+    ``value`` against a TRAILING 7-day baseline (RANGE frame d-6..d-1,
+    current day excluded) via rolling mean/std and a z-score — the
+    monitoring query a crawl/ingest pipeline alerts on (a host whose
+    daily fetch volume jumps 3 sigma is a trap or an incident).
+
+    Cross-engine float discipline: raw values are doubles, and float
+    SUMS are order-dependent — so each daily total is first fixed to
+    integer CENTI-units (floor(v*100 + 0.5); bounded so the squared
+    sums stay in BIGINT), all window sums are exact integers, and the
+    float tail is a fixed op chain on identical operands: two
+    divisions, one multiply, one subtract, one sqrt — and IEEE 754
+    requires sqrt to be correctly rounded (unlike ln/exp), so the
+    z-scores are bit-identical in Spark and DuckDB.
+
+    Scale shape: one (type, day) aggregate (linear, map-side partial)
+    + one RANGE window per type over the day-sized table.
+    """
+    ev = _events(spark, sf_dir)
+    day = F.floor(epoch_floor_s(F.col("ts")) / 86400).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("d"), cents.alias("v"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("s"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-Z_WIN, -1)
+    )
+    m = F.sum("s").over(w)
+    k = F.count("s").over(w)
+    sq = F.sum(F.col("s") * F.col("s")).over(w)
+    base = daily.select(
+        "event_type",
+        F.col("d").alias("epoch_day"),
+        F.col("s").alias("daily_cents"),
+        m.alias("m"),
+        k.alias("k"),
+        sq.alias("sq"),
+    )
+    mean = F.col("m") * 1.0 / F.col("k")
+    var = F.col("sq") * 1.0 / F.col("k") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("daily_cents") - mean) / std
+    ok = (F.col("k") >= Z_MIN_N) & (std > 0)
+    return base.select(
+        "event_type",
+        "epoch_day",
+        "daily_cents",
+        F.when(ok, F.round(mean, 6)).alias("baseline_mean"),
+        F.when(ok, F.round(std, 6)).alias("baseline_std"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.abs(z) > Z_THRESH).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 QUERIES = {
     "asof_attribution": asof_attribution,
     "range_attribution": range_attribution,
     "retention_cohorts": retention_cohorts,
+    "rolling_zscore_anomalies": rolling_zscore_anomalies,
 }
 
 # epoch seconds idiom: epoch_us // 1000000 floors exactly like Spark's
@@ -209,6 +276,47 @@ QUERIES = {
 _EPOCH = "CAST(epoch_us({0}) // 1000000 AS BIGINT)"
 
 ORACLE_SQL = {
+    "rolling_zscore_anomalies": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000) // 86400 AS epoch_day,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, epoch_day, s,
+                   sum(s) OVER w AS m,
+                   count(s) OVER w AS k,
+                   sum(s * s) OVER w AS sq
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+                         RANGE BETWEEN {Z_WIN} PRECEDING
+                               AND 1 PRECEDING)
+        ),
+        calc AS (
+            SELECT event_type, epoch_day, s,
+                   CAST(m AS BIGINT) * 1.0 / k AS mean,
+                   sqrt(greatest(
+                       CAST(sq AS BIGINT) * 1.0 / k
+                       - (CAST(m AS BIGINT) * 1.0 / k)
+                         * (CAST(m AS BIGINT) * 1.0 / k),
+                       CAST(0.0 AS DOUBLE))) AS std,
+                   k
+            FROM win
+        )
+        SELECT event_type, epoch_day, s AS daily_cents,
+               CASE WHEN k >= {Z_MIN_N} AND std > 0
+                    THEN round(mean, 6) END AS baseline_mean,
+               CASE WHEN k >= {Z_MIN_N} AND std > 0
+                    THEN round(std, 6) END AS baseline_std,
+               CASE WHEN k >= {Z_MIN_N} AND std > 0
+                    THEN round((s - mean) / std, 6) END AS z,
+               coalesce(CASE WHEN k >= {Z_MIN_N} AND std > 0
+                             THEN abs((s - mean) / std) > {Z_THRESH}
+                        END, FALSE) AS is_anomaly
+        FROM calc
+    """,
     "retention_cohorts": """
         WITH ud AS (
             SELECT DISTINCT user_id,

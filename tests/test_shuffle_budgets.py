@@ -150,6 +150,8 @@ BUDGETS = {
     # (user, day) distinct two-phase + cohort min + age agg + the
     # age-0 size join — all post-distinct-sized, pinned base table
     "retention_cohorts": 6,
+    # one (type, day) aggregate + one per-type RANGE window
+    "rolling_zscore_anomalies": 2,
 }
 
 
