@@ -438,6 +438,15 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "range_partition_plan",   # session-9 addition (sketch-derived
+                              # range partitioner + exact balance
+                              # audit — the north rule's skew-defusing
+                              # step as a first-class operator: KMV
+                              # hash-bottom sample -> bounds ->
+                              # broadcast inequality assignment ->
+                              # measured imbalance; the top-k and
+                              # layout surfaces are eval'd via
+                              # balanced_shards/bottomk family)
     "rolling_zscore_anomalies", # session-9 addition (daily-volume
                               # anomaly monitor: trailing RANGE-frame
                               # mean/std + z-score; integer centi-unit

@@ -104,6 +104,7 @@ OPTIONAL = [
     "csv_quarantine_stats",
     "retention_cohorts",
     "rolling_zscore_anomalies",
+    "range_partition_plan",
 ]
 
 

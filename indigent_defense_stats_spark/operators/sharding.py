@@ -155,5 +155,106 @@ _ORACLE = f"""
     ORDER BY shard_id
 """
 
-QUERIES = {"balanced_shards": balanced_shards}
-ORACLE_SQL = {"balanced_shards": _ORACLE}
+RP_SAMPLE_K = 256  # hash-bottom sample size
+RP_BUCKETS = 8
+
+
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive range-partition BOUNDS from a mergeable bottom-k-by-hash
+    sample and AUDIT the resulting balance with exact counts — the
+    skew-defusing step the north rule names (range-partition the
+    heavy-county corpus): boundaries must come from a sample (the full
+    sort is the thing being avoided), and a partitioner is only as
+    good as its measured imbalance.
+
+    Shape: the sample is a TOP-K by portable hash (Spark plans
+    ``orderBy(hash).limit(K)`` as per-partition local top-K + merge —
+    never a global sort; the same KMV object sketches.bottomk_sample
+    maintains incrementally); bounds are every (K/B)-th sampled key in
+    key order; assignment counts bounds below each key via a
+    BROADCAST inequality join against the (B-1)-row bounds dim; audit
+    is one grouped aggregate + a 1-row total broadcast.  All integers
+    + one division for the share.
+    """
+    from .textstats import md5_int
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    h = md5_int(F.col("o_orderkey").cast("string"))
+    samp = (
+        o.select(F.col("o_orderkey").alias("k"), h.alias("h"))
+        .orderBy("h", "k")
+        .limit(RP_SAMPLE_K)
+    )
+    from pyspark.sql import Window
+
+    ranked = samp.select(
+        "k", F.row_number().over(Window.orderBy("k")).alias("r")
+    )
+    step = RP_SAMPLE_K // RP_BUCKETS
+    bounds = ranked.filter(
+        (F.col("r") % step == 0) & (F.col("r") < RP_SAMPLE_K)
+    ).select(F.col("k").alias("bk"))
+    assigned = (
+        o.join(F.broadcast(bounds), F.col("o_orderkey") > F.col("bk"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("bk").cast("int").alias("bucket"))
+    )
+    per = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    total = per.agg(F.sum("n_rows").cast("long").alias("t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_rows",
+        "min_key",
+        "max_key",
+        # share in units of 1/B: 1.0 = perfectly balanced bucket
+        F.round(
+            F.col("n_rows") * F.lit(RP_BUCKETS) * 1.0 / F.col("t"), 6
+        ).alias("balance"),
+    )
+
+
+_RP_ORACLE = f"""
+    WITH samp AS (
+        SELECT o_orderkey AS k
+        FROM orders
+        ORDER BY ('0x' || left(md5(o_orderkey::VARCHAR), 15))::BIGINT,
+                 o_orderkey
+        LIMIT {RP_SAMPLE_K}
+    ),
+    ranked AS (
+        SELECT k, row_number() OVER (ORDER BY k) AS r FROM samp
+    ),
+    bounds AS (
+        SELECT k AS bk FROM ranked
+        WHERE r % {RP_SAMPLE_K // RP_BUCKETS} = 0 AND r < {RP_SAMPLE_K}
+    ),
+    assigned AS (
+        SELECT o.o_orderkey,
+               CAST(count(b.bk) AS INT) AS bucket
+        FROM orders o LEFT JOIN bounds b ON o.o_orderkey > b.bk
+        GROUP BY o.o_orderkey
+    ),
+    per AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM per)
+    SELECT bucket, n_rows, min_key, max_key,
+           round(n_rows * {RP_BUCKETS} * 1.0 / t, 6) AS balance
+    FROM per CROSS JOIN tot
+"""
+
+QUERIES = {
+    "balanced_shards": balanced_shards,
+    "range_partition_plan": range_partition_plan,
+}
+ORACLE_SQL = {
+    "balanced_shards": _ORACLE,
+    "range_partition_plan": _RP_ORACLE,
+}

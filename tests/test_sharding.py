@@ -104,3 +104,24 @@ def test_write_balanced_one_file_per_shard(spark, tmp_path):
     for r in counts[:-1]:
         assert r["count"] == per
     assert counts[-1]["count"] == (n % per or per)
+
+
+def test_range_partition_plan_balance(spark):
+    from indigent_defense_stats_spark.operators.sharding import (
+        RP_BUCKETS,
+        range_partition_plan,
+    )
+
+    rows = range_partition_plan(spark, SF_DIR).collect()
+    assert len(rows) == RP_BUCKETS
+    assert sorted(r["bucket"] for r in rows) == list(range(RP_BUCKETS))
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    by_bucket = sorted(rows, key=lambda r: r["bucket"])
+    # buckets are contiguous, ordered key ranges
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a["max_key"] < b["min_key"]
+    # a 256-point sample over a uniform key space keeps every bucket
+    # within 2x of perfect balance (KMV quantile error at k=256)
+    for r in rows:
+        assert 0.5 < r["balance"] < 2.0, r

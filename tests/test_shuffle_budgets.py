@@ -152,6 +152,9 @@ BUDGETS = {
     "retention_cohorts": 6,
     # one (type, day) aggregate + one per-type RANGE window
     "rolling_zscore_anomalies": 2,
+    # top-K sample merge + per-key bound count + bucket agg; the
+    # bounds dim and the 1-row total broadcast
+    "range_partition_plan": 4,
 }
 
 
