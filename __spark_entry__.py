@@ -438,6 +438,19 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "clustering_coefficients",# session-9 addition (per-node Watts-
+                              # Strogatz local clustering coefficient
+                              # from the exactly-once oriented
+                              # triangle table — the per-page form of
+                              # the eval'd-family click_triangles;
+                              # exact integers + one division, full
+                              # replay oracle)
+    "schema_evolution_stats", # session-9 addition (parquet
+                              # mergeSchema evolution accounting:
+                              # two-batch write through the real
+                              # writer, merged read, per-batch null
+                              # audit of the late column; arithmetic
+                              # replay oracle)
     "range_partition_plan",   # session-9 addition (sketch-derived
                               # range partitioner + exact balance
                               # audit — the north rule's skew-defusing

@@ -105,6 +105,8 @@ OPTIONAL = [
     "retention_cohorts",
     "rolling_zscore_anomalies",
     "range_partition_plan",
+    "clustering_coefficients",
+    "schema_evolution_stats",
 ]
 
 

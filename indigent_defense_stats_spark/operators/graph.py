@@ -145,6 +145,19 @@ def click_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives its whole upstream and the plan explodes
     multiplicatively (measured: 97 hash exchanges / 36 parquet scans
     for this one query; pinned: 4 / 2)."""
+    und, deg, tri = _oriented_triangles(spark, sf_dir)
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+    )
+
+
+def _oriented_triangles(spark: SparkSession, sf_dir: str):
+    """(und, deg, tri): undirected edge set, degree table, and the
+    exactly-once triangle table (t_a, t_b, t_c) from the degree-
+    ordered orientation — shared by the global count and the
+    per-node clustering coefficients."""
     ed = click_graph_edges(spark, sf_dir).select("src", "dst")
     und = (
         ed.select(
@@ -175,12 +188,50 @@ def click_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = orient.select(F.col("x").alias("t_a"), F.col("y").alias("t_b"))
     e2 = orient.select(F.col("x").alias("t_b"), F.col("y").alias("t_c"))
     e3 = orient.select(F.col("x").alias("t_a"), F.col("y").alias("t_c"))
-    wedges = e1.join(e2, "t_b")
-    tri = wedges.join(e3, ["t_a", "t_c"])
-    return (
-        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+    # pin: the triangle table feeds THREE per-corner branches in
+    # clustering_coefficients — unpinned, the wedge joins recompute
+    # per branch (measured 14 exchanges; pinned: 3)
+    tri = (
+        e1.join(e2, "t_b")
+        .join(e3, ["t_a", "t_c"])
+        .localCheckpoint(eager=False)
+    )
+    return und, deg, tri
+
+
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts-Strogatz): the
+    fraction of a node's neighbor pairs that are themselves connected,
+    lcc(v) = 2*T(v) / (deg(v) * (deg(v)-1)) — the community-density
+    signal per page/host (a crawl reads high-LCC neighborhoods as
+    template clusters or link farms).  Per-node triangle counts come
+    from exploding the exactly-once oriented triangle table (each
+    triangle credits all three corners — no double counting by
+    construction); exact integers + ONE division.
+    """
+    und, deg, tri = _oriented_triangles(spark, sf_dir)
+    tv = (
+        tri.select(F.col("t_a").alias("v"))
+        .unionAll(tri.select(F.col("t_b").alias("v")))
+        .unionAll(tri.select(F.col("t_c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = deg.join(tv, "v", "left").select(
+        "v",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+    )
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            (F.lit(2).cast("long") * F.col("n_tri")) * 1.0
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("v").alias("page"), "deg", "n_tri", lcc.alias("lcc")
     )
 
 
@@ -462,6 +513,7 @@ QUERIES = {
     "click_reachability": click_reachability,
     "hyperball_centrality": hyperball_centrality,
     "hyperball_neighborhood": hyperball_neighborhood,
+    "clustering_coefficients": clustering_coefficients,
 }
 
 _SQL_EDGES = """
@@ -686,6 +738,47 @@ ORACLE_SQL = {
                    AS n_triangles,
                (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
                (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_vertices
+    """,
+    "clustering_coefficients": f"""
+        WITH {_SQL_EDGES},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst
+        ),
+        dg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+            ) GROUP BY 1
+        ),
+        orient AS (
+            SELECT CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                        THEN und.a ELSE und.b END AS x,
+                   CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                        THEN und.b ELSE und.a END AS y
+            FROM und
+            JOIN dg da ON da.v = und.a
+            JOIN dg db ON db.v = und.b
+        ),
+        tri AS (
+            SELECT e1.x AS ta, e1.y AS tb, e2.y AS tc
+            FROM orient e1
+            JOIN orient e2 ON e1.y = e2.x
+            JOIN orient e3 ON e3.x = e1.x AND e3.y = e2.y
+        ),
+        tv AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                SELECT ta AS v FROM tri
+                UNION ALL SELECT tb FROM tri
+                UNION ALL SELECT tc FROM tri
+            ) GROUP BY 1
+        )
+        SELECT dg.v AS page, dg.deg,
+               coalesce(tv.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+               CASE WHEN dg.deg >= 2
+                    THEN round((2 * coalesce(tv.n_tri, 0)) * 1.0
+                               / (dg.deg * (dg.deg - 1)), 6)
+                    ELSE 0.0 END AS lcc
+        FROM dg LEFT JOIN tv USING (v)
     """,
     "click_pagerank": _pagerank_sql(),
     # textually the SAME recursion as the engine runs — only the

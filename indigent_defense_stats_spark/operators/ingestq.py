@@ -121,8 +121,61 @@ def csv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVOLVE_SPLIT_MOD = 3  # batch assignment: doc_id % 3 == 0 -> batch 1
+
+
+def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION accounting: batch 1 is written with
+    the original schema (id, amount), batch 2 with an added column
+    (id, amount, priority) — the lakehouse reality where a feed gains
+    a field mid-history.  Reading the directory with
+    ``mergeSchema=true`` must surface the union schema with NULLs for
+    the pre-evolution rows; this query reports exactly that per batch
+    (row counts, nulls in the late column, sums) so a drift monitor
+    can alert when the null fraction stops falling.
+
+    The two batches are generated arithmetically from doc_id and
+    written through the REAL parquet writer + merged reader; the
+    oracle recomputes the expected accounting from the same
+    arithmetic.  Scale: schema merge is a footer-only planning step;
+    the scan stays splittable and linear.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = tempfile.mkdtemp(prefix="ids-evolve-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    b1 = docs.filter(F.col("doc_id") % EVOLVE_SPLIT_MOD == 0).select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 7) % 1000).cast("int").alias("amount"),
+    )
+    b2 = docs.filter(F.col("doc_id") % EVOLVE_SPLIT_MOD != 0).select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 7) % 1000).cast("int").alias("amount"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+    )
+    b1.write.mode("overwrite").parquet(os.path.join(d, "batch=1"))
+    b2.write.mode("overwrite").parquet(os.path.join(d, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "batch=1"), os.path.join(d, "batch=2")
+    )
+    batch = F.when(F.col("id") % EVOLVE_SPLIT_MOD == 0, 1).otherwise(2)
+    return (
+        merged.groupBy(batch.cast("int").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("amount").cast("long").alias("sum_amount"),
+            F.sum(F.col("priority").isNull().cast("long")).alias(
+                "n_priority_null"
+            ),
+            F.sum(F.coalesce("priority", F.lit(0)))
+            .cast("long")
+            .alias("sum_priority"),
+        )
+    )
+
+
 QUERIES = {
     "csv_quarantine_stats": csv_quarantine_stats,
+    "schema_evolution_stats": schema_evolution_stats,
 }
 
 _KIND = f"""
@@ -139,6 +192,26 @@ _CTY = (
 )
 
 ORACLE_SQL = {
+    # arithmetic replay of the two-batch generation: batch-1 rows
+    # predate the column, so every one is NULL in the merged view
+    "schema_evolution_stats": f"""
+        WITH r AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {EVOLVE_SPLIT_MOD} = 0
+                        THEN 1 ELSE 2 END AS batch,
+                   CAST((doc_id * 7) % 1000 AS INT) AS amount,
+                   CASE WHEN doc_id % {EVOLVE_SPLIT_MOD} = 0 THEN NULL
+                        ELSE CAST(doc_id % 5 AS INT) END AS priority
+            FROM documents
+        )
+        SELECT batch,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(amount) AS BIGINT) AS sum_amount,
+               CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_priority_null,
+               CAST(sum(coalesce(priority, 0)) AS BIGINT) AS sum_priority
+        FROM r GROUP BY 1
+    """,
     # arithmetic replay of the generation + the probed PERMISSIVE
     # classification: bad/extra/short rows are corrupt, empty is not;
     # amount is NULL for bad/empty, county NULL for short

@@ -195,3 +195,37 @@ def test_reachability_min_distance_over_paths(spark, tmp_path):
     d = _tiny_events(spark, tmp_path, rows)
     out = {r["page"]: r["dist"] for r in graph.click_reachability(spark, d).collect()}
     assert out[1] == 1 and out[2] == 2
+
+
+def test_clustering_coefficients_brute_force(spark):
+    from indigent_defense_stats_spark.operators.graph import (
+        click_graph_edges,
+        clustering_coefficients,
+    )
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in click_graph_edges(spark, SF_DIR).select("src", "dst").collect()
+    }
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = clustering_coefficients(spark, SF_DIR).collect()
+    assert len(rows) == len(adj)
+    for r in rows:
+        v = r["page"]
+        nb = adj[v]
+        assert r["deg"] == len(nb)
+        t = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and (min(x, y), max(x, y)) in und
+        )
+        assert r["n_tri"] == t, v
+        if len(nb) >= 2:
+            assert r["lcc"] == round(2 * t / (len(nb) * (len(nb) - 1)), 6)
+        else:
+            assert r["lcc"] == 0.0

@@ -155,6 +155,11 @@ BUDGETS = {
     # top-K sample merge + per-key bound count + bucket agg; the
     # bounds dim and the 1-row total broadcast
     "range_partition_plan": 4,
+    # merged scan + one grouped aggregate
+    "schema_evolution_stats": 1,
+    # oriented-triangle machinery (und/deg/orient pinned) + the
+    # per-corner explode aggregate + the degree join
+    "clustering_coefficients": 3,
 }
 
 
