@@ -124,10 +124,20 @@ def _remove_dot_segments(path: str) -> str:
 
 
 def rfc3986_normalize(url: str) -> str:
-    """Pure-Python mirror (oracle/test ground truth)."""
+    """Pure-Python mirror (oracle/test ground truth).
+
+    Scope guard: only HIERARCHICAL references with an authority
+    ('scheme://host...') are normalized — the crawl's entire URL
+    universe.  Authority-less URIs (mailto:, urn:, data:) and
+    relative references pass through UNCHANGED: re-assembling them
+    through the scheme://authority template would corrupt them (a
+    review found 'mailto:user@x' became 'mailto://'), and dot-segment
+    folding assumes an absolute path."""
     import re
 
     m = re.match(_SPLIT_RE, url)
+    if m.group(3) is None:  # no '//authority' part -> passthrough
+        return url
     scheme = (m.group(2) or "").lower()
     auth = (m.group(4) or "").lower()
     port = DEFAULT_PORTS.get(scheme)
@@ -184,7 +194,10 @@ def remove_dot_segments_col(path: Column) -> Column:
 
 def rfc3986_normalize_col(url: Column) -> Column:
     """Spark column form of :func:`rfc3986_normalize` — pure JVM
-    string/array expressions, zero Python in the hot path."""
+    string/array expressions, zero Python in the hot path.  Same
+    scope guard: references without an authority pass through
+    unchanged (see the Python mirror's docstring)."""
+    has_auth = F.regexp_extract(url, _SPLIT_RE, 3) != ""
     scheme = F.lower(F.regexp_extract(url, _SPLIT_RE, 2))
     auth = F.lower(F.regexp_extract(url, _SPLIT_RE, 4))
     for sch, port in DEFAULT_PORTS.items():
@@ -201,4 +214,5 @@ def rfc3986_normalize_col(url: Column) -> Column:
         _pct_upper_col(F.regexp_extract(url, _SPLIT_RE, 7))
     )
     out = F.concat(scheme, F.lit("://"), auth, path)
-    return F.when(query != "", F.concat(out, F.lit("?"), query)).otherwise(out)
+    out = F.when(query != "", F.concat(out, F.lit("?"), query)).otherwise(out)
+    return F.when(has_auth, out).otherwise(url)

@@ -639,27 +639,12 @@ ORACLE_SQL["duplicate_span_stats"] = f"""
     FROM t LEFT JOIN agg a USING (doc_id)
 """
 
-# exact_substr_cut: the same positional-gram + df>1 chain as
-# duplicate_span_stats, then the islands-and-gaps reduction (running
-# max over the preceding frame -> break flags -> running sum) and a
-# NOT EXISTS anti-join of token positions against the islands.
-ORACLE_SQL["exact_substr_cut"] = f"""
-    WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
-    g AS (
-        SELECT doc_id,
-               unnest(generate_series(1, len(ts) - {NGRAM - 1})) AS i, ts
-        FROM t WHERE len(ts) >= {NGRAM}
-    ),
-    g2 AS (
-        SELECT doc_id, i - 1 AS pos,
-               array_to_string(ts[i:i+{NGRAM - 1}], ' ') AS gram
-        FROM g
-    ),
-    cnt AS (SELECT gram, count(*) AS c FROM g2 GROUP BY 1),
-    dup AS (
-        SELECT g2.doc_id, g2.pos FROM g2 JOIN cnt USING (gram)
-        WHERE cnt.c > 1
-    ),
+def _islands_sql_suffix() -> str:
+    """The interval-union islands chain + per-doc rebuild, shared
+    VERBATIM by the exact_substr_cut and decontaminate_cut oracles —
+    the SQL twin of the Spark-side _island_cut helper.  Callers
+    provide CTEs ``t`` (doc_id, ts) and ``dup`` (doc_id, pos)."""
+    return f""",
     isl0 AS (
         SELECT doc_id, pos,
                max(pos + {NGRAM}) OVER (
@@ -708,6 +693,30 @@ ORACLE_SQL["exact_substr_cut"] = f"""
     FROM t LEFT JOIN ka k USING (doc_id)
 """
 
+
+# exact_substr_cut: the same positional-gram + df>1 chain as
+# duplicate_span_stats, then the islands-and-gaps reduction (running
+# max over the preceding frame -> break flags -> running sum) and a
+# NOT EXISTS anti-join of token positions against the islands.
+ORACLE_SQL["exact_substr_cut"] = f"""
+    WITH t AS (SELECT doc_id, {_TS} AS ts FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ts) - {NGRAM - 1})) AS i, ts
+        FROM t WHERE len(ts) >= {NGRAM}
+    ),
+    g2 AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ts[i:i+{NGRAM - 1}], ' ') AS gram
+        FROM g
+    ),
+    cnt AS (SELECT gram, count(*) AS c FROM g2 GROUP BY 1),
+    dup AS (
+        SELECT g2.doc_id, g2.pos FROM g2 JOIN cnt USING (gram)
+        WHERE cnt.c > 1
+    )
+    """ + _islands_sql_suffix()
+
 # decontaminate_cut: identical islands chain, but the marked starts
 # come from eval-gram membership and only train docs are rewritten
 ORACLE_SQL["decontaminate_cut"] = f"""
@@ -739,54 +748,8 @@ ORACLE_SQL["decontaminate_cut"] = f"""
     ),
     dup AS (
         SELECT g2.doc_id, g2.pos FROM g2 JOIN eg USING (gram)
-    ),
-    isl0 AS (
-        SELECT doc_id, pos,
-               max(pos + {NGRAM}) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS prev_max
-        FROM dup
-    ),
-    isl1 AS (
-        SELECT doc_id, pos,
-               CASE WHEN prev_max IS NULL OR pos >= prev_max
-                    THEN 1 ELSE 0 END AS brk
-        FROM isl0
-    ),
-    isl2 AS (
-        SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM isl1
-    ),
-    iv AS (
-        SELECT doc_id, island, min(pos) AS s, max(pos) + {NGRAM} AS e
-        FROM isl2 GROUP BY 1, 2
-    ),
-    tok AS (
-        SELECT doc_id, unnest(generate_series(0, len(ts) - 1)) AS i, ts
-        FROM t
-    ),
-    tok2 AS (SELECT doc_id, i, ts[i + 1] AS w FROM tok),
-    kept AS (
-        SELECT tp.doc_id, tp.i, tp.w FROM tok2 tp
-        WHERE NOT EXISTS (
-            SELECT 1 FROM iv
-            WHERE iv.doc_id = tp.doc_id
-              AND tp.i >= iv.s AND tp.i < iv.e
-        )
-    ),
-    ka AS (
-        SELECT doc_id, count(*) AS n_kept,
-               string_agg(w, ' ' ORDER BY i) AS clean_text
-        FROM kept GROUP BY doc_id
     )
-    SELECT t.doc_id,
-           CAST(len(t.ts) AS INT) AS n_tokens,
-           CAST(len(t.ts) - coalesce(k.n_kept, 0) AS INT) AS n_cut,
-           coalesce(k.clean_text, '') AS clean_text
-    FROM t LEFT JOIN ka k USING (doc_id)
-"""
+    """ + _islands_sql_suffix()
 
 ORACLE_SQL["clean_corpus"] = f"""
     SELECT d.doc_id, d.source, d.lang, d.n_chars

@@ -336,32 +336,13 @@ def _hb_rho() -> F.Column:
 
 
 def _hb_ball_est(r: DataFrame) -> DataFrame:
-    """(v, e): the HLL estimate of a node's current ball from its
-    register rows — sketches.hll_distinct's exact-integer harmonic sum
-    + precomputed linear-counting table, per NODE instead of per
-    event_type."""
-    from .sketches import _HLL_LC, _HLL_NUM, _HLL_RHO_MAX, _HLL_SMALL, HLL_M
+    """(v, e): HLL ball estimate per node — delegates to the shared
+    estimate chain sketches._hll_est_over (one implementation of the
+    exact-integer harmonic sum + linear-counting lookup, used by the
+    sketch family and HyperBall alike)."""
+    from .sketches import _hll_est_over
 
-    per = r.groupBy("v").agg(
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - mj)")
-        ).alias("hit_sum"),
-        F.count(F.lit(1)).cast("long").alias("hits"),
-    )
-    s_scaled = (
-        F.col("hit_sum")
-        + (F.lit(HLL_M).cast("long") - F.col("hits"))
-        * F.lit(1 << _HLL_RHO_MAX).cast("long")
-    )
-    raw = F.lit(_HLL_NUM) / s_scaled
-    lc = F.element_at(
-        F.array(*[F.lit(x) for x in _HLL_LC]),
-        (F.lit(HLL_M).cast("int") - F.col("hits").cast("int")),
-    )
-    est = F.when(
-        (raw <= F.lit(_HLL_SMALL)) & (F.col("hits") < HLL_M), lc
-    ).otherwise(raw)
-    return per.select("v", est.alias("e"))
+    return _hll_est_over(r, ["v"]).select("v", "e")
 
 
 def _hyperball_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:

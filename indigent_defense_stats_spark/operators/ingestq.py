@@ -73,25 +73,52 @@ def _line(d: int) -> str:
     return f"{d},{_amount(d)},{county}"
 
 
-def csv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(county, n_rows, n_corrupt, n_amount_null, sum_amount): the
-    per-feed ingest report a quarantine pipeline publishes.  Rows with
-    a missing county column land under '(none)'."""
-    ids = sorted(
-        r["doc_id"] for r in _docs(spark, sf_dir).select("doc_id").collect()
+def _line_col() -> F.Column:
+    """The CSV line per document as a pure Spark expression — the
+    generation is DISTRIBUTED (written via ``write.text``), so the
+    query holds no driver-side row state and works wherever the temp
+    path is visible (point it at shared storage on a cluster; the
+    local temp dir here is the sandbox fixture location)."""
+    d = F.col("doc_id")
+    id_s = d.cast("string")
+    county = F.element_at(
+        F.array(*[F.lit(c) for c in COUNTIES]),
+        (d % len(COUNTIES)).cast("int") + 1,
     )
+    amt = ((d * 7) % 1000).cast("string")
+    return (
+        F.when(
+            d % BAD_MOD == BAD_REM,
+            F.concat_ws(",", id_s, F.lit("notanint"), county),
+        )
+        .when(
+            d % EXTRA_MOD == EXTRA_REM,
+            F.concat_ws(",", id_s, amt, county, F.lit("EXTRA")),
+        )
+        .when(d % SHORT_MOD == SHORT_REM, F.concat_ws(",", id_s, amt))
+        .when(
+            d % EMPTY_MOD == EMPTY_REM,
+            F.concat_ws(",", id_s, F.lit(""), county),
+        )
+        .otherwise(F.concat_ws(",", id_s, amt, county))
+    )
+
+
+def csv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(county, n_rows, sum_id, n_corrupt, n_amount_null, sum_amount):
+    the per-feed ingest report a quarantine pipeline publishes.  Rows
+    with a missing county column land under '(none)'."""
     d = tempfile.mkdtemp(prefix="ids-csvq-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    path = os.path.join(d, "feed.csv")
-    with open(path, "w") as fh:
-        fh.write("id,amount,county\n")
-        for i in ids:
-            fh.write(_line(int(i)) + "\n")
+    path = os.path.join(d, "feed")
+    _docs(spark, sf_dir).select(
+        _line_col().alias("value")
+    ).write.mode("overwrite").text(path)
     df = (
         spark.read.schema(
             "id long, amount int, county string, _corrupt_record string"
         )
-        .option("header", True)
+        .option("header", False)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)

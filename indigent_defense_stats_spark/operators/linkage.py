@@ -34,16 +34,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..functions.fixtures import pick_lit as _pick
+from ..functions.fixtures import sql_list_lit as _sql_lit
 from .textstats import _docs
 
 FIRSTS = ["maria", "jose", "james", "linda", "robert", "ana", "david", "sofia"]
 LASTS = ["garcia", "smith", "johnson", "martinez", "brown", "lopez", "davis", "wilson"]
 TYPO_MOD = 5  # every 5th row gets a one-char deletion
 LEV_MAX = 2  # match threshold
-
-
-def _pick(arr: list[str], idx: Column) -> Column:
-    return F.element_at(F.array(*[F.lit(x) for x in arr]), idx.cast("int") + 1)
 
 
 def synth_name() -> Column:
@@ -96,10 +94,6 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
 }
-
-
-def _sql_lit(arr: list[str]) -> str:
-    return "[" + ",".join(f"'{x}'" for x in arr) + "]"
 
 
 _NAME_SQL = f"""

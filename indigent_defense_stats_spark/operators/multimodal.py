@@ -337,6 +337,14 @@ def perceptual_hash(payloads: DataFrame) -> DataFrame:
                 c = bytes(c)
                 hdr = 2 if c[:2] == _MAGIC["jpeg"] else 4
                 body = np.frombuffer(c, dtype=np.uint8)[hdr + 4:]
+                # zero-pad to a cell multiple: media_payloads bodies
+                # are min(n_bytes, 4096) bytes — rarely divisible by
+                # 64 — and an unpadded reshape raised ValueError
+                # inside the task (review finding); padding is the
+                # standard downsample-grid edge fill
+                pad = (-len(body)) % PHASH_CELLS
+                if pad:
+                    body = np.pad(body, (0, pad))
                 cells = body.astype(np.int64).reshape(PHASH_CELLS, -1).sum(
                     axis=1
                 )

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.money import parse_money
-from . import clean, publish
+from . import clean, multimodal, publish
 
 # ---------------------------------------------------------------------------
 # F10: money parse (print_stats.py:54-60)
@@ -467,20 +467,20 @@ ORACLE_SQL = {
     # cell sums -> integer mean-comparison bits -> hi/lo halves ->
     # 16-bit bands -> candidate join -> Hamming verify.  Everything
     # is integer arithmetic, so the match is exact.
-    "media_phash_neardup": """
+    "media_phash_neardup": f"""
         WITH ids AS (SELECT doc_id FROM documents),
         bytes AS (
             SELECT doc_id, g.i AS i,
-                   (('0x' || left(md5('c:' || (doc_id % 100)::VARCHAR
+                   (('0x' || left(md5('c:' || (doc_id % {multimodal.PHASH_GROUPS})::VARCHAR
                                       || ':' || (g.i // 8)::VARCHAR), 15))
                         ::BIGINT % 256
                     + g.i * 17
-                    + CASE WHEN g.i = doc_id % 512
-                           THEN (doc_id // 100) % 5 ELSE 0 END) % 256 AS b
-            FROM ids, unnest(generate_series(0, 511)) AS g(i)
+                    + CASE WHEN g.i = doc_id % {multimodal.PHASH_BODY}
+                           THEN (doc_id // {multimodal.PHASH_GROUPS}) % 5 ELSE 0 END) % 256 AS b
+            FROM ids, unnest(generate_series(0, {multimodal.PHASH_BODY - 1})) AS g(i)
         ),
         cells AS (
-            SELECT doc_id, i // 8 AS c, CAST(sum(b) AS BIGINT) AS cs
+            SELECT doc_id, i // {multimodal.PHASH_BODY // multimodal.PHASH_CELLS} AS c, CAST(sum(b) AS BIGINT) AS cs
             FROM bytes GROUP BY 1, 2
         ),
         tot AS (
@@ -489,7 +489,7 @@ ORACLE_SQL = {
         ),
         bits AS (
             SELECT c.doc_id, c.c,
-                   CASE WHEN 64 * c.cs > t.ts THEN 1 ELSE 0 END AS bit
+                   CASE WHEN {multimodal.PHASH_CELLS} * c.cs > t.ts THEN 1 ELSE 0 END AS bit
             FROM cells c JOIN tot t USING (doc_id)
         ),
         hashes AS (
@@ -524,7 +524,7 @@ ORACLE_SQL = {
         JOIN hashes h1 ON h1.doc_id = c.d1
         JOIN hashes h2 ON h2.doc_id = c.d2
         WHERE bit_count(xor(h1.hi, h2.hi))
-              + bit_count(xor(h1.lo, h2.lo)) <= 8
+              + bit_count(xor(h1.lo, h2.lo)) <= {multimodal.PHASH_HAM_MAX}
     """,
     "media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

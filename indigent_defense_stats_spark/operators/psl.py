@@ -36,6 +36,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..functions.fixtures import pick_lit as _pick
+from ..functions.fixtures import sql_list_lit as _sql_lit
 from .textstats import _docs
 
 SUBS = ["www", "portal", "search", "cases", "m"]
@@ -69,10 +71,6 @@ PSL = [
     "au",
     "com.au",
 ]
-
-
-def _pick(arr: list[str], idx: Column) -> Column:
-    return F.element_at(F.array(*[F.lit(x) for x in arr]), idx.cast("int") + 1)
 
 
 def synth_host() -> Column:
@@ -139,10 +137,6 @@ def registrable_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "registrable_domain_stats": registrable_domain_stats,
 }
-
-
-def _sql_lit(arr: list[str]) -> str:
-    return "[" + ",".join(f"'{x}'" for x in arr) + "]"
 
 
 _HOST_SQL = (

@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..functions.fixtures import pick_lit as _pick
+from ..functions.fixtures import sql_list_lit as _sql_lit
 from ..functions.urls import UNRESERVED, rfc3986_normalize_col
 from .textstats import _docs
 
@@ -56,19 +58,18 @@ QS = ["", "?CaseID=12&b=%2fx", "?b=2&a=%7e1"]
 FRAGS = ["", "#RESULTS"]
 
 
-def _pick(arr: list[str], idx: Column) -> Column:
-    return F.element_at(F.array(*[F.lit(x) for x in arr]), idx.cast("int") + 1)
-
-
 def synth_url() -> Column:
+    # mixing divisors are small and pairwise varied so EVERY channel
+    # is reachable on the 500-row testdata (the original //640 made
+    # both non-empty query variants unreachable — caught in review)
     d = F.col("doc_id")
     return F.concat(
         _pick(SCHEMES, d % 4),
         F.lit("://"),
         _pick(HOSTS, F.expr("doc_id div 4") % 5),
-        _pick(PORTS, F.expr("doc_id div 20") % 4),
-        _pick(PATHS, F.expr("doc_id div 80") % 8),
-        _pick(QS, F.expr("doc_id div 640") % 3),
+        _pick(PORTS, F.expr("doc_id div 7") % 4),
+        _pick(PATHS, F.expr("doc_id div 3") % 8),
+        _pick(QS, F.expr("doc_id div 5") % 3),
         _pick(FRAGS, d % 2),
     )
 
@@ -91,17 +92,13 @@ QUERIES = {
 }
 
 
-def _sql_lit(arr: list[str]) -> str:
-    return "[" + ",".join("'" + x.replace("'", "''") + "'" for x in arr) + "]"
-
-
 _URL_SQL = (
     f"list_extract({_sql_lit(SCHEMES)}, CAST(doc_id % 4 AS INT) + 1)"
     " || '://' || "
     f"list_extract({_sql_lit(HOSTS)}, CAST((doc_id // 4) % 5 AS INT) + 1)"
-    f" || list_extract({_sql_lit(PORTS)}, CAST((doc_id // 20) % 4 AS INT) + 1)"
-    f" || list_extract({_sql_lit(PATHS)}, CAST((doc_id // 80) % 8 AS INT) + 1)"
-    f" || list_extract({_sql_lit(QS)}, CAST((doc_id // 640) % 3 AS INT) + 1)"
+    f" || list_extract({_sql_lit(PORTS)}, CAST((doc_id // 7) % 4 AS INT) + 1)"
+    f" || list_extract({_sql_lit(PATHS)}, CAST((doc_id // 3) % 8 AS INT) + 1)"
+    f" || list_extract({_sql_lit(QS)}, CAST((doc_id // 5) % 3 AS INT) + 1)"
     f" || list_extract({_sql_lit(FRAGS)}, CAST(doc_id % 2 AS INT) + 1)"
 )
 

@@ -31,6 +31,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.fixtures import sql_list_lit as _sql_lit
 from .textstats import _docs
 
 # explicit escape sequences: an editor or transport layer that
@@ -90,10 +91,6 @@ def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "nfc_normalize_docs": nfc_normalize_docs,
 }
-
-
-def _sql_lit(arr: list[str]) -> str:
-    return "[" + ",".join("'" + x + "'" for x in arr) + "]"
 
 
 ORACLE_SQL = {

@@ -342,13 +342,18 @@ def main() -> None:
         from indigent_defense_stats_spark.operators import qualityclf
 
         clf = qualityclf.quality_classifier_score(spark, corpus_dir)
-        n_clf = clf.filter(F.col("keep")).count()
+        # one action for both numbers — the map-only scorer scans the
+        # whole corpus, so a separate filter().count() would run it twice
+        ctot = clf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        ).head()
         cut = decontam.exact_substr_cut(spark, corpus_dir)
         ncut = cut.agg(
             F.sum("n_cut").alias("c"), F.sum("n_tokens").alias("t")
         ).head()
         print(
-            f"[quality] classifier_keep={n_clf}/{clf.count()} "
+            f"[quality] classifier_keep={ctot['k']}/{ctot['n']} "
             f"substr_cut_tokens={ncut['c']}/{ncut['t']}"
         )
 

@@ -100,3 +100,17 @@ def test_phash_group_bodies_match_oracle_formula(spark):
     body = bytes(payload)[6:]  # jpeg magic(2) + dims(4)
     i = c * 8 + 3
     assert body[i] == (base + i * 17) % 256
+
+
+def test_phash_handles_non_multiple_body_lengths(spark):
+    # media_payloads (xxh64-seeded) bodies are rarely 64-multiples —
+    # the hash must pad, not crash, when paired with that generator
+    from indigent_defense_stats_spark.operators.pipeline_queries import (
+        _media_decoded,
+    )
+
+    payloads = M.media_payloads(_media_decoded(spark, SF_DIR)).limit(32)
+    rows = M.perceptual_hash(payloads).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert 0 <= r["hi"] < 2**32 and 0 <= r["lo"] < 2**32

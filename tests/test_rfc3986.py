@@ -72,8 +72,14 @@ def test_spark_matches_python_on_universe(spark):
             seen_features.add("lower_escape")
         if "/../" in r["url"]:
             seen_features.add("dotdot")
-    # the universe actually exercises the interesting branches
-    assert seen_features == {"odd_port", "lower_escape", "dotdot"}
+        if "?CaseID" in r["url"] or "?b=2" in r["url"]:
+            seen_features.add("query")
+        if r["url"].split("#")[0].split("?")[0].endswith("/.."):
+            seen_features.add("trailing_dotdot")
+    # the universe actually exercises EVERY interesting branch
+    assert seen_features == {
+        "odd_port", "lower_escape", "dotdot", "query", "trailing_dotdot"
+    }
 
 
 def test_normalization_idempotent(spark):
@@ -105,3 +111,28 @@ def test_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_authority_less_uris_pass_through(spark):
+    # mailto/urn/data/relative references are out of normalization
+    # scope: they must pass through UNCHANGED in both forms
+    uris = [
+        "mailto:user@example.com",
+        "urn:isbn:0451450523",
+        "data:text/plain,hello",
+        "relative/path/../x",
+        "//host.example/a/../b",  # authority present: normalized
+    ]
+    for u in uris[:4]:
+        assert U.rfc3986_normalize(u) == u, u
+    assert U.rfc3986_normalize(uris[4]) == "://host.example/b"
+    df = spark.createDataFrame([(u,) for u in uris], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", U.rfc3986_normalize_col(F.col("u")).alias("c")
+        ).collect()
+    }
+    for u in uris[:4]:
+        assert got[u] == u, u
+    assert got[uris[4]] == "://host.example/b"
