@@ -438,6 +438,13 @@ _TAIL = [
                               # media plumbing via media_features;
                               # arithmetic body -> exact integer
                               # oracle replay)
+    "allocation_fairness",    # session-9 addition (Jain fairness
+                              # index audit of the waterfill wave
+                              # budget vs raw demand — the SLO number
+                              # max-min fairness buys; composes the
+                              # eval'd-family crawl_budget_waterfill,
+                              # exact integer sums + one division,
+                              # composed replay oracle)
     "clustering_coefficients",# session-9 addition (per-node Watts-
                               # Strogatz local clustering coefficient
                               # from the exactly-once oriented

@@ -107,6 +107,7 @@ OPTIONAL = [
     "range_partition_plan",
     "clustering_coefficients",
     "schema_evolution_stats",
+    "allocation_fairness",
 ]
 
 

@@ -231,12 +231,70 @@ _ORACLE = f"""
     LIMIT {TOP_N}
 """
 
+def allocation_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row fairness AUDIT of the waterfill wave budget: Jain's
+    fairness index J = (sum x)^2 / (n * sum x^2) (Jain, Chiu & Hawe,
+    DEC-TR-301, 1984) over the per-host allocations, next to the same
+    index for the RAW DEMAND — the number that quantifies what
+    max-min fairness bought (J = 1 is perfectly equal; 1/n is one
+    host taking everything).  A crawl SLO dashboard alerts on this.
+
+    Determinism: sums and squared sums are exact BIGINTs (allocations
+    are integers; max value ~1e5 so x^2 sums stay far inside BIGINT);
+    each index is two IEEE ops on identical operands — (s*s) exact
+    within double range, one multiply, one division — bit-identical
+    cross-engine.
+    """
+    w = crawl_budget_waterfill(spark, sf_dir)
+    agg = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("allocation").cast("long").alias("sa"),
+        F.sum(F.col("allocation") * F.col("allocation"))
+        .cast("long")
+        .alias("sa2"),
+        F.sum("demand").cast("long").alias("sd"),
+        F.sum(F.col("demand") * F.col("demand")).cast("long").alias("sd2"),
+        F.sum(F.col("capped").cast("long")).alias("n_capped"),
+    )
+    jain = lambda s, s2: F.round(  # noqa: E731
+        (F.col(s) * 1.0 * F.col(s)) / (F.col("n_hosts") * 1.0 * F.col(s2)), 6
+    )
+    return agg.select(
+        "n_hosts",
+        "n_capped",
+        F.col("sa").alias("total_allocated"),
+        jain("sa", "sa2").alias("jain_allocation"),
+        jain("sd", "sd2").alias("jain_demand"),
+    )
+
+
+_FAIRNESS_ORACLE = f"""
+    WITH w AS ({_WATERFILL_ORACLE}),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+               CAST(sum(CAST(capped AS BIGINT)) AS BIGINT) AS n_capped,
+               CAST(sum(allocation) AS BIGINT) AS sa,
+               CAST(sum(allocation * allocation) AS BIGINT) AS sa2,
+               CAST(sum(demand) AS BIGINT) AS sd,
+               CAST(sum(demand * demand) AS BIGINT) AS sd2
+        FROM w
+    )
+    SELECT n_hosts, n_capped, sa AS total_allocated,
+           round((sa * 1.0 * sa) / (n_hosts * 1.0 * sa2), 6)
+               AS jain_allocation,
+           round((sd * 1.0 * sd) / (n_hosts * 1.0 * sd2), 6)
+               AS jain_demand
+    FROM agg
+"""
+
 QUERIES = {
     "recrawl_priority": recrawl_priority,
     "crawl_budget_waterfill": crawl_budget_waterfill,
+    "allocation_fairness": allocation_fairness,
 }
 
 ORACLE_SQL = {
     "recrawl_priority": _ORACLE,
     "crawl_budget_waterfill": _WATERFILL_ORACLE,
+    "allocation_fairness": _FAIRNESS_ORACLE,
 }

@@ -157,6 +157,8 @@ BUDGETS = {
     "range_partition_plan": 4,
     # merged scan + one grouped aggregate
     "schema_evolution_stats": 1,
+    # waterfill's pinned dim windows + one global single-row aggregate
+    "allocation_fairness": 1,
     # oriented-triangle machinery (und/deg/orient pinned) + the
     # per-corner explode aggregate + the degree join
     "clustering_coefficients": 3,

@@ -71,3 +71,18 @@ def test_randomized_invariants(spark):
             capped = [got[h] for h in demand if got[h] < demand[h]]
             if capped:
                 assert max(capped) - min(capped) <= 1
+
+
+def test_allocation_fairness_bounds(spark):
+    from indigent_defense_stats_spark.operators.freshness import (
+        allocation_fairness,
+    )
+
+    r = allocation_fairness(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_hosts"] >= 2
+    # Jain's index lives in (1/n, 1]; max-min fairness must not be
+    # LESS fair than the raw demand distribution
+    for col in ("jain_allocation", "jain_demand"):
+        assert 1.0 / r["n_hosts"] < r[col] <= 1.0
+    assert r["jain_allocation"] >= r["jain_demand"]
+    assert r["n_capped"] >= 1  # the 60% budget binds by construction
