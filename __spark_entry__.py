@@ -113,6 +113,32 @@ def _modules():
 # analogs, dedup/ANN/decontam/corpus-prep, interleaved spans, media,
 # streaming, and the SQL-string API.
 _TAIL = [
+    # round-4 rotation: six session-7-9 families were promoted INTO the
+    # graded 50-prefix (bpe_merge_ranks, balanced_shards, dust_rules,
+    # crawl_budget_waterfill, hll_distinct, exact_substr_cut — all green
+    # under the local + hostile oracle sweeps since they landed); these
+    # six moved to the tail because their SURVEY.md §2 component keeps
+    # another green driver row or an exact pytest pin:
+    "union_tagged",           # union reassembly: pinned by pytest and
+                              # exercised inside denormalize_order_lines
+                              # (eval'd); pure two-branch union+tag
+    "part_type_class",        # J3 containment -> constant CASE: folded
+                              # CASE pinned by pytest; the containment
+                              # predicate family stays eval'd via
+                              # doc_motion_flags (J7)
+    "primary_order_flag",     # W3 row_number==1 flag: strict subset of
+                              # the eval'd event_sequence window (W1);
+                              # also pinned by pytest
+    "dismissed_count_analog", # A1 conditional count: the same
+                              # sum(CASE) shape lives inside the eval'd
+                              # stats_orders family + pytest
+    "nation_customer_stats",  # J2 broadcast-dim join: driver-covered by
+                              # cleaned_cases (eval'd, same UMich-shape
+                              # broadcast inner join + drop-on-miss)
+    "token_stats",            # textstats tokenization: the same
+                              # tokenizer machinery is eval'd via
+                              # gopher_quality_filters, unigram_lm_score
+                              # and ccnet_buckets
     # variant-of-evaluated (evaluated sibling -> same component):
     "top5_orders",            # global ORDER BY + LIMIT family: the
                               # eval'd bm25_search returns the same
@@ -267,12 +293,6 @@ _TAIL = [
                               # — LSH edge replay — with a pure
                               # arithmetic split map; the co-location
                               # invariant is pytest-pinned)
-    "hll_distinct",           # round-3 late addition (sketch family:
-                              # cms_heavy_hitters eval'd covers the
-                              # mergeable-sketch surface; the HLL
-                              # register table's max-merge law is
-                              # pytest-pinned and the full register
-                              # replay is oracle-checked)
     "span_boilerplate_strip", # round-3 late addition (interleaved
                               # cleaning family: interleaved_spans +
                               # line_dedup eval'd cover the span table
@@ -316,19 +336,11 @@ _TAIL = [
                               # minhash_lsh_neardup cover the doc-level
                               # surface; the inverted-index host-pair
                               # join replays exactly in the oracle)
-    "dust_rules",             # session-7 addition (crawl-hygiene
-                              # family: URL-param irrelevance mining,
-                              # Bar-Yossef DUST; the grouped-distinct
-                              # aggregation surface is eval'd via
-                              # stats_orders/nation_customer_stats and
-                              # the broadcast-dim channel via
-                              # customers_without_big_orders; full
-                              # mining replay oracle-checked via
-                              # check_oracles + pytest brute force)
     "dust_canonical_urls",    # session-7 addition (rule APPLICATION:
                               # mined-rule param strip; composition of
-                              # dust_rules with the map-only
-                              # canonicalize family pinned by pytest)
+                              # dust_rules — now eval'd in the prefix —
+                              # with the map-only canonicalize family
+                              # pinned by pytest)
     "temperature_mixture_quota", # session-7 addition (mT5-style
                               # temperature-rebalanced source quotas
                               # via Hamilton largest-remainder; the
@@ -349,14 +361,6 @@ _TAIL = [
                               # to the green quality_score + one
                               # per-component argmax window; full
                               # closure+quality replay oracle)
-    "crawl_budget_waterfill", # session-7 addition (max-min fair
-                              # water-filling wave-budget split across
-                              # hosts, closed-form rank windows over
-                              # the O(#hosts) demand dim; the window +
-                              # 1-row-broadcast surface is eval'd via
-                              # event_sequence/money_parse_total and
-                              # the full allocation replays in the
-                              # DuckDB oracle + brute-force pytest)
     "cdc_chunk_stats",        # session-7 addition (content-defined
                               # chunking: shift-robust duplicate-text
                               # accounting; the chunk-keyed df join
@@ -383,32 +387,13 @@ _TAIL = [
                               # form, oracle-checked via a recursive-
                               # CTE chain re-walk + pytest cycle/cap
                               # cases)
-    "bpe_merge_ranks",        # session-8 addition (tokenizer-training
-                              # family: distributed BPE merge learning
-                              # — ONE corpus shuffle to a Zipf-bounded
-                              # vocab, then vocab-only merge rounds;
-                              # the groupBy-count + argmax surface is
-                              # eval'd via stats_orders /
-                              # top_charge_argmin_analog; oracle = an
-                              # independent pure-Python BPE baked as
-                              # literals, the IVF-centroid convention)
     "bpe_segment_stats",      # session-8 addition (tokenizer APPLY
                               # side: learned merges rewrite the
                               # bounded vocab, the corpus pays one
-                              # broadcast join + linear aggregate —
-                              # the broadcast-dim surface is eval'd
-                              # via nation_customer_stats; same
+                              # broadcast join + linear aggregate;
+                              # the TRAIN side bpe_merge_ranks is now
+                              # eval'd in the prefix; same
                               # independent-replay oracle)
-    "balanced_shards",        # session-8 addition (output-layout
-                              # family: deterministic global row index
-                              # WITHOUT a single-partition sort — the
-                              # zipWithIndex idiom as range exchange +
-                              # O(#partitions) offset collect — cut
-                              # into fixed-size shards; the grouped
-                              # checksum surface is eval'd via
-                              # event_sequence / pack_sequences; exact
-                              # row_number replay oracle + the
-                              # one-file-per-shard writer pytest)
     "quality_classifier_score", # session-9 addition (model-based
                               # quality filtering: fastText-style
                               # hashed unigram+bigram linear scorer,
@@ -558,15 +543,6 @@ _TAIL = [
                               # agreeing implementations: Python
                               # mirror, Spark exprs, DuckDB fold
                               # oracle + RFC §5.4 vector pytest)
-    "exact_substr_cut",       # session-9 addition (ExactSubstr
-                              # REMOVAL, Lee et al. ACL'22: the edit
-                              # duplicate_span_stats only measures,
-                              # via the sorted interval-union fold;
-                              # the gram-df chain is eval'd via
-                              # line_dedup / cross_doc_chunk_dup and
-                              # the window surface via event_sequence;
-                              # full islands replay in the DuckDB
-                              # oracle + crafted-corpus pytest)
     "hyperball_centrality",   # session-9 addition (HyperBall, Boldi
                               # & Vigna WWW'13: per-node HLL register
                               # propagation along click-graph edges ->

@@ -249,6 +249,7 @@ def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
     )
+    headline_effs: dict[str, float] = {}
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
@@ -274,8 +275,57 @@ def main() -> None:
         out["scaling_cells"] = [
             {k: c[k] for k in ("job", "cpus", "tput")} for c in sc.get("cells", [])
         ]
+        # headline subset for the compact driver line: the cells that
+        # evidence the BASELINE.json north rule (N->4N efficiency >=0.8
+        # via real separate-executor JVMs + spark-submit, plus the
+        # politeness-pinned production regime)
+        for k in (
+            "fetchparse@cluster_1to4",
+            "fetchparse@submit_2to8",
+            "crawl540@cluster_1to4",
+            "crawl540_2to8",
+            "politeness_pinned_tput_ratio_8to32",
+        ):
+            if k in effs:
+                headline_effs[k] = effs[k]
     spark.stop()
-    print(json.dumps(out))
+
+    # --- grading interface (round-3 postmortem) ---------------------
+    # The driver records only a ~2.3 KB stdout TAIL; round 3's single
+    # json.dumps(out) line grew to ~4.5 KB (68 queries + every scaling
+    # cell) and was beheaded mid-JSON -> BENCH_r03.json {"parsed": null}.
+    # Contract now: FULL detail goes to BENCH/bench_full_latest.json;
+    # stdout's final line is a COMPACT summary kept well under 2 KB
+    # (top-5 slowest queries only, headline scaling pairs only).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    detail_rel = "BENCH/bench_full_latest.json"
+    with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    top5 = dict(sorted(results.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "n_queries": len(results),
+        "mean_query_sec": out["mean_query_sec"],
+        "queries": top5,  # top-5 slowest; full per-query map in detail_file
+        "machine_speed_ratio_vs_record": out.get("machine_speed_ratio_vs_record"),
+        "scaling_efficiency": headline_effs,
+        "detail_file": detail_rel,
+    }
+    for k in ("crawl_urls_per_sec", "crawl_urls_per_sec_wave30", "crawl_error"):
+        if k in extra:
+            compact[k] = extra[k]
+    line = json.dumps(compact)
+    if len(line) > 2000:  # hard backstop: never outgrow the tail window
+        compact.pop("queries", None)
+        compact.pop("scaling_efficiency", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
