@@ -553,6 +553,22 @@ _TAIL = [
                               # register mechanics via hll_distinct's
                               # exact-integer discipline; unrolled-
                               # iteration DuckDB oracle)
+    "png_decode_stats",       # round-4 addition (REAL image decode:
+                              # actual PNG bytes — zlib IDAT, CRC'd
+                              # chunks, all five scanline filters —
+                              # decoded by the pure-stdlib codec in
+                              # functions/png.py; closes the last
+                              # NotImplementedError.  The media
+                              # plumbing family stays eval'd via
+                              # media_features; pixels are arithmetic
+                              # in doc_id so the oracle replays every
+                              # sum without parsing binary)
+    "png_resize_stats",       # round-4 addition (real binary-in/
+                              # binary-out transform: PNG decode ->
+                              # nearest-neighbor resample -> re-encode
+                              # -> decode; same oracle grammar, resample
+                              # index arithmetic replayed per output
+                              # pixel; sibling of png_decode_stats)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -108,6 +108,8 @@ OPTIONAL = [
     "clustering_coefficients",
     "schema_evolution_stats",
     "allocation_fairness",
+    # round-4: real PNG decode (stdlib codec) over generated PNG bytes
+    "png_decode_stats",
 ]
 
 

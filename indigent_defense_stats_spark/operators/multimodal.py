@@ -9,11 +9,12 @@ plumbing a 100 TB multimodal corpus needs:
 - :func:`media_table` — explode media spans into a typed media table
   (native ops; media treated as opaque refs + typed metadata)
 - :func:`decode_media` — metadata extraction behind ``mapInPandas``.
-  The real decoder (PIL/ffmpeg) is NOT in this container, so the
-  default is a deterministic stub that fabricates plausible metadata
-  from the ref hash; ``decoder='real'`` raises NotImplementedError at
-  the exact integration point.  The Spark-side contract — schema,
-  Arrow batch shape, partition spread — is real and tested.
+  The default 'stub' fabricates deterministic metadata from the ref
+  hash (no bytes needed); ``decoder='real'`` does a REAL decode of
+  PNG payload bytes via the pure-stdlib codec in functions/png.py
+  (zlib inflate + all-five-scanline-filter reversal + CRC checks).
+  JPEG/video decode still needs libjpeg/ffmpeg (absent here); those
+  formats raise ValueError naming the format — quarantine, not crash.
 - :func:`frame_sample` — every-nth-frame sampling rows via native
   ``sequence``/``explode`` (no UDF): the video-path shape.
 
@@ -58,13 +59,53 @@ def media_table(documents: DataFrame) -> DataFrame:
 
 def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
     """Attach decoded metadata.  'stub' fabricates deterministic values
-    from the ref hash; 'real' marks the PIL/ffmpeg integration point."""
+    from the ref hash (works on the metadata-only media table);
+    'real' decodes actual PNG bytes from a ``content`` column (see
+    :func:`media_payloads_png`) — width/height/format come from the
+    pixels, not a header sniff."""
     if decoder == "real":
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg, not present in this"
-            " container; production ships them in the executor image and"
-            " replaces _decode_batch below"
-        )
+        if "content" not in media.columns:
+            raise ValueError(
+                "decoder='real' decodes actual bytes: pass a payloads"
+                " DataFrame with a binary 'content' column"
+                " (media_payloads_png), not the metadata-only media table"
+            )
+
+        def _real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions import png as pngmod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ws, hs, nbytes, fmts = [], [], [], []
+                for c in pdf["content"]:
+                    c = bytes(c)
+                    if c[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise ValueError(
+                            "decoder='real' supports PNG only in this"
+                            " container (libjpeg/ffmpeg absent); got magic"
+                            f" {c[:4]!r}"
+                        )
+                    w, h, _ct, _px = pngmod.decode_png(c)
+                    ws.append(w)
+                    hs.append(h)
+                    nbytes.append(len(c))
+                    fmts.append("png")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_ref": pdf["media_ref"],
+                        "media_kind": pdf["media_kind"],
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "n_bytes": pd.Series(nbytes, dtype="int64"),
+                        "format": fmts,
+                    }
+                )
+
+        return media.select(
+            "doc_id", "media_ref", "media_kind", "content"
+        ).mapInPandas(_real_batch, schema=DECODE_SCHEMA)
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,6 +180,60 @@ def media_payloads(decoded: DataFrame, max_body: int = 4096) -> DataFrame:
     return decoded.mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
+# PNG payload grammar (all arithmetic in doc_id, so the DuckDB oracle
+# recomputes decoded pixel statistics WITHOUT parsing any binary):
+#   w  = 8 + d % 25,  h = 8 + (d // 25) % 25
+#   channels = 3 (RGB) when d % 7 == 0 else 1 (greyscale)
+#   pixel[i] = (d*7 + i*13) % 256   for i in row-major sample order
+#   scanline filter for row y = (d + y) % 5  -> every decode exercises
+#   all five PNG filter reversals across the corpus
+PNG_DIM_MOD = 25
+PNG_RGB_EVERY = 7
+
+
+def media_payloads_png(decoded: DataFrame) -> DataFrame:
+    """REAL PNG payloads (zlib-compressed, CRC-checked, filtered
+    scanlines) with doc_id-arithmetic pixels — the generator feeding
+    :func:`decode_media(decoder='real')`.  format column is 'png'."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import png as pngmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % PNG_DIM_MOD
+                h = 8 + (d // PNG_DIM_MOD) % PNG_DIM_MOD
+                ct = 2 if d % PNG_RGB_EVERY == 0 else 0
+                n = w * h * (3 if ct == 2 else 1)
+                i = np.arange(n, dtype=np.int64)
+                px = ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes()
+                content.append(
+                    pngmod.encode_png(
+                        w, h, px, color_type=ct,
+                        filter_choice=lambda y, d=d: (d + y) % 5,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": ["png"] * len(pdf),
+                    "content": content,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "media_ref", "media_kind"
+    ).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
 def parse_dimensions(payloads: DataFrame) -> DataFrame:
     """Binary-parsing UDF: recover (width, height) from the payload
     header — the real shape of an image-metadata sniffer (exif/SOF
@@ -203,16 +298,47 @@ def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
 def resize_media(
     payloads: DataFrame, scale: float = 0.5, decoder: str = "stub"
 ) -> DataFrame:
-    """Binary-in/binary-out resize.  'real' marks the PIL integration
-    point (not in this container); the stub rewrites the header
-    dimensions and truncates the body proportionally — exercising the
-    full binary transform contract (parse -> transform -> re-encode)."""
+    """Binary-in/binary-out resize.  'real' decodes PNG payloads with
+    the stdlib codec, resamples pixels by nearest neighbor
+    (src = (dst * src_dim) // dst_dim — integer arithmetic, so the
+    DuckDB oracle can replay every output pixel), and re-encodes; the
+    'stub' rewrites the synthetic header dimensions and truncates the
+    body proportionally — same parse -> transform -> re-encode
+    contract, no pixel decode."""
     if decoder == "real":
-        raise NotImplementedError(
-            "real resize needs PIL; production replaces the stub body"
-            " with Image.open(BytesIO(c)).resize(...) under the same"
-            " mapInPandas contract"
-        )
+
+        def rz_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from ..functions import png as pngmod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for c in pdf["content"]:
+                    w, h, ct, px = pngmod.decode_png(bytes(c))
+                    ch = 3 if ct == 2 else 1
+                    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    ys = (np.arange(nh) * h) // nh
+                    xs = (np.arange(nw) * w) // nw
+                    out.append(
+                        pngmod.encode_png(
+                            nw, nh, a[ys][:, xs].tobytes(), color_type=ct
+                        )
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_ref": pdf["media_ref"],
+                        "media_kind": pdf["media_kind"],
+                        "format": pdf["format"],
+                        "content": out,
+                    }
+                )
+
+        return payloads.mapInPandas(rz_real, schema=PAYLOAD_SCHEMA)
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -362,6 +488,54 @@ def perceptual_hash(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(ph, schema="doc_id long, hi long, lo long")
+
+
+PIXSTATS_SCHEMA = (
+    "doc_id string, width int, height int, channels int,"
+    " pixel_sum long, pixel_min int, pixel_max int"
+)
+
+
+def png_pixel_stats(payloads: DataFrame) -> DataFrame:
+    """REAL-decode PNG payloads and aggregate per-image pixel
+    statistics (exact integers).  Because :func:`media_payloads_png`
+    pixels are arithmetic in doc_id, a SQL oracle recomputes every
+    statistic without touching a byte of PNG — any defect anywhere in
+    the codec chain (chunk framing, CRC, inflate, any of the five
+    defilters, sample order) shifts a sum and hash-mismatches."""
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import png as pngmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                w, h, ct, px = pngmod.decode_png(bytes(c))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        3 if ct == 2 else 1,
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return payloads.mapInPandas(st, schema=PIXSTATS_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:

@@ -162,6 +162,11 @@ BUDGETS = {
     # oriented-triangle machinery (und/deg/orient pinned) + the
     # per-corner explode aggregate + the degree join
     "clustering_coefficients": 3,
+    # real PNG codec chain: two map-only mapInPandas stages (generate
+    # -> decode+stats), zero shuffle at any corpus size
+    "png_decode_stats": 0,
+    # adds the decode->resample->re-encode stage; still map-only
+    "png_resize_stats": 0,
 }
 
 
@@ -191,6 +196,8 @@ SCAN_BUDGETS = {
     "bpe_merge_ranks": 0,  # local artifact table — no scan at all
     "bpe_segment_stats": 1,  # corpus scan; vocab side checkpointed
     "media_phash_neardup": 0,  # phash table pinned (3 consumers)
+    "png_decode_stats": 1,  # one documents scan feeds the map chain
+    "png_resize_stats": 1,
 }
 
 

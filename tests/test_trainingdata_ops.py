@@ -192,8 +192,10 @@ def test_media_table_and_decode(spark, span_docs):
     assert sorted(map(tuple, again)) == sorted(map(tuple, decoded))
 
 
-def test_decode_real_is_marked_unimplemented(spark, span_docs):
-    with pytest.raises(NotImplementedError):
+def test_decode_real_requires_payload_bytes(spark, span_docs):
+    # decoder='real' decodes actual bytes: the metadata-only media
+    # table (no content column) must be rejected loudly
+    with pytest.raises(ValueError, match="content"):
         multimodal.decode_media(multimodal.media_table(span_docs), decoder="real")
 
 
@@ -242,11 +244,14 @@ def test_media_binary_pipeline(spark, span_docs):
     rd = {r["media_ref"]: (r["width"], r["height"]) for r in resized}
     for ref, (w, h) in meta.items():
         assert rd[ref] == (max(1, int(w * 0.5)), max(1, int(h * 0.5)))
-    # 'real' decoder is an explicit integration point
+    # 'real' resize decodes actual pixels — these payloads carry the
+    # synthetic jpeg/tiff magic, not PNG, so the codec must reject
+    # them by format rather than guess (quarantine-not-crash); the
+    # real-decode happy path is tests/test_png.py
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_media(payloads, decoder="real")
+    with _pytest.raises(Exception, match="not a PNG"):
+        multimodal.resize_media(payloads, decoder="real").collect()
 
 
 # ---- prefix-filtered exact join: equivalence with brute force ----------
