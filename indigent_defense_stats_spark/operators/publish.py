@@ -21,13 +21,19 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..plans import bloom
 from ..sources.catalog import SnapshotTable
+
+BLOOM_BUCKETS = 32
+BLOOM_BITS = 1 << 20
 
 
 def publish(
     cleaned: DataFrame,
     target: SnapshotTable,
     today: str,
+    bloom_state: SnapshotTable | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Insert new versions of *cleaned* into *target*; returns the rows
     inserted (with id + version).  ``today`` is MM-DD-YYYY, injected for
@@ -40,7 +46,24 @@ def publish(
     so every snapshot doubles as the CDC changelog
     ``snapshot_changes`` consumes).  An overwrite-mode target keeps
     only the latest batch and would re-insert previously-seen content
-    at version 1 from the third publish onward."""
+    at version 1 from the third publish onward.
+
+    ``bloom_state`` (round-3 verdict watch item): without it, every
+    publish anti-joins the incoming batch against the FULL published
+    history's ``html_hash`` column — column-pruned and linear, but at
+    100x one full hash-column scan per publish.  Pass a SnapshotTable
+    (overwrite mode) holding a partitioned Bloom over all published
+    hashes and the anti-join degrades gracefully: the batch probes the
+    O(n_buckets)-row state first (plans/bloom.py, the frontier's
+    seen-filter machinery), definite negatives skip the history
+    entirely, and when the batch has NO bloom positives — the common
+    steady-state refresh, all-new content — the exact anti-join is
+    skipped altogether and the history hash column is never scanned.
+    The state is maintained INCREMENTALLY: each publish ORs in bits
+    for the just-inserted hashes only (O(batch)), never rescanning
+    history; first use backfills from the existing table once.
+    ``stats`` (optional dict) receives bloom_maybe_seen /
+    exact_join_skipped for observability and tests."""
     existing = target.read()
     # within-batch hash dedup as well (the reference would skip the
     # second file with the same hash once the first inserted).  The
@@ -54,10 +77,55 @@ def publish(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    state = bloom_state.read() if bloom_state is not None else None
     if existing is not None and not existing.isEmpty():
-        incoming = incoming.join(
-            existing.select("html_hash"), "html_hash", "left_anti"
-        )
+        if bloom_state is not None:
+            if state is None or state.isEmpty():
+                # one-time backfill from history (only scan of its
+                # hash column the bloom path ever takes after this)
+                state = bloom.build(
+                    existing.select("html_hash"), "html_hash",
+                    BLOOM_BUCKETS, BLOOM_BITS,
+                ).localCheckpoint(eager=True)
+            # probe a NARROW hash projection — the wide record (nested
+            # charge/disposition arrays) never rides the Arrow probe
+            # stage, and at scale only the key column shuffles
+            maybe_hashes = (
+                bloom.probe(
+                    bloom.with_bucket_and_hashes(
+                        incoming.select("html_hash"), "html_hash",
+                        BLOOM_BUCKETS,
+                    ),
+                    state,
+                    BLOOM_BITS,
+                )
+                .filter(F.col("maybe_seen"))
+                .select("html_hash")
+                .localCheckpoint(eager=True)
+            )
+            n_maybe = maybe_hashes.count()  # bounded: <= batch keys
+            if n_maybe == 0:
+                # no bloom positive -> no row can exist in history
+                # (no false negatives): skip the exact join, and with
+                # it the full history hash-column scan
+                pass
+            else:
+                # exact verify ONLY the positives against history,
+                # then anti-join incoming against the confirmed-seen
+                # set — small (true dups + ~fp rate), so broadcastable
+                seen_confirmed = maybe_hashes.join(
+                    existing.select("html_hash"), "html_hash", "left_semi"
+                )
+                incoming = incoming.join(
+                    F.broadcast(seen_confirmed), "html_hash", "left_anti"
+                )
+            if stats is not None:
+                stats["bloom_maybe_seen"] = n_maybe
+                stats["exact_join_skipped"] = n_maybe == 0
+        else:
+            incoming = incoming.join(
+                existing.select("html_hash"), "html_hash", "left_anti"
+            )
         base_versions = existing.groupBy("case_number").agg(
             F.max("version").alias("base_version")
         )
@@ -96,4 +164,13 @@ def publish(
     if out.isEmpty():
         return out
     target.write(out, {"event": "publish"})
+    if bloom_state is not None:
+        # incremental maintenance: OR in bits for the inserted hashes
+        # only — O(batch) + O(n_buckets x n_bits/8) state, independent
+        # of history size (same contract as the frontier seen-filter)
+        new_state = bloom.update_state(
+            state, out.select("html_hash"), "html_hash",
+            BLOOM_BUCKETS, BLOOM_BITS,
+        )
+        bloom_state.write(new_state.coalesce(1), {"event": "publish"})
     return out

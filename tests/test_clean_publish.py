@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import date, datetime
 
+import pyspark.sql.functions as F
 import pytest
 
 from indigent_defense_stats_spark import oracle, schemas, synth
@@ -206,3 +207,73 @@ def test_snapshot_changes_is_a_consistent_changelog(spark):
     ins = pq.publish_versions(spark, sf)
     cases = {r["case_number"] for r in ins.select("case_number").distinct().collect()}
     assert {r["case_number"] for r in rows} == cases
+
+
+def test_publish_bloom_prepass_byte_identical(spark, world, tmp_path):
+    """Round-3 verdict item 4: the bloom-pre-passed publish must emit
+    EXACTLY the rows the plain anti-join publish emits, across a
+    multi-generation refresh; when a batch has zero bloom positives
+    the exact anti-join (and with it the history hash-column scan) is
+    skipped, and a batch of already-published hashes is still fully
+    suppressed via the exact verify of bloom positives (no false
+    negatives by filter contract, fp-rate irrelevant to output)."""
+    records, dim, dim_rows, expected_records = world
+    cleaned = clean_mod.clean_records(records, dim, PDATE)
+    today = "07-04-2024"
+
+    plain = SnapshotTable(spark, str(tmp_path / "plain"), mode="append")
+    boosted = SnapshotTable(spark, str(tmp_path / "boosted"), mode="append")
+    state = SnapshotTable(spark, str(tmp_path / "bloom"), mode="overwrite")
+
+    def key_set(rows):
+        return {(r["id"], r["version"], r["html_hash"]) for r in rows}
+
+    # generation 1: empty target, everything inserts
+    st1: dict = {}
+    ins_p = publish_mod.publish(cleaned, plain, today).collect()
+    ins_b = publish_mod.publish(
+        cleaned, boosted, today, bloom_state=state, stats=st1
+    ).collect()
+    assert key_set(ins_p) == key_set(ins_b)
+    assert state.read() is not None  # state seeded from the batch
+
+    # generation 2: same batch again -> bloom flags ALL rows maybe-seen
+    # (they are seen); exact verify suppresses every one
+    st2: dict = {}
+    again = publish_mod.publish(
+        cleaned, boosted, today, bloom_state=state, stats=st2
+    )
+    assert again.isEmpty()
+    assert st2["bloom_maybe_seen"] > 0 and not st2["exact_join_skipped"]
+
+    # generation 3: all-new content (hash rewrite) -> with 2^20 bits
+    # over this tiny batch the fp chance is ~0: the exact join is
+    # skipped and the output still matches the plain path
+    fresh = cleaned.withColumn(
+        "html_hash", F.concat(F.lit("gen3:"), cleaned.html_hash)
+    )
+    st3: dict = {}
+    ins_p3 = publish_mod.publish(fresh, plain, today).collect()
+    ins_b3 = publish_mod.publish(
+        fresh, boosted, today, bloom_state=state, stats=st3
+    ).collect()
+    assert key_set(ins_p3) == key_set(ins_b3)
+    assert st3["exact_join_skipped"] and st3["bloom_maybe_seen"] == 0
+
+    # generation 4: half old (gen-3 hashes), half new -> split path:
+    # old suppressed exactly, new inserted, outputs still equal
+    mixed = fresh.limit(2).unionByName(
+        fresh.withColumn(
+            "html_hash", F.concat(F.lit("gen4:"), fresh.html_hash)
+        )
+    )
+    st4: dict = {}
+    ins_p4 = publish_mod.publish(mixed, plain, today).collect()
+    ins_b4 = publish_mod.publish(
+        mixed, boosted, today, bloom_state=state, stats=st4
+    ).collect()
+    assert key_set(ins_p4) == key_set(ins_b4)
+    assert st4["bloom_maybe_seen"] >= 2  # the two republished hashes
+
+    # full-history equality after four generations
+    assert key_set(plain.read().collect()) == key_set(boosted.read().collect())
