@@ -258,10 +258,10 @@ _TAIL = [
                               # publish_versions two-batch replay
                               # (same CTEs + per-case max diff)
     "neardup_components_lsh", # same edges as _star, same algo as exact
-    "embedding_neardup_pairs",# exact O(n^2) baseline; ANN family (cosine/
-                              # lsh/ivf/ivf_indexed) evaluated in prefix
-    "ngram_jaccard_pairs",    # exact pair join replayed INSIDE the green
-                              # neardup_components closure oracle
+    # (round-4) ngram_jaccard_pairs and embedding_neardup_pairs left
+    # the registry entirely: the only two all-pairs plans are now
+    # library functions + pytest oracle baselines, so every registered
+    # query's plan is one a user could run at 100 TB
     "minhash_signatures",     # construction step of minhash_lsh_neardup
     "span_reconstruct_check", # invariant companion of interleaved_spans
     "quality_score",          # constituent of quality_thresholds

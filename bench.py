@@ -34,7 +34,6 @@ HEADLINE = [
 OPTIONAL = [
     "exact_dedup_docs",
     "minhash_lsh_neardup",
-    "ngram_jaccard_pairs",
     "ann_topk_cosine",
     "token_stats",
     "lang_id",

@@ -978,7 +978,12 @@ QUERIES = {
     "lsh_recall_report": lsh_recall_report,
     "mirror_hosts": mirror_hosts,
     "exact_dedup_docs": exact_dedup_docs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    # ngram_jaccard_pairs is deliberately NOT registered (round-4):
+    # its Σdf²-bounded exact pair join is the one plan here that should
+    # not run at 100 TB.  It stays a library function — the oracle
+    # baseline pytest + lsh_recall_report's exact CTE still exercise it
+    # (its ORACLE_SQL entry below is interpolated there) — but the
+    # registry a user would run is scale-safe by inspection.
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_neardup": minhash_lsh_neardup,
     "simhash_buckets": simhash_buckets,

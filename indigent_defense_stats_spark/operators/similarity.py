@@ -515,7 +515,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
-    "embedding_neardup_pairs": embedding_neardup_pairs,
+    # embedding_neardup_pairs is deliberately NOT registered (round-4):
+    # the O(n²) theta join is an oracle baseline, not a 100 TB plan —
+    # the library function + pytest keep it honest; the registered
+    # scale path is embedding_neardup_lsh (same output, linear shuffle)
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,

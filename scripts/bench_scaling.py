@@ -77,6 +77,10 @@ JOBS = {
     # crawl1080 to test whether the rising-throughput trend has
     # flattened yet
     "crawl2160": {"kind": "crawl", "n_days": 2160},
+    # crawl4320 (~10.5M URLs): round-4 extension (verdict item 5) —
+    # one more doubling past crawl2160 to locate the plateau of the
+    # rising-throughput trend (5637 -> 7165 -> 8813 URLs/s so far)
+    "crawl4320": {"kind": "crawl", "n_days": 4320},
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production

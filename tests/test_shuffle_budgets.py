@@ -184,7 +184,6 @@ SCAN_BUDGETS = {
     "embedding_neardup_lsh": 0,  # pinned projection only
     "semantic_dedup": 0,
     "minhash_lsh_neardup": 0,
-    "ngram_jaccard_pairs": 0,
     "dsir_select": 0,  # exploded bucket table + per_doc both pinned
     "weighted_sample": 1,
     "mirror_hosts": 0,  # posting table pinned
@@ -216,6 +215,22 @@ def test_scan_budget(spark, name):
         f"shared subplan lost its localCheckpoint pin and is being "
         f"recomputed per consumer"
     )
+
+
+def test_scan_budget_ngram_jaccard_pairs_unregistered(spark):
+    # retired from the registry (round-4: no all-pairs plan is
+    # user-runnable) but still a library oracle baseline — keep its
+    # shared-shingle-index pin so the pytest equivalence suites that
+    # drive it don't silently start recomputing the index per consumer
+    from indigent_defense_stats_spark.operators import dedup
+
+    plan = (
+        dedup.ngram_jaccard_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 0
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
