@@ -60,6 +60,7 @@ def _modules():
         textstats,
         tokenizer,
         unicodenorm,
+        winnow,
     )
     from indigent_defense_stats_spark.sources import orc_io, sitemap, views, warc, zorder
     from indigent_defense_stats_spark.streaming import ingest, sessions
@@ -79,6 +80,7 @@ def _modules():
         textstats,
         tokenizer,
         unicodenorm,
+        winnow,
         qualityclf,
         psl,
         rfc3986,
@@ -569,6 +571,37 @@ _TAIL = [
                               # -> decode; same oracle grammar, resample
                               # index arithmetic replayed per output
                               # pixel; sibling of png_decode_stats)
+    "click_hits",             # round-4 addition (HITS hubs &
+                              # authorities, Kleinberg JACM'99: the
+                              # second link-analysis fixed point —
+                              # BIGINT max-normalized arithmetic so
+                              # every iteration is bit-identical
+                              # cross-engine; the iterative-join
+                              # surface is eval'd via click_pagerank;
+                              # unrolled-iteration DuckDB oracle)
+    "winnow_fingerprints",    # round-4 addition (winnowing, Schleimer
+                              # SIGMOD'03/MOSS: guaranteed-density
+                              # k-gram fingerprint selection — window
+                              # minima over the gram hash sequence,
+                              # map-only HOFs; per-doc density audit;
+                              # coverage guarantee pinned by pytest;
+                              # full replay oracle)
+    "winnow_matches",         # round-4 addition (the MOSS overlap
+                              # report: Σdf²-capped inverted-index
+                              # self-join over winnowing fingerprints
+                              # — partial-overlap detection between
+                              # the exact-hash and LSH dedup tiers;
+                              # posting-join surface eval'd via
+                              # minhash_lsh_neardup; full replay
+                              # oracle)
+    "collocation_topk",       # round-4 addition (corpus collocation
+                              # mining: top-K adjacent pairs by Dice
+                              # in exact integer micro-units — the
+                              # phrase-detection pass of embeddings
+                              # prep; explode+count and global
+                              # rank-limit surfaces eval'd via
+                              # bm25_search/bpe_merge_ranks; full
+                              # replay oracle)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -487,6 +487,93 @@ def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 5
+HITS_SCALE = 10**9  # hub/authority fixed-point denominator
+
+
+def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over the click
+    graph — the second classic link-analysis fixed point next to
+    PageRank, and the one a crawl planner uses to separate directory/
+    portal pages (hubs) from content pages (authorities).
+
+    Determinism contract (same discipline as :func:`click_pagerank`):
+    all arithmetic is BIGINT.  Kleinberg's L2 normalization is replaced
+    by MAX-normalization with integer floor division — after each half-
+    step the raw scores are divided by ``greatest(1, max(raw) div
+    HITS_SCALE)``, which keeps every score in [0, 2·HITS_SCALE) without
+    a single float op.  Max-normalized HITS converges to the same
+    principal eigenvector direction as the L2 form; only the scaling
+    differs, and the integer variant is bit-identical on any engine and
+    any partitioning (sums of BIGINTs are associative; the scalar max
+    is order-free).
+
+    Scale shape (10^10 edges): per iteration, two shuffles keyed by
+    page (contribution aggregate per half-step) + one scalar max
+    (1-row crossJoin broadcast) + one left join against the pinned
+    node table — the rank side is vertex-sized, orders of magnitude
+    smaller than the edge side, so at cluster scale it broadcasts;
+    lineage is truncated per round with ``localCheckpoint``.  Overflow
+    headroom: scores are < 2^31 and per-vertex Σ(score·w) stays in
+    BIGINT while Σw per vertex < 2^32; past that, widen the contribution
+    sum to DECIMAL(38,0) (documented, not needed at any test SF)."""
+    edges = click_graph_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("page"))
+        .union(edges.select(F.col("dst").alias("page")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = nodes.select("page", F.lit(HITS_SCALE).cast("bigint").alias("h"))
+    auths = None
+    for _ in range(HITS_ITERS):
+        raw_a = (
+            edges.join(hubs, edges["src"] == hubs["page"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("h * w")).cast("bigint").alias("ra"))
+        )
+        da = raw_a.agg(
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT), max(ra) div {HITS_SCALE})"
+            ).alias("da")
+        )
+        auths = (
+            nodes.crossJoin(F.broadcast(da))
+            .join(raw_a, nodes["page"] == raw_a["dst"], "left")
+            .select(
+                "page",
+                F.expr("CAST(coalesce(ra, CAST(0 AS BIGINT)) div da AS BIGINT)")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_h = (
+            edges.join(auths, edges["dst"] == auths["page"])
+            .groupBy("src")
+            .agg(F.sum(F.expr("a * w")).cast("bigint").alias("rh"))
+        )
+        dh = raw_h.agg(
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT), max(rh) div {HITS_SCALE})"
+            ).alias("dh")
+        )
+        hubs = (
+            nodes.crossJoin(F.broadcast(dh))
+            .join(raw_h, nodes["page"] == raw_h["src"], "left")
+            .select(
+                "page",
+                F.expr("CAST(coalesce(rh, CAST(0 AS BIGINT)) div dh AS BIGINT)")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hubs.join(auths, "page").select(
+        "page",
+        F.col("h").alias("hub_scaled"),
+        F.col("a").alias("auth_scaled"),
+    )
+
+
 QUERIES = {
     "click_graph_edges": click_graph_edges,
     "click_pagerank": click_pagerank,
@@ -495,6 +582,7 @@ QUERIES = {
     "hyperball_centrality": hyperball_centrality,
     "hyperball_neighborhood": hyperball_neighborhood,
     "clustering_coefficients": clustering_coefficients,
+    "click_hits": click_hits,
 }
 
 _SQL_EDGES = """
@@ -688,8 +776,71 @@ def _hyperball_nf_sql() -> str:
     )
 
 
+def _hits_sql() -> str:
+    """Unrolled HITS_ITERS-iteration fixed-point HITS (same BIGINT
+    max-normalization arithmetic as the Spark side; DuckDB ``//`` is
+    floor division — identical to Spark ``div`` on the nonnegative
+    values here)."""
+    parts = [
+        f"WITH {_SQL_EDGES}",
+        """,
+    n AS MATERIALIZED (SELECT DISTINCT page FROM
+          (SELECT src AS page FROM e UNION SELECT dst FROM e))""",
+        f""",
+    h0 AS MATERIALIZED (
+        SELECT page, CAST({HITS_SCALE} AS BIGINT) AS h FROM n)""",
+    ]
+    # every per-iteration CTE is MATERIALIZED: DuckDB inlines plain
+    # CTEs once PER REFERENCE, and each HITS level references the one
+    # below it 2-3x (raw -> scalar max + left join), so an inlined
+    # 5-iteration chain re-expands the whole prefix ~4^10 times —
+    # materializing pins each level to one evaluation (same lesson as
+    # the Spark side's per-round localCheckpoint)
+    for i in range(HITS_ITERS):
+        parts.append(
+            f""",
+    ra{i + 1} AS MATERIALIZED (
+        SELECT ew.dst, CAST(sum(h.h * ew.w) AS BIGINT) AS ra
+        FROM ew JOIN h{i} h ON ew.src = h.page GROUP BY ew.dst
+    ),
+    da{i + 1} AS MATERIALIZED (
+        SELECT greatest(CAST(1 AS BIGINT),
+                        CAST(max(ra) // {HITS_SCALE} AS BIGINT)) AS da
+        FROM ra{i + 1}
+    ),
+    a{i + 1} AS MATERIALIZED (
+        SELECT n.page,
+               CAST(coalesce(ra.ra, CAST(0 AS BIGINT)) // d.da AS BIGINT) AS a
+        FROM n CROSS JOIN da{i + 1} d
+        LEFT JOIN ra{i + 1} ra ON n.page = ra.dst
+    ),
+    rh{i + 1} AS MATERIALIZED (
+        SELECT ew.src, CAST(sum(a.a * ew.w) AS BIGINT) AS rh
+        FROM ew JOIN a{i + 1} a ON ew.dst = a.page GROUP BY ew.src
+    ),
+    dh{i + 1} AS MATERIALIZED (
+        SELECT greatest(CAST(1 AS BIGINT),
+                        CAST(max(rh) // {HITS_SCALE} AS BIGINT)) AS dh
+        FROM rh{i + 1}
+    ),
+    h{i + 1} AS MATERIALIZED (
+        SELECT n.page,
+               CAST(coalesce(rh.rh, CAST(0 AS BIGINT)) // d.dh AS BIGINT) AS h
+        FROM n CROSS JOIN dh{i + 1} d
+        LEFT JOIN rh{i + 1} rh ON n.page = rh.src
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT h.page, h.h AS hub_scaled, a.a AS auth_scaled
+    FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.page = a.page"""
+    )
+    return "".join(parts)
+
+
 ORACLE_SQL = {
     "hyperball_centrality": _hyperball_sql(),
+    "click_hits": _hits_sql(),
     "hyperball_neighborhood": _hyperball_nf_sql(),
     "click_graph_edges": f"WITH {_SQL_EDGES} SELECT src, dst, w, ow FROM ew",
     "click_triangles": f"""

@@ -530,6 +530,75 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLOC_MIN_PAIR = 5  # ignore pairs seen fewer times (noise floor)
+COLLOC_TOPK = 30
+
+
+def collocation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: top-K adjacent word pairs by Dice
+    coefficient — the classic embeddings-prep / phrase-detection pass
+    (the association measure behind word2vec's phrase joining, Mikolov
+    et al. 2013 use the same count-ratio family).
+
+    Determinism: Dice = 2·c(a,b)/(c(a)+c(b)) needs no logarithm (PMI's
+    ``ln`` is NOT correctly-rounded cross-engine; division is), and is
+    computed here in exact integer MICRO-UNITS — ``(2·c_ab·10^6) div
+    (c_a + c_b)`` — so the value and the (dice, pair) tiebreak order
+    are bit-identical on both engines.
+
+    Scale shape: two linear explode+count shuffles (pair counts,
+    unigram counts); the unigram table is Zipf-bounded vocabulary
+    (same argument as the BPE trainer) so its two joins into the pair
+    table broadcast at cluster scale; top-K is a global rank-limit
+    (TopK physical op, no full sort)."""
+    docs = _docs(spark, sf_dir)
+    t = _tokens()
+    pair_t = "array<struct<pa:string,pb:string>>"
+    pairs_col = F.when(
+        F.size(F.col("_ts")) >= 2,
+        F.zip_with(
+            F.slice(F.col("_ts"), 1, F.size(F.col("_ts")) - 1),
+            F.slice(F.col("_ts"), 2, F.size(F.col("_ts")) - 1),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    pairs = (
+        docs.select(t.alias("_ts"))
+        .select(F.explode(pairs_col).alias("p"))
+        .filter(F.col("p.pa") != F.col("p.pb"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_PAIR)
+    )
+    uni = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # pin: the vocab-sized unigram table feeds BOTH join sides —
+        # unpinned, each side re-derives the full corpus explode+agg
+        # (3 parquet scans for this query; pinned: 2)
+        .localCheckpoint(eager=False)
+    )
+    ua = uni.select(F.col("w").alias("pa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("pb"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ua, "pa")
+        .join(ub, "pb")
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr("(2 * c_ab * 1000000) div (c_a + c_b)").alias("dice_micro"),
+        )
+        .orderBy(F.desc("dice_micro"), "pa", "pb")
+        .limit(COLLOC_TOPK)
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "gopher_quality_filters": gopher_quality_filters,
@@ -541,6 +610,7 @@ QUERIES = {
     "unigram_lm_score": unigram_lm_score,
     "ccnet_buckets": ccnet_buckets,
     "bigram_lm_score": bigram_lm_score,
+    "collocation_topk": collocation_topk,
 }
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -595,6 +665,35 @@ LM_SCORES_SQL = f"""
 
 
 ORACLE_SQL = {
+    "collocation_topk": f"""
+        WITH toks AS (
+            SELECT {_SQL_TOKENS} AS ts FROM documents
+        ),
+        bi AS (
+            SELECT least(ts[i], ts[i + 1]) AS pa,
+                   greatest(ts[i], ts[i + 1]) AS pb
+            FROM toks, unnest(range(1, len(ts))) u(i)
+            WHERE ts[i] <> ts[i + 1]
+        ),
+        pc AS (
+            SELECT pa, pb, CAST(count(*) AS BIGINT) AS c_ab
+            FROM bi GROUP BY 1, 2
+            HAVING count(*) >= {COLLOC_MIN_PAIR}
+        ),
+        uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(ts) AS w FROM toks
+            ) GROUP BY 1
+        )
+        SELECT pc.pa, pc.pb, pc.c_ab,
+               ua.c AS c_a, ub.c AS c_b,
+               CAST((2 * pc.c_ab * 1000000) // (ua.c + ub.c) AS BIGINT)
+                   AS dice_micro
+        FROM pc JOIN uni ua ON pc.pa = ua.w
+                JOIN uni ub ON pc.pb = ub.w
+        ORDER BY dice_micro DESC, pc.pa, pc.pb
+        LIMIT {COLLOC_TOPK}
+    """,
     "gopher_quality_filters": f"""
         WITH d AS (
             SELECT doc_id,

@@ -229,3 +229,48 @@ def test_clustering_coefficients_brute_force(spark):
             assert r["lcc"] == round(2 * t / (len(nb) * (len(nb) - 1)), 6)
         else:
             assert r["lcc"] == 0.0
+
+
+def test_hits_hand_graph(spark, tmp_path):
+    """HITS on a hand graph (1->2, 1->3, 4->3: 1 is the hub, 3 the
+    stronger authority) vs an independent pure-Python mirror of the
+    integer max-normalized recurrence."""
+    d = _tiny_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:01", 7, 1),
+            (2, "2024-01-01 00:00:02", 7, 2),
+            (3, "2024-01-01 00:00:01", 8, 1),
+            (4, "2024-01-01 00:00:02", 8, 3),
+            (5, "2024-01-01 00:00:01", 9, 4),
+            (6, "2024-01-01 00:00:02", 9, 3),
+        ],
+    )
+    got = {
+        r["page"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in graph.click_hits(spark, d).collect()
+    }
+
+    S = graph.HITS_SCALE
+    edges = {(1, 2): 1, (1, 3): 1, (4, 3): 1}
+    nodes = {1, 2, 3, 4}
+    h = {v: S for v in nodes}
+    for _ in range(graph.HITS_ITERS):
+        ra = {}
+        for (s_, t_), w in edges.items():
+            ra[t_] = ra.get(t_, 0) + h[s_] * w
+        da = max(1, max(ra.values()) // S)
+        a = {v: ra.get(v, 0) // da for v in nodes}
+        rh = {}
+        for (s_, t_), w in edges.items():
+            rh[s_] = rh.get(s_, 0) + a[t_] * w
+        dh = max(1, max(rh.values()) // S)
+        h = {v: rh.get(v, 0) // dh for v in nodes}
+    assert got == {v: (h[v], a[v]) for v in nodes}
+    # structural expectations: 1 is the dominant hub, 3 the dominant
+    # authority; pure sinks/sources score 0 on the other axis
+    assert got[1][0] == max(x[0] for x in got.values()) > 0
+    assert got[3][1] == max(x[1] for x in got.values()) > 0
+    assert got[2][0] == got[3][0] == 0  # no out-edges -> no hub mass
+    assert got[1][1] == got[4][1] == 0  # no in-edges -> no authority

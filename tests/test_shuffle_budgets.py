@@ -167,6 +167,17 @@ BUDGETS = {
     "png_decode_stats": 0,
     # adds the decode->resample->re-encode stage; still map-only
     "png_resize_stats": 0,
+    # per-round contributions live behind per-iteration checkpoints;
+    # the returned plan is the final hubs x auths join
+    "click_hits": 2,
+    # map-only HOF fingerprint construction + one doc_id aggregate
+    "winnow_fingerprints": 1,
+    # df-cap aggregate + posting join + pair aggregate (fp table
+    # pinned; all three keyed post-selection, Σdf²-capped)
+    "winnow_matches": 3,
+    # one pair-count aggregate; the pinned vocab-sized unigram table
+    # joins both sides without re-deriving the corpus explode
+    "collocation_topk": 1,
 }
 
 
@@ -193,6 +204,10 @@ SCAN_BUDGETS = {
     "cdc_chunk_stats": 0,  # chunk-hash table pinned (df + join)
     "balanced_shards": 0,  # numbered table pinned (offset consistency)
     "bpe_merge_ranks": 0,  # local artifact table — no scan at all
+    "click_hits": 0,  # edge/node tables pinned; rounds checkpointed
+    "winnow_fingerprints": 1,  # single map-only pass over documents
+    "winnow_matches": 0,  # fingerprint posting table pinned
+    "collocation_topk": 1,  # unigram table pinned (2 join consumers)
     "bpe_segment_stats": 1,  # corpus scan; vocab side checkpointed
     "media_phash_neardup": 0,  # phash table pinned (3 consumers)
     "png_decode_stats": 1,  # one documents scan feeds the map chain
