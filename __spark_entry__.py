@@ -594,6 +594,22 @@ _TAIL = [
                               # posting-join surface eval'd via
                               # minhash_lsh_neardup; full replay
                               # oracle)
+    "click_communities_lpa",  # round-4 addition (synchronous label
+                              # propagation, Raghavan PRE'07: linear-
+                              # time community detection with a total
+                              # (count DESC, label ASC) tie order so
+                              # every round is deterministic; the
+                              # iterative-join surface is eval'd via
+                              # click_pagerank; unrolled MATERIALIZED
+                              # DuckDB oracle)
+    "click_ppr_seeded",       # round-4 addition (personalized
+                              # PageRank from a seed set, Haveliwala
+                              # WWW'02 — the focused-crawl priority
+                              # signal; same BIGINT fixed-point
+                              # discipline as the eval'd
+                              # click_pagerank, only the teleport
+                              # vector differs; unrolled replay
+                              # oracle)
     "collocation_topk",       # round-4 addition (corpus collocation
                               # mining: top-K adjacent pairs by Dice
                               # in exact integer micro-units — the

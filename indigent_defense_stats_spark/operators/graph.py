@@ -487,8 +487,128 @@ def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 4
+PPR_SEED_MOD = 10  # pages with page % PPR_SEED_MOD == 0 are the seed set
+
 HITS_ITERS = 5
 HITS_SCALE = 10**9  # hub/authority fixed-point denominator
+
+
+def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    Rev. E 2007) over the undirected click graph — the linear-time
+    community detector a web pipeline runs to cluster hosts/pages into
+    template families before sampling or boilerplate mining.
+
+    Determinism contract: classic LPA breaks most-frequent-label ties
+    randomly and updates asynchronously — both are non-starters for a
+    distributed, replayable engine.  This is the SYNCHRONOUS variant
+    with a total tie order: each round every node adopts
+    ``argmax_count(neighbor labels)`` with ties broken by the SMALLEST
+    label (row_number over (count DESC, label ASC) — exact integers,
+    bit-identical on any engine/partitioning).  Fixed LPA_ITERS rounds
+    (synchronous LPA can 2-cycle on bipartite structures, so a fixed
+    round count IS the convergence policy, not a truncation).
+    Isolated nodes keep their own id as label.
+
+    Scale shape (10^10 edges): per round, one join of the vertex-sized
+    label table against the static neighbor table (edge-sized, pinned
+    once) + one (node, label) count aggregate + one per-node window —
+    all keyed by node; label table broadcasts at cluster scale;
+    lineage truncated per round with ``localCheckpoint``."""
+    ed = click_graph_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        ed.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # static neighbor table (both directions), pinned once: every
+    # round's join re-reads this instead of re-deriving the edge agg
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = nbr.select("node").distinct().localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        gathered = (
+            nbr.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nlabel")
+                ),
+                "nbr",
+            )
+            .groupBy("node", F.col("nlabel").alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            gathered.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias("page"), F.col("label").alias("community"))
+
+
+def click_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (pages ≡ 0 mod
+    PPR_SEED_MOD) — the focused-crawl priority signal: rank pages by
+    proximity to a topic seed set instead of global importance
+    (Haveliwala, WWW 2002's topic-sensitive PageRank restricted to one
+    teleport vector).
+
+    Same fixed-point BIGINT discipline as :func:`click_pagerank` —
+    the only change is the teleport term: instead of the uniform
+    ``15·(SCALE div n)`` every node gets, only seed nodes receive
+    ``15·(SCALE div n_seeds)``; non-seeds' rank is pure propagated
+    mass.  All arithmetic is integer div/sums — bit-identical
+    cross-engine.  Scale shape identical to click_pagerank (one
+    rank-table shuffle + one linear contribution aggregate per
+    iteration, per-round localCheckpoint)."""
+    edges = click_graph_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("page"))
+        .union(edges.select(F.col("dst").alias("page")))
+        .distinct()
+        .withColumn("is_seed", (F.col("page") % PPR_SEED_MOD == 0))
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = nodes.filter("is_seed").count()  # bounded driver scalar
+    base = SCALE // n_seeds
+    seed_mass = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast(
+        "bigint"
+    )
+    ranks = nodes.select("page", seed_mass.alias("pr"))
+    for _ in range(N_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["page"])
+            .select("dst", F.expr("(pr div ow) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["page"] == contrib["dst"], "left")
+            .select(
+                "page",
+                F.expr(
+                    f"CAST(({DAMP_DEN - DAMP_NUM} * (CASE WHEN is_seed"
+                    f" THEN CAST({base} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                    f" + {DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                    f" div {DAMP_DEN} AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("page", F.col("pr").alias("ppr_scaled"))
 
 
 def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,6 +703,8 @@ QUERIES = {
     "hyperball_neighborhood": hyperball_neighborhood,
     "clustering_coefficients": clustering_coefficients,
     "click_hits": click_hits,
+    "click_communities_lpa": click_communities_lpa,
+    "click_ppr_seeded": click_ppr_seeded,
 }
 
 _SQL_EDGES = """
@@ -838,9 +960,100 @@ def _hits_sql() -> str:
     return "".join(parts)
 
 
+def _lpa_sql() -> str:
+    """Unrolled LPA_ITERS-round synchronous label propagation (same
+    (count DESC, label ASC) tie order as the Spark side; MATERIALIZED
+    per-round CTEs — each level is referenced twice)."""
+    parts = [
+        f"WITH {_SQL_EDGES}",
+        """,
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    nbr AS MATERIALIZED (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT node, node AS label FROM nbr
+    )""",
+    ]
+    for i in range(LPA_ITERS):
+        parts.append(
+            f""",
+    g{i + 1} AS MATERIALIZED (
+        SELECT nbr.node, l.label, CAST(count(*) AS BIGINT) AS cnt
+        FROM nbr JOIN l{i} l ON nbr.nbr = l.node
+        GROUP BY 1, 2
+    ),
+    b{i + 1} AS MATERIALIZED (
+        SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM g{i + 1})
+        WHERE rn = 1
+    ),
+    l{i + 1} AS MATERIALIZED (
+        SELECT l.node, coalesce(b.new_label, l.label) AS label
+        FROM l{i} l LEFT JOIN b{i + 1} b USING (node)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS page, label AS community FROM l{LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+def _ppr_sql() -> str:
+    """Unrolled seeded personalized PageRank — _pagerank_sql with the
+    uniform teleport replaced by the seed-set teleport."""
+    parts = [
+        f"WITH {_SQL_EDGES}",
+        f""",
+    n AS MATERIALIZED (SELECT DISTINCT page FROM
+          (SELECT src AS page FROM e UNION SELECT dst FROM e)),
+    sd AS MATERIALIZED (
+        SELECT page, (page % {PPR_SEED_MOD} = 0) AS is_seed FROM n),
+    cnt AS MATERIALIZED (
+        SELECT count(*) AS ns FROM sd WHERE is_seed),
+    r0 AS MATERIALIZED (
+        SELECT page,
+               CAST(CASE WHEN is_seed THEN {SCALE} // ns
+                         ELSE 0 END AS BIGINT) AS pr
+        FROM sd, cnt)""",
+    ]
+    for i in range(N_ITERS):
+        parts.append(
+            f""",
+    c{i + 1} AS MATERIALIZED (
+        SELECT ew.dst, CAST(sum((r.pr // ew.ow) * ew.w) AS BIGINT) AS s
+        FROM ew JOIN r{i} r ON ew.src = r.page
+        GROUP BY ew.dst
+    ),
+    r{i + 1} AS MATERIALIZED (
+        SELECT sd.page,
+               CAST(({DAMP_DEN - DAMP_NUM}
+                     * (CASE WHEN sd.is_seed
+                             THEN CAST({SCALE} // cnt.ns AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END)
+                     + {DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN}
+                    AS BIGINT) AS pr
+        FROM sd CROSS JOIN cnt
+        LEFT JOIN c{i + 1} c ON sd.page = c.dst
+    )"""
+        )
+    parts.append(f"\n    SELECT page, pr AS ppr_scaled FROM r{N_ITERS}")
+    return "".join(parts)
+
+
 ORACLE_SQL = {
     "hyperball_centrality": _hyperball_sql(),
     "click_hits": _hits_sql(),
+    "click_communities_lpa": _lpa_sql(),
+    "click_ppr_seeded": _ppr_sql(),
     "hyperball_neighborhood": _hyperball_nf_sql(),
     "click_graph_edges": f"WITH {_SQL_EDGES} SELECT src, dst, w, ow FROM ew",
     "click_triangles": f"""

@@ -274,3 +274,72 @@ def test_hits_hand_graph(spark, tmp_path):
     assert got[3][1] == max(x[1] for x in got.values()) > 0
     assert got[2][0] == got[3][0] == 0  # no out-edges -> no hub mass
     assert got[1][1] == got[4][1] == 0  # no in-edges -> no authority
+
+
+def test_lpa_two_cliques_bridge(spark, tmp_path):
+    """Two 3-cliques {1,2,3} and {10,11,12} joined by one bridge
+    (3-10): LPA with min-label tie-break converges to one community
+    per clique, each labeled by its minimum member."""
+    walks = [
+        # clique A: 1-2, 1-3, 2-3 (each via a user walk both needed
+        # directions are implied — und edges are direction-free)
+        (1, 1, 2), (2, 1, 3), (3, 2, 3),
+        # clique B: 10-11, 10-12, 11-12
+        (4, 10, 11), (5, 10, 12), (6, 11, 12),
+        # bridge
+        (7, 3, 10),
+    ]
+    rows = []
+    eid = 0
+    for uid, a, b in walks:
+        eid += 1
+        rows.append((eid, f"2024-01-01 00:00:{2*uid:02d}", uid, a))
+        eid += 1
+        rows.append((eid, f"2024-01-01 00:00:{2*uid+1:02d}", uid, b))
+    d = _tiny_events(spark, tmp_path, rows)
+    got = {
+        r["page"]: r["community"]
+        for r in graph.click_communities_lpa(spark, d).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_ppr_seed_locality(spark, tmp_path):
+    """PPR vs an independent Python mirror on a hand graph, and the
+    locality law: mass concentrates near the seed (page 10, the only
+    page ≡ 0 mod PPR_SEED_MOD); a page unreachable from the seed gets
+    rank 0."""
+    # 10 -> 1 -> 2 (chain from the seed); 5 -> 6 (disconnected from it)
+    rows = [
+        (1, "2024-01-01 00:00:01", 7, 10),
+        (2, "2024-01-01 00:00:02", 7, 1),
+        (3, "2024-01-01 00:00:03", 7, 2),
+        (4, "2024-01-01 00:00:01", 8, 5),
+        (5, "2024-01-01 00:00:02", 8, 6),
+    ]
+    d = _tiny_events(spark, tmp_path, rows)
+    got = {
+        r["page"]: r["ppr_scaled"]
+        for r in graph.click_ppr_seeded(spark, d).collect()
+    }
+
+    S, DN, DD = graph.SCALE, graph.DAMP_NUM, graph.DAMP_DEN
+    edges = {(10, 1): (1, 1), (1, 2): (1, 1), (5, 6): (1, 1)}  # (w, ow)
+    nodes = {10, 1, 2, 5, 6}
+    seeds = {v for v in nodes if v % graph.PPR_SEED_MOD == 0}
+    base = S // len(seeds)
+    r = {v: (base if v in seeds else 0) for v in nodes}
+    for _ in range(graph.N_ITERS):
+        c = {}
+        for (s_, t_), (w, ow) in edges.items():
+            c[t_] = c.get(t_, 0) + (r[s_] // ow) * w
+        r = {
+            v: ((DD - DN) * (base if v in seeds else 0) + DN * c.get(v, 0))
+            // DD
+            for v in nodes
+        }
+    assert got == r
+    assert got[10] > got[1] > got[2] > 0
+    assert got[5] == got[6] == 0

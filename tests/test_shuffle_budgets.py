@@ -170,6 +170,11 @@ BUDGETS = {
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
+    # every LPA/PPR round is checkpointed — the returned plan is the
+    # final round's projection; a dropped pin re-inlines 4-5 rounds of
+    # join+agg lineage and these budgets catch it
+    "click_communities_lpa": 0,
+    "click_ppr_seeded": 0,
     # map-only HOF fingerprint construction + one doc_id aggregate
     "winnow_fingerprints": 1,
     # df-cap aggregate + posting join + pair aggregate (fp table
@@ -205,6 +210,8 @@ SCAN_BUDGETS = {
     "balanced_shards": 0,  # numbered table pinned (offset consistency)
     "bpe_merge_ranks": 0,  # local artifact table — no scan at all
     "click_hits": 0,  # edge/node tables pinned; rounds checkpointed
+    "click_communities_lpa": 0,  # neighbor table pinned; rounds ckpt'd
+    "click_ppr_seeded": 0,  # edge/node tables pinned; rounds ckpt'd
     "winnow_fingerprints": 1,  # single map-only pass over documents
     "winnow_matches": 0,  # fingerprint posting table pinned
     "collocation_topk": 1,  # unigram table pinned (2 join consumers)
