@@ -610,6 +610,14 @@ _TAIL = [
                               # click_pagerank, only the teleport
                               # vector differs; unrolled replay
                               # oracle)
+    "jl_project_audit",       # round-4 addition (Johnson-Lindenstrauss
+                              # random projection + norm-distortion
+                              # audit — the dimensionality-reduction
+                              # pass before clustering/ANN at 100 TB;
+                              # map-only plan-literal projection, the
+                              # ordered-fold embedding discipline
+                              # eval'd via ann_topk_ivf_indexed /
+                              # semantic_dedup; full replay oracle)
     "collocation_topk",       # round-4 addition (corpus collocation
                               # mining: top-K adjacent pairs by Dice
                               # in exact integer micro-units — the
@@ -644,4 +652,10 @@ def oracle_sql() -> dict[str, str]:
         # IVF centroids) expose ORACLE_SQL as a zero-arg callable so
         # the constants are computed lazily, not at import
         out.update(osql() if callable(osql) else osql)
-    return out
+    # export only oracles for REGISTERED queries: the retired all-pairs
+    # baselines (ngram_jaccard_pairs, embedding_neardup_pairs) keep
+    # their module-level oracle text — other oracles interpolate it and
+    # the pytest baselines replay it — but they are not queries()
+    # entries, so they must not be oracle_sql() entries either
+    registered = queries()
+    return {k: v for k, v in out.items() if k in registered}

@@ -109,6 +109,11 @@ OPTIONAL = [
     "allocation_fairness",
     # round-4: real PNG decode (stdlib codec) over generated PNG bytes
     "png_decode_stats",
+    # round-4 session-10 families: winnowing overlap report (MOSS
+    # inverted-index join), HITS fixed point, synchronous LPA
+    "winnow_matches",
+    "click_hits",
+    "click_communities_lpa",
 ]
 
 

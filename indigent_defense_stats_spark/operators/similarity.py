@@ -513,6 +513,57 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JL_DIM = 8  # projected dimensionality
+JL_SEED = 7  # deterministic Gaussian projection matrix
+
+
+def _jl_planes(dim: int) -> np.ndarray:
+    """Deterministic Gaussian JL projection matrix (seeded; a different
+    seed from the LSH hyperplanes so the two constants never alias)."""
+    rng = np.random.RandomState(JL_SEED)
+    return rng.standard_normal((JL_DIM, dim)).astype(np.float64)
+
+
+def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (dim → JL_DIM) with a
+    per-vector norm-distortion audit — the dimensionality-reduction
+    pass a 100 TB embedding pipeline runs before clustering/ANN to cut
+    index memory (JL lemma: a seeded Gaussian projection preserves
+    norms/distances within (1±ε) w.h.p.; Achlioptas JCSS 2003 for the
+    database-friendly variants).
+
+    Returns (vec_id, orig_norm, jl_norm, distortion) where distortion
+    = jl_norm / (orig_norm·√JL_DIM) ≈ 1.  Determinism: each projected
+    coordinate is the repo's index-ordered ``aggregate`` fold against
+    a plan-literal plane (the :func:`lsh_bucket_expr` discipline);
+    norms are IEEE-correctly-rounded sqrt of ordered folds; the √k
+    scale is a shared Python literal — bit-identical cross-engine.
+
+    Scale shape: map-only (zero shuffle at any corpus size); the
+    projection matrix is JL_DIM×dim plan literals, never a join."""
+    dim = len(_query_vector(spark, sf_dir))
+    planes = _jl_planes(dim)
+    inv_sqrt_k = float(1.0 / np.sqrt(JL_DIM))
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    jl = F.array(*[_dot(F.col("v"), _const_arr(p)) for p in planes]).cast(
+        "array<double>"
+    )
+    p = e.select(
+        "vec_id",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("onrm"),
+        jl.alias("jl"),
+    )
+    jn = F.sqrt(_dot(F.col("jl"), F.col("jl")))
+    return p.select(
+        "vec_id",
+        F.round(F.col("onrm"), 6).alias("orig_norm"),
+        F.round(jn, 6).alias("jl_norm"),
+        F.round(jn * F.lit(inv_sqrt_k) / F.col("onrm"), 6).alias("distortion"),
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     # embedding_neardup_pairs is deliberately NOT registered (round-4):
@@ -524,6 +575,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_indexed": ann_topk_ivf_indexed_query,
     "semantic_dedup": semantic_dedup,
+    "jl_project_audit": jl_project_audit,
 }
 
 _SQL_COS_Q = """
@@ -712,8 +764,33 @@ def _semdedup_oracle_sql() -> str:
 
 
 @lru_cache(maxsize=1)
+def _jl_oracle_sql() -> str:
+    """Exact replay of the JL projection: same plane literals, same
+    fold order, same shared 1/sqrt(k) literal."""
+    dim = _oracle_dim()
+    planes = _jl_planes(dim)
+    inv_sqrt_k = float(1.0 / np.sqrt(JL_DIM))
+    coords = ", ".join(f"list_dot_product(v, {_sql_arr(p)})" for p in planes)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT vec_id,
+                   sqrt(list_dot_product(v, v)) AS onrm,
+                   [{coords}]::DOUBLE[] AS jl
+            FROM e
+        )
+        SELECT vec_id,
+               round(onrm, 6) AS orig_norm,
+               round(sqrt(list_dot_product(jl, jl)), 6) AS jl_norm,
+               round(sqrt(list_dot_product(jl, jl)) * {inv_sqrt_k!r} / onrm,
+                     6) AS distortion
+        FROM p
+    """
+
+
 def ORACLE_SQL() -> dict[str, str]:
     return {
+        "jl_project_audit": _jl_oracle_sql(),
         "ann_topk_cosine": f"""
             {_SQL_COS_Q}
             SELECT vec_id,

@@ -183,6 +183,8 @@ BUDGETS = {
     # one pair-count aggregate; the pinned vocab-sized unigram table
     # joins both sides without re-deriving the corpus explode
     "collocation_topk": 1,
+    # JL projection is map-only: plan-literal planes, no join, no agg
+    "jl_project_audit": 0,
 }
 
 
@@ -215,6 +217,7 @@ SCAN_BUDGETS = {
     "winnow_fingerprints": 1,  # single map-only pass over documents
     "winnow_matches": 0,  # fingerprint posting table pinned
     "collocation_topk": 1,  # unigram table pinned (2 join consumers)
+    "jl_project_audit": 1,  # one map-only pass over embeddings
     "bpe_segment_stats": 1,  # corpus scan; vocab side checkpointed
     "media_phash_neardup": 0,  # phash table pinned (3 consumers)
     "png_decode_stats": 1,  # one documents scan feeds the map chain

@@ -538,3 +538,20 @@ def test_bigram_stupid_backoff_hand_computed(spark, tmp_path, monkeypatch):
             assert r["avg_logprob"] == pytest.approx(s / nb, abs=2e-6)
         else:
             assert r["avg_logprob"] is None
+
+
+def test_jl_projection_distortion_law(spark):
+    """JL lemma sanity: per-vector norm distortion centers on 1 and
+    no vector's norm collapses to zero under the seeded projection."""
+    from indigent_defense_stats_spark.operators import similarity
+
+    rows = similarity.jl_project_audit(spark, SF_DIR).collect()
+    assert rows
+    ds = [r["distortion"] for r in rows]
+    assert all(r["orig_norm"] > 0 and r["jl_norm"] > 0 for r in rows)
+    mean = sum(ds) / len(ds)
+    # k=8 Gaussian projection: E[distortion^2]=1, sd(distortion)~0.25;
+    # the corpus mean sits well inside [0.8, 1.2]
+    assert 0.8 < mean < 1.2
+    # and individual distortions stay in the (loose) JL band for k=8
+    assert all(0.2 < d < 2.5 for d in ds)
