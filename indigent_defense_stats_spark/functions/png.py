@@ -125,14 +125,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     pos, width = 8, None
     height = color_type = bpp = 0
     idat = bytearray()
+    saw_iend = False
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            # covers both a short payload and a short/missing 4-byte
+            # CRC trailer — struct.unpack on the CRC slice would raise
+            # struct.error and break the ValueError quarantine contract
+            raise ValueError("truncated chunk payload or CRC")
         payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
-            raise ValueError("truncated chunk payload")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
@@ -150,11 +154,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if not saw_iend:
+        # per-chunk CRCs can all pass on a stream cut at a chunk
+        # boundary — only the IEND trailer proves the file is whole
+        raise ValueError("truncated PNG (missing IEND)")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt/short deflate stream
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
     stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError("inflated size does not match dimensions")

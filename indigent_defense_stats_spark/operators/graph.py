@@ -583,6 +583,12 @@ def click_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_seeds = nodes.filter("is_seed").count()  # bounded driver scalar
+    if n_seeds == 0:
+        raise ValueError(
+            f"click_ppr_seeded: no page id divisible by {PPR_SEED_MOD} in"
+            " the click graph — the seed teleport set is empty (pick a"
+            " different PPR_SEED_MOD or supply an explicit seed set)"
+        )
     base = SCALE // n_seeds
     seed_mass = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast(
         "bigint"

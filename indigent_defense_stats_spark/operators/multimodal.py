@@ -80,7 +80,7 @@ def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
                 ws, hs, nbytes, fmts = [], [], [], []
                 for c in pdf["content"]:
                     c = bytes(c)
-                    if c[:8] != b"\x89PNG\r\n\x1a\n":
+                    if c[:8] != pngmod._SIG:
                         raise ValueError(
                             "decoder='real' supports PNG only in this"
                             " container (libjpeg/ffmpeg absent); got magic"

@@ -62,8 +62,22 @@ def publish(
     The state is maintained INCREMENTALLY: each publish ORs in bits
     for the just-inserted hashes only (O(batch)), never rescanning
     history; first use backfills from the existing table once.
+
+    Coherence gate: each bloom write records the target snapshot it
+    absorbed (``target_snap`` in the manifest).  A later publish
+    trusts the state ONLY if that snapshot is still the target's head
+    — if any publish touched the target without this bloom_state, the
+    state is silently missing those hashes (bloom false negatives →
+    duplicate inserts), so a mismatched head triggers a one-time
+    rebuild from history instead.  ``bloom_state`` must be an
+    OVERWRITE-mode table (append mode would stack per-bucket
+    generations and ``bloom.probe`` reads one arbitrary generation —
+    enforced with ValueError).
+
     ``stats`` (optional dict) receives bloom_maybe_seen /
-    exact_join_skipped for observability and tests."""
+    exact_join_skipped / bloom_rebuilt for observability and tests
+    (populated whenever ``bloom_state`` is passed, including the
+    first-generation publish into an empty target)."""
     existing = target.read()
     # within-batch hash dedup as well (the reference would skip the
     # second file with the same hash once the first inserted).  The
@@ -77,16 +91,37 @@ def publish(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    state = bloom_state.read() if bloom_state is not None else None
+    state = None
+    if bloom_state is not None:
+        if bloom_state.mode != "overwrite":
+            raise ValueError(
+                "bloom_state must be an overwrite-mode SnapshotTable: in"
+                " append mode read() stacks per-bucket generations and"
+                " bloom.probe uses an arbitrary one -> false negatives"
+                " -> silent duplicate inserts"
+            )
+        bsnap = bloom_state.latest()
+        if bsnap is not None:
+            # coherence gate (see docstring): trust the state only if
+            # it absorbed the CURRENT target head; otherwise fall
+            # through with state=None and rebuild from history below
+            if bloom_state.manifest(bsnap).get("target_snap") == target.latest():
+                state = bloom_state.read()
+        if stats is not None:
+            stats["bloom_maybe_seen"] = 0
+            stats["exact_join_skipped"] = False
+            stats["bloom_rebuilt"] = False
     if existing is not None and not existing.isEmpty():
         if bloom_state is not None:
             if state is None or state.isEmpty():
-                # one-time backfill from history (only scan of its
-                # hash column the bloom path ever takes after this)
+                # one-time backfill/rebuild from history (only scan of
+                # its hash column the bloom path ever takes after this)
                 state = bloom.build(
                     existing.select("html_hash"), "html_hash",
                     BLOOM_BUCKETS, BLOOM_BITS,
                 ).localCheckpoint(eager=True)
+                if stats is not None:
+                    stats["bloom_rebuilt"] = True
             # probe a NARROW hash projection — the wide record (nested
             # charge/disposition arrays) never rides the Arrow probe
             # stage, and at scale only the key column shuffles
@@ -172,5 +207,10 @@ def publish(
             state, out.select("html_hash"), "html_hash",
             BLOOM_BUCKETS, BLOOM_BITS,
         )
-        bloom_state.write(new_state.coalesce(1), {"event": "publish"})
+        # record WHICH target head this state absorbed (the publish we
+        # just wrote) — the coherence gate above compares it next time
+        bloom_state.write(
+            new_state.coalesce(1),
+            {"event": "publish", "target_snap": target.latest()},
+        )
     return out

@@ -788,6 +788,7 @@ def _jl_oracle_sql() -> str:
     """
 
 
+@lru_cache(maxsize=1)
 def ORACLE_SQL() -> dict[str, str]:
     return {
         "jl_project_audit": _jl_oracle_sql(),

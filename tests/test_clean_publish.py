@@ -277,3 +277,46 @@ def test_publish_bloom_prepass_byte_identical(spark, world, tmp_path):
 
     # full-history equality after four generations
     assert key_set(plain.read().collect()) == key_set(boosted.read().collect())
+
+
+def test_publish_bloom_coherence_gate(spark, world, tmp_path):
+    """A publish that bypasses bloom_state must NOT poison later
+    bloom-enabled publishes: the coherence gate (manifest target_snap
+    vs target head) detects the stale state, rebuilds from history,
+    and the republished batch is still fully suppressed."""
+    records, dim, dim_rows, expected_records = world
+    cleaned = clean_mod.clean_records(records, dim, PDATE)
+    today = "07-04-2024"
+    target = SnapshotTable(spark, str(tmp_path / "t"), mode="append")
+    state = SnapshotTable(spark, str(tmp_path / "bloom"), mode="overwrite")
+
+    # gen 1 through the bloom
+    st1: dict = {}
+    publish_mod.publish(cleaned, target, today, bloom_state=state, stats=st1)
+    assert st1["exact_join_skipped"] is False or st1["bloom_maybe_seen"] == 0
+    # gen 2 BYPASSES the bloom (different content)
+    fresh = cleaned.withColumn(
+        "html_hash", F.concat(F.lit("gen2:"), cleaned.html_hash)
+    )
+    assert not publish_mod.publish(fresh, target, today).isEmpty()
+    # gen 3 republishes gen-2 content WITH the (now stale) bloom: the
+    # gate must rebuild (bloom_rebuilt) and suppress every row — before
+    # the gate this silently re-inserted all of gen 2
+    st3: dict = {}
+    out = publish_mod.publish(
+        fresh, target, today, bloom_state=state, stats=st3
+    )
+    assert st3["bloom_rebuilt"] is True
+    assert out.isEmpty()
+
+    # first-generation stats contract: keys exist on an empty target
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), mode="append")
+    s2 = SnapshotTable(spark, str(tmp_path / "b2"), mode="overwrite")
+    st: dict = {}
+    publish_mod.publish(cleaned, t2, today, bloom_state=s2, stats=st)
+    assert {"bloom_maybe_seen", "exact_join_skipped", "bloom_rebuilt"} <= set(st)
+
+    # append-mode bloom_state is a contract violation
+    bad = SnapshotTable(spark, str(tmp_path / "b3"), mode="append")
+    with pytest.raises(ValueError, match="overwrite-mode"):
+        publish_mod.publish(cleaned, t2, today, bloom_state=bad)

@@ -118,6 +118,11 @@ def test_corruption_rejected():
         png.decode_png(b"GIF89a" + bytes(data)[6:])
     with pytest.raises(ValueError, match="truncated"):
         png.decode_png(bytes(data)[:20])
+    # EVERY truncation point raises ValueError (never struct.error) —
+    # the quarantine contract; cut mid-CRC was the regression case
+    for cut in range(8, len(data)):
+        with pytest.raises(ValueError):
+            png.decode_png(bytes(data)[:cut])
 
 
 def test_unsupported_fields_named():
