@@ -602,6 +602,14 @@ _TAIL = [
                               # iterative-join surface is eval'd via
                               # click_pagerank; unrolled MATERIALIZED
                               # DuckDB oracle)
+    "click_components",       # round-4 addition (exact weakly-
+                              # connected components of the click
+                              # graph via the SAME star contraction
+                              # the eval'd neardup_components family
+                              # uses (Kiveris SoCC'14), on navigation
+                              # edges; INDEPENDENT-algorithm oracle:
+                              # DuckDB recursive-CTE transitive
+                              # closure + min aggregate)
     "click_ppr_seeded",       # round-4 addition (personalized
                               # PageRank from a seed set, Haveliwala
                               # WWW'02 — the focused-crawl priority

@@ -494,6 +494,37 @@ HITS_ITERS = 5
 HITS_SCALE = 10**9  # hub/authority fixed-point denominator
 
 
+def click_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the click graph — exact
+    component labels (min reachable page) via the alternating
+    large-star/small-star contraction of operators/dedup.py
+    (Kiveris et al., SoCC'14), run here on navigation edges instead of
+    near-dup edges.  Complements :func:`click_communities_lpa`: LPA
+    finds dense communities inside a component; this finds the exact
+    component partition (the unit crawl/host analyses shard by).
+
+    The DuckDB oracle is an INDEPENDENT algorithm — a recursive-CTE
+    transitive closure + min aggregate — so label equality checks the
+    star contraction against a different computation of the same
+    fixpoint, not a replay.  Scale shape: inherited from
+    connected_components_star (edge set provably shrinks per round,
+    O(log n) rounds, every pass keyed by vertex)."""
+    from .dedup import connected_components_star
+
+    ed = click_graph_edges(spark, sf_dir).select(
+        F.col("src").alias("d1"), F.col("dst").alias("d2")
+    )
+    nodes = (
+        ed.select(F.col("d1").alias("doc_id"))
+        .union(ed.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    return connected_components_star(spark, nodes, ed).select(
+        F.col("doc_id").alias("page"),
+        F.col("component_id").alias("component"),
+    )
+
+
 def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
     Rev. E 2007) over the undirected click graph — the linear-time
@@ -711,6 +742,7 @@ QUERIES = {
     "click_hits": click_hits,
     "click_communities_lpa": click_communities_lpa,
     "click_ppr_seeded": click_ppr_seeded,
+    "click_components": click_components,
 }
 
 _SQL_EDGES = """
@@ -1060,6 +1092,30 @@ ORACLE_SQL = {
     "click_hits": _hits_sql(),
     "click_communities_lpa": _lpa_sql(),
     "click_ppr_seeded": _ppr_sql(),
+    # independent-algorithm oracle: recursive-CTE transitive closure +
+    # min aggregate (DuckDB's recursive UNION dedups visited states, so
+    # the closure terminates) vs the engine's star contraction
+    "click_components": (
+        "WITH RECURSIVE "
+        + _SQL_EDGES.strip().rstrip()
+        + """,
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    nbr AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und
+    ),
+    n AS (SELECT DISTINCT node FROM nbr),
+    closure AS (
+        SELECT node, node AS r FROM n
+        UNION
+        SELECT nbr.node, c.r FROM nbr JOIN closure c ON nbr.nbr = c.node
+    )
+    SELECT node AS page, min(r) AS component
+    FROM closure GROUP BY node"""
+    ),
     "hyperball_neighborhood": _hyperball_nf_sql(),
     "click_graph_edges": f"WITH {_SQL_EDGES} SELECT src, dst, w, ow FROM ew",
     "click_triangles": f"""

@@ -185,6 +185,10 @@ BUDGETS = {
     "collocation_topk": 1,
     # JL projection is map-only: plan-literal planes, no join, no agg
     "jl_project_audit": 0,
+    # star-contraction rounds converge behind checkpoints during
+    # construction; the returned plan is the root extraction (one
+    # groupBy + the node left join) over the final star edge set
+    "click_components": 4,
 }
 
 
@@ -218,6 +222,7 @@ SCAN_BUDGETS = {
     "winnow_matches": 0,  # fingerprint posting table pinned
     "collocation_topk": 1,  # unigram table pinned (2 join consumers)
     "jl_project_audit": 1,  # one map-only pass over embeddings
+    "click_components": 0,  # edge set pinned per contraction round
     "bpe_segment_stats": 1,  # corpus scan; vocab side checkpointed
     "media_phash_neardup": 0,  # phash table pinned (3 consumers)
     "png_decode_stats": 1,  # one documents scan feeds the map chain
