@@ -84,6 +84,11 @@ JOBS = {
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
+    # iterative-join scaling (round-4): 5 PageRank rounds over a
+    # generated 20M-edge table — the batch-analytics counterpart of
+    # fetchparse (measures the per-round shuffle join + aggregate +
+    # checkpoint structure every iterative graph operator shares)
+    "pagerank20m": {"kind": "pagerank", "n_edges": 20_000_000},
     "politeness127": {"kind": "politeness", "n_hosts": 127},
     "politeness508": {"kind": "politeness", "n_hosts": 508},
     # heterogeneous robots Crawl-delay: half the hosts declare 500 ms,
@@ -139,6 +144,76 @@ def job_fetchparse(spark, n_urls: int, n_hosts: int) -> dict:
     return {"urls": n_urls, "ok": n, "wall": round(wall, 1), "tput": round(n_urls / wall, 1)}
 
 
+def job_pagerank(spark, n_edges: int) -> dict:
+    """Iterative-join scaling cell: 5 fixed-point PageRank rounds over
+    a GENERATED uniform random edge table (spark.range — no driver
+    data), avg out-degree 16.  The click-graph analytics at test SF
+    are fixed-cost-bound (the whole graph fits one task), so THIS is
+    the cell that measures whether the per-round join+aggregate+
+    localCheckpoint structure scales with cores the way the operators'
+    docstrings claim.  Same BIGINT arithmetic as graph.click_pagerank.
+    Metric: edge-iterations per second (edges x rounds / wall)."""
+    import pyspark.sql.functions as F
+
+    scale_fp = 10**12
+    rounds = 5
+    n_nodes = max(n_edges // 16, 1)
+    raw = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(n_nodes)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = (
+        raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(ow, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("page"))
+        .union(edges.select(F.col("dst").alias("page")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # materialize the graph OUTSIDE the timed window: the cell measures
+    # the iterative rounds (what every graph operator repeats), not the
+    # one-off build
+    n_ew = ew.count()
+    n = nodes.count()
+    t0 = time.time()
+    base = scale_fp // n
+    ranks = nodes.select("page", F.lit(base).cast("bigint").alias("pr"))
+    for _ in range(rounds):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["page"])
+            .select("dst", F.expr("(pr div ow) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["page"] == contrib["dst"], "left")
+            .select(
+                "page",
+                F.expr(
+                    f"CAST((15 * CAST({base} AS BIGINT)"
+                    f" + 85 * coalesce(s, CAST(0 AS BIGINT)))"
+                    f" div 100 AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    total = ranks.agg(F.sum("pr")).collect()[0][0]  # one bounded action
+    wall = time.time() - t0
+    return {
+        "edges": n_edges,
+        "weighted_edges": n_ew,
+        "nodes": n,
+        "rounds": rounds,
+        "rank_mass": int(total),
+        "wall": round(wall, 1),
+        "tput": round(n_edges * rounds / wall, 1),
+    }
+
+
 def job_crawl(spark, n_counties: int, n_days: int) -> dict:
     from indigent_defense_stats_spark.plans import frontier as fr
 
@@ -167,6 +242,8 @@ def run_cell(job: str, cpus: int, args) -> dict:
     spark.range(1000).count()
     if cfg["kind"] == "fetchparse":
         res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
+    elif cfg["kind"] == "pagerank":
+        res = job_pagerank(spark, cfg["n_edges"])
     elif cfg["kind"] == "politeness":
         from indigent_defense_stats_spark.plans import frontier as fr
 
