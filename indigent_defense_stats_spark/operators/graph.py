@@ -1092,26 +1092,34 @@ ORACLE_SQL = {
     "click_hits": _hits_sql(),
     "click_communities_lpa": _lpa_sql(),
     "click_ppr_seeded": _ppr_sql(),
-    # independent-algorithm oracle: recursive-CTE transitive closure +
-    # min aggregate (DuckDB's recursive UNION dedups visited states, so
-    # the closure terminates) vs the engine's star contraction
+    # independent-algorithm oracle: recursive-CTE min-label propagation
+    # + min aggregate (DuckDB's recursive UNION dedups visited states,
+    # so it terminates) vs the engine's star contraction.  Two bounds
+    # matter: the non-recursive feeders are MATERIALIZED (plain CTEs
+    # inline PER REFERENCE, and the recursive arm references nbr every
+    # iteration — the click_hits lesson), and the recursive arm prunes
+    # to labels SMALLER than the receiving node (the component minimum
+    # m satisfies m < v for every other member v, so min propagation is
+    # unaffected, while the unpruned full transitive closure would
+    # materialize Σ|C|² rows on a giant component)
     "click_components": (
         "WITH RECURSIVE "
         + _SQL_EDGES.strip().rstrip()
         + """,
-    und AS (
+    und AS MATERIALIZED (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM e WHERE src <> dst
     ),
-    nbr AS (
+    nbr AS MATERIALIZED (
         SELECT a AS node, b AS nbr FROM und
         UNION ALL SELECT b AS node, a AS nbr FROM und
     ),
-    n AS (SELECT DISTINCT node FROM nbr),
+    n AS MATERIALIZED (SELECT DISTINCT node FROM nbr),
     closure AS (
         SELECT node, node AS r FROM n
         UNION
         SELECT nbr.node, c.r FROM nbr JOIN closure c ON nbr.nbr = c.node
+        WHERE c.r < nbr.node
     )
     SELECT node AS page, min(r) AS component
     FROM closure GROUP BY node"""

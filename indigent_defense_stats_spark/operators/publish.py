@@ -78,6 +78,17 @@ def publish(
     exact_join_skipped / bloom_rebuilt for observability and tests
     (populated whenever ``bloom_state`` is passed, including the
     first-generation publish into an empty target)."""
+    if getattr(target, "mode", None) == "overwrite" and target.latest() is not None:
+        # an overwrite-mode target keeps only the latest batch, so a
+        # SECOND direct publish would forget earlier hashes and
+        # re-insert previously-seen content from the third publish on
+        # (docstring above).  Legitimate overwrite uses (a fresh table's
+        # first publish; read-only union adapters) don't trip this.
+        raise ValueError(
+            "publish target must be an append-mode SnapshotTable once it"
+            " has history: overwrite mode forgets earlier hashes and"
+            " re-inserts previously published content"
+        )
     existing = target.read()
     # within-batch hash dedup as well (the reference would skip the
     # second file with the same hash once the first inserted).  The
@@ -103,14 +114,21 @@ def publish(
         bsnap = bloom_state.latest()
         if bsnap is not None:
             # coherence gate (see docstring): trust the state only if
-            # it absorbed the CURRENT target head; otherwise fall
-            # through with state=None and rebuild from history below
-            if bloom_state.manifest(bsnap).get("target_snap") == target.latest():
+            # it absorbed the CURRENT head of THIS target — both the
+            # snapshot number and the target identity must match (a
+            # bloom shared across two targets, or a wiped-and-reseeded
+            # target directory, can reproduce a bare snap number);
+            # otherwise fall through with state=None and rebuild below
+            m = bloom_state.manifest(bsnap)
+            if m.get("target_snap") == target.latest() and m.get(
+                "target_path"
+            ) == getattr(target, "path", None):
                 state = bloom_state.read()
         if stats is not None:
             stats["bloom_maybe_seen"] = 0
             stats["exact_join_skipped"] = False
             stats["bloom_rebuilt"] = False
+    rebuilt = False
     if existing is not None and not existing.isEmpty():
         if bloom_state is not None:
             if state is None or state.isEmpty():
@@ -120,6 +138,7 @@ def publish(
                     existing.select("html_hash"), "html_hash",
                     BLOOM_BUCKETS, BLOOM_BITS,
                 ).localCheckpoint(eager=True)
+                rebuilt = True
                 if stats is not None:
                     stats["bloom_rebuilt"] = True
             # probe a NARROW hash projection — the wide record (nested
@@ -196,7 +215,26 @@ def publish(
     # checkpoint's blocks are reclaimed by the ContextCleaner when the
     # plan is garbage-collected
     out = out.localCheckpoint(eager=True)
+
+    def _save_state(new_state, event: str) -> None:
+        # record WHICH target head this state absorbed — the coherence
+        # gate above compares both fields next time
+        bloom_state.write(
+            new_state.coalesce(1),
+            {
+                "event": event,
+                "target_snap": target.latest(),
+                "target_path": getattr(target, "path", None),
+            },
+        )
+
     if out.isEmpty():
+        if bloom_state is not None and rebuilt:
+            # a rebuild happened but nothing inserted (the steady-state
+            # all-duplicate republish): persist the rebuilt state NOW —
+            # the target head is unchanged, so it is coherent — or the
+            # full-history rebuild repeats on every such publish
+            _save_state(state, "publish-rebuild")
         return out
     target.write(out, {"event": "publish"})
     if bloom_state is not None:
@@ -207,10 +245,5 @@ def publish(
             state, out.select("html_hash"), "html_hash",
             BLOOM_BUCKETS, BLOOM_BITS,
         )
-        # record WHICH target head this state absorbed (the publish we
-        # just wrote) — the coherence gate above compares it next time
-        bloom_state.write(
-            new_state.coalesce(1),
-            {"event": "publish", "target_snap": target.latest()},
-        )
+        _save_state(new_state, "publish")
     return out

@@ -81,14 +81,14 @@ JOBS = {
     # one more doubling past crawl2160 to locate the plateau of the
     # rising-throughput trend (5637 -> 7165 -> 8813 URLs/s so far)
     "crawl4320": {"kind": "crawl", "n_days": 4320},
-    # host-count sweep at fixed cores: the politeness ceiling is
-    # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
-    # the mechanism behind N->4N executor scaling in production
     # iterative-join scaling (round-4): 5 PageRank rounds over a
     # generated 20M-edge table — the batch-analytics counterpart of
     # fetchparse (measures the per-round shuffle join + aggregate +
     # checkpoint structure every iterative graph operator shares)
     "pagerank20m": {"kind": "pagerank", "n_edges": 20_000_000},
+    # host-count sweep at fixed cores: the politeness ceiling is
+    # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
+    # the mechanism behind N->4N executor scaling in production
     "politeness127": {"kind": "politeness", "n_hosts": 127},
     "politeness508": {"kind": "politeness", "n_hosts": 508},
     # heterogeneous robots Crawl-delay: half the hosts declare 500 ms,

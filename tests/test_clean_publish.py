@@ -308,6 +308,27 @@ def test_publish_bloom_coherence_gate(spark, world, tmp_path):
     )
     assert st3["bloom_rebuilt"] is True
     assert out.isEmpty()
+    # the rebuilt state must persist even though nothing inserted —
+    # otherwise every later all-duplicate publish rescans full history
+    st3b: dict = {}
+    out2 = publish_mod.publish(
+        fresh, target, today, bloom_state=state, stats=st3b
+    )
+    assert out2.isEmpty()
+    assert st3b["bloom_rebuilt"] is False
+
+    # target-identity gate: a DIFFERENT target whose head happens to
+    # share the same snapshot number must not trust this bloom
+    other = SnapshotTable(spark, str(tmp_path / "other"), mode="append")
+    publish_mod.publish(cleaned, other, today)  # other head snap 1...
+    publish_mod.publish(fresh, other, today)  # ...then snap 2 = target's
+    assert other.latest() == target.latest()
+    sto: dict = {}
+    out3 = publish_mod.publish(
+        fresh, other, today, bloom_state=state, stats=sto
+    )
+    assert sto["bloom_rebuilt"] is True  # path mismatch -> rebuild
+    assert out3.isEmpty()
 
     # first-generation stats contract: keys exist on an empty target
     t2 = SnapshotTable(spark, str(tmp_path / "t2"), mode="append")
@@ -320,3 +341,11 @@ def test_publish_bloom_coherence_gate(spark, world, tmp_path):
     bad = SnapshotTable(spark, str(tmp_path / "b3"), mode="append")
     with pytest.raises(ValueError, match="overwrite-mode"):
         publish_mod.publish(cleaned, t2, today, bloom_state=bad)
+
+    # a SECOND direct publish into an overwrite-mode target would
+    # forget earlier hashes — contract violation (fresh first publish
+    # and read-only union adapters remain allowed)
+    ow = SnapshotTable(spark, str(tmp_path / "ow"), mode="overwrite")
+    publish_mod.publish(cleaned, ow, today)
+    with pytest.raises(ValueError, match="append-mode"):
+        publish_mod.publish(cleaned, ow, today)
