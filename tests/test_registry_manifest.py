@@ -18,11 +18,14 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-# The committed round-4 manifest: six session-7-9 families promoted
-# (bpe_merge_ranks, balanced_shards, dust_rules, crawl_budget_waterfill,
-# hll_distinct, exact_substr_cut), six demoted to the tail with pin
-# comments (union_tagged, part_type_class, primary_order_flag,
-# dismissed_count_analog, nation_customer_stats, token_stats).
+# The committed round-5 manifest: six round-4 families promoted
+# (winnow_matches, click_hits, click_components, collocation_topk,
+# jl_project_audit, png_decode_stats — the round-4 verdict's #1 item),
+# six demoted to the tail with pin comments (zorder_cells,
+# sitemap_frontier, hll_distinct, balanced_shards,
+# crawl_budget_waterfill, dust_rules — each keeps a pytest pin or a
+# green local-oracle sibling, and the last three carry one round of
+# driver-green history from CORRECTNESS_r04).
 # Changing the prefix is allowed — but only by editing THIS manifest in
 # the same commit, which makes the rotation an explicit reviewed act.
 PREFIX_MANIFEST = [
@@ -41,16 +44,16 @@ PREFIX_MANIFEST = [
     "funnel_stages",
     "click_pagerank",
     "click_reachability",
-    "crawl_budget_waterfill",
-    "dust_rules",
+    "click_hits",
+    "click_components",
     "cms_heavy_hitters",
-    "hll_distinct",
-    "balanced_shards",
     "gopher_quality_filters",
     "pii_scrub_docs",
     "unigram_lm_score",
     "ccnet_buckets",
+    "collocation_topk",
     "bpe_merge_ranks",
+    "winnow_matches",
     "bm25_search",
     "benchmark_contamination",
     "line_dedup",
@@ -64,14 +67,14 @@ PREFIX_MANIFEST = [
     "embedding_neardup_lsh",
     "ann_topk_ivf_indexed",
     "semantic_dedup",
+    "jl_project_audit",
     "pack_sequences",
     "mixture_sample",
     "money_parse_total",
     "cleaned_cases",
     "publish_versions",
     "media_features",
-    "zorder_cells",
-    "sitemap_frontier",
+    "png_decode_stats",
     "stream_event_window_counts",
     "stream_click_attribution",
     "session_windows",
