@@ -26,6 +26,10 @@ import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3}  # color_type -> samples per pixel
+# decode bound on (width*bpp+1)*height — a hostile IHDR or an IDAT
+# decompression bomb quarantines (ValueError) instead of exhausting
+# executor memory; 64 MiB is ~4x the largest frame the media layer emits
+_MAX_RAW_BYTES = 64 << 20
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -151,6 +155,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             if comp or filt or interlace:
                 raise ValueError("unsupported compression/filter/interlace")
             bpp = _CHANNELS[color_type]
+            # quarantine contract: a hostile IHDR can declare absurd
+            # dimensions and make the raw-buffer allocation itself the
+            # attack — reject before any allocation sized by them
+            if (width * bpp + 1) * height > _MAX_RAW_BYTES:
+                raise ValueError(
+                    f"declared dimensions {width}x{height} exceed the "
+                    f"{_MAX_RAW_BYTES}-byte decode bound"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -163,12 +175,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         # per-chunk CRCs can all pass on a stream cut at a chunk
         # boundary — only the IEND trailer proves the file is whole
         raise ValueError("truncated PNG (missing IEND)")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:  # corrupt/short deflate stream
-        raise ValueError(f"bad IDAT stream: {exc}") from exc
     stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    try:
+        # bounded inflate: cap output at expected+1 so a decompression
+        # bomb (tiny IDAT, huge plaintext) can never allocate past the
+        # IHDR-declared size — the +1 byte distinguishes overrun
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:  # corrupt deflate stream
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ValueError("IDAT inflates past the declared dimensions")
+    if len(raw) != expected:
+        # also covers a truncated deflate stream, which decompressobj
+        # (unlike zlib.decompress) reports as short output, not an error
         raise ValueError("inflated size does not match dimensions")
     out = bytearray(stride * height)
     prev = bytes(stride)

@@ -540,7 +540,13 @@ def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on any engine/partitioning).  Fixed LPA_ITERS rounds
     (synchronous LPA can 2-cycle on bipartite structures, so a fixed
     round count IS the convergence policy, not a truncation).
-    Isolated nodes keep their own id as label.
+    Node-set contract: every endpoint of the click graph starts
+    self-labeled; a node whose only community evidence is itself
+    (degree 0 after the undirected dedup) keeps its own id through
+    every round.  Pages with NO click-graph edge at all are absent
+    from the output — :func:`click_graph_edges` drops self-transitions
+    (``dst <> src``), so a page seen only in self-loops never enters
+    the graph; the DuckDB oracle applies the same rule.
 
     Scale shape (10^10 edges): per round, one join of the vertex-sized
     label table against the static neighbor table (edge-sized, pinned
@@ -757,19 +763,24 @@ _SQL_EDGES = """
                                 ORDER BY ts, event_id) AS dst
         FROM e0
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
         FROM ed WHERE dst IS NOT NULL AND dst <> src
         GROUP BY src, dst
     ),
-    o AS (
+    o AS MATERIALIZED (
         SELECT src AS osrc, CAST(sum(w) AS BIGINT) AS ow
         FROM e GROUP BY src
     ),
-    ew AS (
+    ew AS MATERIALIZED (
         SELECT src, dst, w, ow FROM e JOIN o ON e.src = o.osrc
     )
 """
+# e/o/ew are MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+# the unrolled-iteration oracles below reference ew/e once or twice PER
+# round (10x for HITS) — without materialization the events scan + the
+# per-user lead window re-expand at every reference (the same lesson the
+# per-round l{i}/g{i} CTEs already encode).
 
 
 def _pagerank_sql() -> str:

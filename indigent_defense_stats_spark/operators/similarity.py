@@ -532,8 +532,12 @@ def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms/distances within (1±ε) w.h.p.; Achlioptas JCSS 2003 for the
     database-friendly variants).
 
-    Returns (vec_id, orig_norm, jl_norm, distortion) where distortion
-    = jl_norm / (orig_norm·√JL_DIM) ≈ 1.  Determinism: each projected
+    Returns (vec_id, orig_norm, jl_norm, distortion, zero_norm) where
+    distortion = jl_norm / (orig_norm·√JL_DIM) ≈ 1.  A zero embedding
+    has no defined distortion: the guard reports it explicitly
+    (``zero_norm = true``, distortion NULL by CASE, not by a silent /0)
+    so the audit flags degenerate vectors instead of nulling them away.
+    Determinism: each projected
     coordinate is the repo's index-ordered ``aggregate`` fold against
     a plan-literal plane (the :func:`lsh_bucket_expr` discipline);
     norms are IEEE-correctly-rounded sqrt of ordered folds; the √k
@@ -560,7 +564,11 @@ def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("onrm"), 6).alias("orig_norm"),
         F.round(jn, 6).alias("jl_norm"),
-        F.round(jn * F.lit(inv_sqrt_k) / F.col("onrm"), 6).alias("distortion"),
+        F.when(
+            F.col("onrm") > 0,
+            F.round(jn * F.lit(inv_sqrt_k) / F.col("onrm"), 6),
+        ).alias("distortion"),
+        (F.col("onrm") == 0).alias("zero_norm"),
     )
 
 
@@ -782,8 +790,11 @@ def _jl_oracle_sql() -> str:
         SELECT vec_id,
                round(onrm, 6) AS orig_norm,
                round(sqrt(list_dot_product(jl, jl)), 6) AS jl_norm,
-               round(sqrt(list_dot_product(jl, jl)) * {inv_sqrt_k!r} / onrm,
-                     6) AS distortion
+               CASE WHEN onrm > 0
+                    THEN round(sqrt(list_dot_product(jl, jl))
+                               * {inv_sqrt_k!r} / onrm, 6)
+               END AS distortion,
+               (onrm = 0) AS zero_norm
         FROM p
     """
 

@@ -125,6 +125,42 @@ def test_corruption_rejected():
             png.decode_png(bytes(data)[:cut])
 
 
+def test_hostile_png_quarantined_before_allocation():
+    """Decompression bombs and absurd IHDR dimensions must raise
+    ValueError (quarantine) BEFORE any dimension-sized allocation."""
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    # absurd declared dimensions: 2^15 x 2^15 grayscale = 1 GiB raw
+    big = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)
+    bomb_hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", big)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode bound"):
+        png.decode_png(bomb_hdr)
+
+    # decompression bomb: sane 2x2 IHDR, IDAT inflating to 32 MiB —
+    # the bounded inflate stops at expected+1 bytes and quarantines
+    sane = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", sane)
+        + chunk(b"IDAT", zlib.compress(bytes(32 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        png.decode_png(bomb_idat)
+
+
 def test_unsupported_fields_named():
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
 

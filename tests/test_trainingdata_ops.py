@@ -549,9 +549,37 @@ def test_jl_projection_distortion_law(spark):
     assert rows
     ds = [r["distortion"] for r in rows]
     assert all(r["orig_norm"] > 0 and r["jl_norm"] > 0 for r in rows)
+    assert not any(r["zero_norm"] for r in rows)
+    assert all(d is not None for d in ds)
     mean = sum(ds) / len(ds)
     # k=8 Gaussian projection: E[distortion^2]=1, sd(distortion)~0.25;
     # the corpus mean sits well inside [0.8, 1.2]
     assert 0.8 < mean < 1.2
     # and individual distortions stay in the (loose) JL band for k=8
     assert all(0.2 < d < 2.5 for d in ds)
+
+
+def test_jl_projection_zero_norm_flagged(spark, tmp_path):
+    """A zero embedding is REPORTED (zero_norm=true, distortion NULL)
+    rather than silently nulled by a /0 — the audit contract."""
+    from indigent_defense_stats_spark.operators import similarity
+
+    rows = [
+        (0, [1.0] * 16 + [0.0] * 48, 0),  # vec_id 0 fixes dim
+        (1, [0.0] * 64, 0),
+        (2, [0.5] * 64, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r
+        for r in similarity.jl_project_audit(spark, d).collect()
+    }
+    assert got[1]["zero_norm"] and got[1]["distortion"] is None
+    assert got[1]["orig_norm"] == 0.0 and got[1]["jl_norm"] == 0.0
+    for vid in (0, 2):
+        assert not got[vid]["zero_norm"]
+        assert got[vid]["distortion"] is not None
