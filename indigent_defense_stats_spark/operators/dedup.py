@@ -96,9 +96,14 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """EXACT Jaccard>=t near-dup pairs via PREFIX-FILTERED candidate
-    generation + exact verification.
+    generation + exact verification.  ``docs`` overrides the corpus
+    relation (same (doc_id, body) schema) — the hook
+    :func:`lsh_recall_report`'s sampling contract filters through, so
+    a sampled audit pays the exact join only on the sample.
 
     The naive inverted-index self-join costs sum(df^2) over shingles
     and is dominated by hot (high-document-frequency) shingles.
@@ -141,7 +146,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (df table, prefix ranking, two verification sides) —
     # materialize the compact per-doc array form once, as in
     # minhash_lsh_neardup
-    arr = _with_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    arr = _with_shingles(docs).localCheckpoint(eager=False)
     ex = arr.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
@@ -294,17 +301,25 @@ def _banded_from_sig(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_neardup(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """LSH-bucketed candidates (4 bands x 2 rows) -> exact-Jaccard
     verification at t=0.8.  Precision 1.0 by construction; recall
-    1-(1-t^2)^4 ~ 0.983 at the threshold (tested vs the exact pairs)."""
+    1-(1-t^2)^4 ~ 0.983 at the threshold (tested vs the exact pairs).
+    ``docs`` overrides the corpus relation (lsh_recall_report's
+    sampling hook); per-doc signatures are corpus-independent, so the
+    sampled pair set is exactly the full pair set restricted to
+    sampled endpoints."""
     # the shingle CONSTRUCTION (interpreted HOF chain) feeds both the
     # signature aggregate and the two verification sides —
     # localCheckpoint materializes the compact per-doc array form once
     # (checkpointing the exploded index instead was measured slower:
     # materializing millions of exploded rows costs more than two cheap
     # re-explodes; at scale signatures/shingles are materialized tables)
-    arr = _with_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    arr = _with_shingles(docs).localCheckpoint(eager=False)
     ex = arr.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     # one pass over the signatures -> (band, bucket) rows via a single
     # explode (a per-band union would recompute the signature aggregate
@@ -929,7 +944,15 @@ _MIRROR_ORACLE = """
 """
 
 
-def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+SAMPLE_DEN = 1_000_000  # hash-threshold sampling granularity (ppm)
+
+
+def lsh_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_frac: float | None = None,
+    sample_seed: int = 0,
+) -> DataFrame:
     """One-row sketch-quality report: the MinHash-LSH pair set audited
     against the exact prefix-filtered Jaccard pairs at the same
     threshold — n_exact / n_lsh / n_common plus recall and precision.
@@ -941,12 +964,34 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     two in-tree pair generators verbatim; the exact side is the
     oracle-grade baseline, the LSH side is the 100 TB path.
 
-    Scale: run on a bounded sample in production — the exact side is
-    the expensive one by design; the report itself is two full outer
-    joined pair sets + one global aggregate.
+    Sampling contract (the 100 TB mode): ``sample_frac`` applies ONE
+    deterministic hash-threshold document sample
+    (xxhash64(doc_id, seed) mod 10^6 < frac·10^6) to BOTH pair
+    generators BEFORE pair generation, so the Σdf²-bounded exact join
+    runs only on the sample.  Because both generators' pair membership
+    depends only on the two endpoint documents (exact Jaccard by
+    definition; LSH because per-doc signatures are corpus-independent),
+    the sampled report equals the full report restricted to
+    sample-endpoint pairs — pinned by
+    tests/test_trainingdata_dedup.py::test_lsh_recall_report_sampling.
+    The registered query runs the full set (test SF is bounded).
+
+    Scale: with ``sample_frac`` the exact side is sample-sized; the
+    report itself is two full-outer-joined pair sets + one global
+    aggregate.
     """
-    exact = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
-    lsh = minhash_lsh_neardup(spark, sf_dir).select("d1", "d2")
+    docs = _docs(spark, sf_dir)
+    if sample_frac is not None:
+        keep = int(sample_frac * SAMPLE_DEN)
+        docs = docs.filter(
+            F.pmod(
+                F.xxhash64(F.col("doc_id").cast("string"), F.lit(sample_seed)),
+                F.lit(SAMPLE_DEN),
+            )
+            < keep
+        )
+    exact = ngram_jaccard_pairs(spark, sf_dir, docs=docs).select("d1", "d2")
+    lsh = minhash_lsh_neardup(spark, sf_dir, docs=docs).select("d1", "d2")
     j = exact.withColumn("in_e", F.lit(1)).join(
         lsh.withColumn("in_l", F.lit(1)), ["d1", "d2"], "full_outer"
     )

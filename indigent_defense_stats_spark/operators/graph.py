@@ -46,6 +46,82 @@ SCALE = 10**12  # fixed-point denominator for rank mass
 N_ITERS = 5
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a rational
 
+# broadcast-rank knob: the vertex-side tables of every iterative loop
+# (ranks / labels / hub scores / per-round contributions) are orders of
+# magnitude smaller than the edge table.  Below this node count they
+# are broadcast into the per-round joins, so the edge table is NEVER
+# reshuffled inside the loop — the only remaining per-round exchange is
+# the post-partial contribution aggregate, which is vertex-sized.  A
+# (page:int64, pr:int64) row is ~16 B, so 4M nodes is a <=64 MB
+# broadcast — comfortably under Spark's limits at any executor size.
+# None = auto (by node count); True/False force either path.  Both
+# paths are BIGINT-exact, so results are bit-identical by construction
+# (pinned by tests/test_graph_broadcast.py).
+BROADCAST_RANKS_MAX_NODES = 4_000_000
+
+
+def _rank_side(df: DataFrame, n_nodes: int, broadcast_ranks: bool | None) -> DataFrame:
+    """Vertex-side join input under the broadcast-rank policy."""
+    if broadcast_ranks is None:
+        broadcast_ranks = n_nodes <= BROADCAST_RANKS_MAX_NODES
+    return F.broadcast(df) if broadcast_ranks else df
+
+
+def pagerank_rounds(
+    nodes: DataFrame,
+    ew: DataFrame,
+    *,
+    n_nodes: int,
+    rounds: int = N_ITERS,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """The shared fixed-point PageRank loop: ``rounds`` iterations of
+    (propagate rank along weighted edges) → (damped teleport mix).
+
+    ``nodes`` must carry (page, tp) where ``tp`` is the per-page
+    BIGINT teleport mass (uniform ``SCALE div n`` for classic PageRank,
+    the seed mass for personalized PageRank); ``ew`` is the weighted
+    edge table (src, dst, w, ow).  Both are expected pinned
+    (localCheckpoint) by the caller — the loop re-reads them every
+    round.  Returns (page, pr).
+
+    All arithmetic is BIGINT (integer div + integer sums, associative
+    and order-free), so the shuffle path and the broadcast path return
+    bit-identical ranks at any parallelism — the determinism contract
+    the module docstring pins.
+
+    Scale shape: with ``broadcast_ranks`` (auto under
+    BROADCAST_RANKS_MAX_NODES) each round is map-side against the
+    in-place edge table + ONE vertex-sized exchange (the contribution
+    aggregate's post-partial shuffle); without it, each round also
+    reshuffles the edge table on src — the 10^10-edge regime keeps the
+    shuffle path only when the vertex table itself outgrows broadcast."""
+    ranks = nodes.select("page", F.col("tp").cast("bigint").alias("pr"))
+    for _ in range(rounds):
+        contrib = (
+            ew.join(_rank_side(ranks, n_nodes, broadcast_ranks),
+                    ew["src"] == ranks["page"])
+            .select("dst", F.expr("(pr div ow) * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(_rank_side(contrib, n_nodes, broadcast_ranks),
+                       nodes["page"] == contrib["dst"], "left")
+            .select(
+                "page",
+                F.expr(
+                    f"CAST(({damp_den - damp_num} * CAST(tp AS BIGINT)"
+                    f" + {damp_num} * coalesce(s, CAST(0 AS BIGINT)))"
+                    f" div {damp_den} AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -78,12 +154,15 @@ def click_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.join(ow, "src").select("src", "dst", "w", "ow")
 
 
-def click_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def click_pagerank(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool | None = None
+) -> DataFrame:
     """Fixed-point PageRank over the click graph, N_ITERS iterations.
 
     Returns (page, pr_scaled) where pr_scaled is the rank in units of
-    1/SCALE — BIGINT, bit-identical across engines (see module
-    docstring)."""
+    1/SCALE — BIGINT, bit-identical across engines AND across the
+    broadcast/shuffle rank paths (see module docstring and
+    :func:`pagerank_rounds`)."""
     edges = click_graph_edges(spark, sf_dir).localCheckpoint(eager=False)
     # nodes joins into EVERY iteration's rank update (plus the count
     # below) — pin the union+distinct once or it re-shuffles per
@@ -97,26 +176,13 @@ def click_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()  # one scalar aggregate — bounded driver state
     base = SCALE // n
-    ranks = nodes.select("page", F.lit(base).cast("bigint").alias("pr"))
-    for _ in range(N_ITERS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["page"])
-            .select("dst", F.expr("(pr div ow) * w").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["page"] == contrib["dst"], "left")
-            .select(
-                "page",
-                F.expr(
-                    f"CAST(({DAMP_DEN - DAMP_NUM} * CAST({base} AS BIGINT)"
-                    f" + {DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
-                    f" div {DAMP_DEN} AS BIGINT)"
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    ranks = pagerank_rounds(
+        # a pure projection over the pinned node table — no second pin
+        nodes.select("page", F.lit(base).cast("bigint").alias("tp")),
+        edges,
+        n_nodes=n,
+        broadcast_ranks=broadcast_ranks,
+    )
     return ranks.select("page", F.col("pr").alias("pr_scaled"))
 
 
@@ -525,7 +591,9 @@ def click_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+def click_communities_lpa(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool | None = None
+) -> DataFrame:
     """Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
     Rev. E 2007) over the undirected click graph — the linear-time
     community detector a web pipeline runs to cluster hosts/pages into
@@ -567,13 +635,19 @@ def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     nodes = nbr.select("node").distinct().localCheckpoint(eager=False)
+    n = nodes.count()  # bounded driver scalar (broadcast-rank policy)
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(LPA_ITERS):
         gathered = (
             nbr.join(
-                labels.select(
-                    F.col("node").alias("nbr"), F.col("label").alias("nlabel")
+                _rank_side(
+                    labels.select(
+                        F.col("node").alias("nbr"),
+                        F.col("label").alias("nlabel"),
+                    ),
+                    n,
+                    broadcast_ranks,
                 ),
                 "nbr",
             )
@@ -586,7 +660,7 @@ def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("label").alias("new_label"))
         )
         labels = (
-            labels.join(best, "node", "left")
+            labels.join(_rank_side(best, n, broadcast_ranks), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
@@ -596,7 +670,9 @@ def click_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("page"), F.col("label").alias("community"))
 
 
-def click_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def click_ppr_seeded(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool | None = None
+) -> DataFrame:
     """Personalized PageRank from a seed set (pages ≡ 0 mod
     PPR_SEED_MOD) — the focused-crawl priority signal: rank pages by
     proximity to a topic seed set instead of global importance
@@ -608,9 +684,8 @@ def click_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``15·(SCALE div n)`` every node gets, only seed nodes receive
     ``15·(SCALE div n_seeds)``; non-seeds' rank is pure propagated
     mass.  All arithmetic is integer div/sums — bit-identical
-    cross-engine.  Scale shape identical to click_pagerank (one
-    rank-table shuffle + one linear contribution aggregate per
-    iteration, per-round localCheckpoint)."""
+    cross-engine.  Scale shape identical to click_pagerank (shares
+    :func:`pagerank_rounds`, including the broadcast-rank path)."""
     edges = click_graph_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("page"))
@@ -630,31 +705,18 @@ def click_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_mass = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast(
         "bigint"
     )
-    ranks = nodes.select("page", seed_mass.alias("pr"))
-    for _ in range(N_ITERS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["page"])
-            .select("dst", F.expr("(pr div ow) * w").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["page"] == contrib["dst"], "left")
-            .select(
-                "page",
-                F.expr(
-                    f"CAST(({DAMP_DEN - DAMP_NUM} * (CASE WHEN is_seed"
-                    f" THEN CAST({base} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-                    f" + {DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
-                    f" div {DAMP_DEN} AS BIGINT)"
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    ranks = pagerank_rounds(
+        nodes.select("page", seed_mass.alias("tp")),
+        edges,
+        n_nodes=nodes.count(),
+        broadcast_ranks=broadcast_ranks,
+    )
     return ranks.select("page", F.col("pr").alias("ppr_scaled"))
 
 
-def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def click_hits(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool | None = None
+) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, JACM 1999) over the click
     graph — the second classic link-analysis fixed point next to
     PageRank, and the one a crawl planner uses to separate directory/
@@ -687,11 +749,13 @@ def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n = nodes.count()  # bounded driver scalar (broadcast-rank policy)
     hubs = nodes.select("page", F.lit(HITS_SCALE).cast("bigint").alias("h"))
     auths = None
     for _ in range(HITS_ITERS):
         raw_a = (
-            edges.join(hubs, edges["src"] == hubs["page"])
+            edges.join(_rank_side(hubs, n, broadcast_ranks),
+                       edges["src"] == hubs["page"])
             .groupBy("dst")
             .agg(F.sum(F.expr("h * w")).cast("bigint").alias("ra"))
         )
@@ -702,7 +766,8 @@ def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         auths = (
             nodes.crossJoin(F.broadcast(da))
-            .join(raw_a, nodes["page"] == raw_a["dst"], "left")
+            .join(_rank_side(raw_a, n, broadcast_ranks),
+                  nodes["page"] == raw_a["dst"], "left")
             .select(
                 "page",
                 F.expr("CAST(coalesce(ra, CAST(0 AS BIGINT)) div da AS BIGINT)")
@@ -711,7 +776,8 @@ def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         raw_h = (
-            edges.join(auths, edges["dst"] == auths["page"])
+            edges.join(_rank_side(auths, n, broadcast_ranks),
+                       edges["dst"] == auths["page"])
             .groupBy("src")
             .agg(F.sum(F.expr("a * w")).cast("bigint").alias("rh"))
         )
@@ -722,7 +788,8 @@ def click_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hubs = (
             nodes.crossJoin(F.broadcast(dh))
-            .join(raw_h, nodes["page"] == raw_h["src"], "left")
+            .join(_rank_side(raw_h, n, broadcast_ranks),
+                  nodes["page"] == raw_h["src"], "left")
             .select(
                 "page",
                 F.expr("CAST(coalesce(rh, CAST(0 AS BIGINT)) div dh AS BIGINT)")

@@ -86,6 +86,16 @@ JOBS = {
     # fetchparse (measures the per-round shuffle join + aggregate +
     # checkpoint structure every iterative graph operator shares)
     "pagerank20m": {"kind": "pagerank", "n_edges": 20_000_000},
+    # round-5: the broadcast-rank variant of the same cell (graph.
+    # pagerank_rounds broadcast_ranks=True) — the vertex side ships by
+    # broadcast, the 20M-edge table is never reshuffled inside a round,
+    # leaving one vertex-sized exchange per round (the contribution
+    # aggregate).  The paired cells measure exactly what the knob buys.
+    "pagerank20m_bcast": {
+        "kind": "pagerank",
+        "n_edges": 20_000_000,
+        "broadcast_ranks": True,
+    },
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
@@ -144,18 +154,23 @@ def job_fetchparse(spark, n_urls: int, n_hosts: int) -> dict:
     return {"urls": n_urls, "ok": n, "wall": round(wall, 1), "tput": round(n_urls / wall, 1)}
 
 
-def job_pagerank(spark, n_edges: int) -> dict:
+def job_pagerank(spark, n_edges: int, broadcast_ranks: bool = False) -> dict:
     """Iterative-join scaling cell: 5 fixed-point PageRank rounds over
     a GENERATED uniform random edge table (spark.range — no driver
     data), avg out-degree 16.  The click-graph analytics at test SF
     are fixed-cost-bound (the whole graph fits one task), so THIS is
     the cell that measures whether the per-round join+aggregate+
     localCheckpoint structure scales with cores the way the operators'
-    docstrings claim.  Same BIGINT arithmetic as graph.click_pagerank.
-    Metric: edge-iterations per second (edges x rounds / wall)."""
+    docstrings claim.  Round-5: the rounds are the ACTUAL library loop
+    (graph.pagerank_rounds), so the cell measures operator code, and
+    ``broadcast_ranks`` selects the vertex-broadcast path — rank_mass
+    must be bit-identical across paths AND parallelism (the BIGINT
+    determinism contract).  Metric: edge-iterations per second
+    (edges x rounds / wall)."""
     import pyspark.sql.functions as F
 
-    scale_fp = 10**12
+    from indigent_defense_stats_spark.operators import graph
+
     rounds = 5
     n_nodes = max(n_edges // 16, 1)
     raw = spark.range(n_edges).select(
@@ -180,27 +195,14 @@ def job_pagerank(spark, n_edges: int) -> dict:
     n_ew = ew.count()
     n = nodes.count()
     t0 = time.time()
-    base = scale_fp // n
-    ranks = nodes.select("page", F.lit(base).cast("bigint").alias("pr"))
-    for _ in range(rounds):
-        contrib = (
-            ew.join(ranks, ew["src"] == ranks["page"])
-            .select("dst", F.expr("(pr div ow) * w").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["page"] == contrib["dst"], "left")
-            .select(
-                "page",
-                F.expr(
-                    f"CAST((15 * CAST({base} AS BIGINT)"
-                    f" + 85 * coalesce(s, CAST(0 AS BIGINT)))"
-                    f" div 100 AS BIGINT)"
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    base = graph.SCALE // n
+    ranks = graph.pagerank_rounds(
+        nodes.select("page", F.lit(base).cast("bigint").alias("tp")),
+        ew,
+        n_nodes=n,
+        rounds=rounds,
+        broadcast_ranks=broadcast_ranks,
+    )
     total = ranks.agg(F.sum("pr")).collect()[0][0]  # one bounded action
     wall = time.time() - t0
     return {
@@ -208,6 +210,7 @@ def job_pagerank(spark, n_edges: int) -> dict:
         "weighted_edges": n_ew,
         "nodes": n,
         "rounds": rounds,
+        "broadcast_ranks": broadcast_ranks,
         "rank_mass": int(total),
         "wall": round(wall, 1),
         "tput": round(n_edges * rounds / wall, 1),
@@ -243,7 +246,10 @@ def run_cell(job: str, cpus: int, args) -> dict:
     if cfg["kind"] == "fetchparse":
         res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
     elif cfg["kind"] == "pagerank":
-        res = job_pagerank(spark, cfg["n_edges"])
+        res = job_pagerank(
+            spark, cfg["n_edges"],
+            broadcast_ranks=cfg.get("broadcast_ranks", False),
+        )
     elif cfg["kind"] == "politeness":
         from indigent_defense_stats_spark.plans import frontier as fr
 

@@ -59,3 +59,50 @@ def test_lsh_recall_report_counts(spark):
     assert r["precision"] == 1.0
     assert r["n_common"] == r["n_lsh"]
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_lsh_recall_report_sampling(spark):
+    """The mechanical sampling contract: the sampled report's counts
+    equal the FULL pair sets restricted to sample-endpoint pairs —
+    because pair membership (exact Jaccard and per-doc LSH signatures
+    alike) depends only on the two endpoint documents, sampling docs
+    before pair generation loses exactly the pairs with an unsampled
+    endpoint and nothing else."""
+    import pyspark.sql.functions as F
+
+    frac, seed = 0.5, 7
+    rep = D.lsh_recall_report(
+        spark, SF_DIR, sample_frac=frac, sample_seed=seed
+    ).collect()[0]
+
+    keep = int(frac * D.SAMPLE_DEN)
+    sampled = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(
+            F.pmod(
+                F.xxhash64(F.col("doc_id").cast("string"), F.lit(seed)),
+                F.lit(D.SAMPLE_DEN),
+            )
+            < keep
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(sampled)
+
+    def restrict(df):
+        return {
+            (r["d1"], r["d2"])
+            for r in df.select("d1", "d2").collect()
+            if r["d1"] in sampled and r["d2"] in sampled
+        }
+
+    exact_r = restrict(D.ngram_jaccard_pairs(spark, SF_DIR))
+    lsh_r = restrict(D.minhash_lsh_neardup(spark, SF_DIR))
+    assert rep["n_exact"] == len(exact_r)
+    assert rep["n_lsh"] == len(lsh_r)
+    assert rep["n_common"] == len(exact_r & lsh_r)
+    # the contract is only meaningful if the sample actually bites
+    full = D.lsh_recall_report(spark, SF_DIR).collect()[0]
+    assert rep["n_exact"] <= full["n_exact"]
