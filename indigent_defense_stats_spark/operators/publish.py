@@ -34,6 +34,8 @@ def publish(
     today: str,
     bloom_state: SnapshotTable | None = None,
     stats: dict | None = None,
+    bloom_buckets: int = BLOOM_BUCKETS,
+    bloom_bits: int = BLOOM_BITS,
 ) -> DataFrame:
     """Insert new versions of *cleaned* into *target*; returns the rows
     inserted (with id + version).  ``today`` is MM-DD-YYYY, injected for
@@ -77,7 +79,15 @@ def publish(
     ``stats`` (optional dict) receives bloom_maybe_seen /
     exact_join_skipped / bloom_rebuilt for observability and tests
     (populated whenever ``bloom_state`` is passed, including the
-    first-generation publish into an empty target)."""
+    first-generation publish into an empty target).
+
+    ``bloom_buckets`` / ``bloom_bits`` size the partitioned filter
+    (k=5 double hashing needs ~10 bits/key for ~1% fp, so capacity ≈
+    buckets·bits/10); the defaults fit the sandbox corpus — a
+    deployment sizes them for its history and MUST keep them constant
+    across publishes into the same bloom_state (bits from different
+    geometries cannot be OR-merged; the coherence gate catches a
+    mismatch only via the rebuild path)."""
     if getattr(target, "mode", None) == "overwrite" and target.latest() is not None:
         # an overwrite-mode target keeps only the latest batch, so a
         # SECOND direct publish would forget earlier hashes and
@@ -102,6 +112,9 @@ def publish(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # batch key set for the base_versions pruning below — captured
+    # before the anti-join branch reassigns `incoming`
+    incoming_keys = incoming.select("case_number").distinct()
     state = None
     if bloom_state is not None:
         if bloom_state.mode != "overwrite":
@@ -136,7 +149,7 @@ def publish(
                 # its hash column the bloom path ever takes after this)
                 state = bloom.build(
                     existing.select("html_hash"), "html_hash",
-                    BLOOM_BUCKETS, BLOOM_BITS,
+                    bloom_buckets, bloom_bits,
                 ).localCheckpoint(eager=True)
                 rebuilt = True
                 if stats is not None:
@@ -148,10 +161,10 @@ def publish(
                 bloom.probe(
                     bloom.with_bucket_and_hashes(
                         incoming.select("html_hash"), "html_hash",
-                        BLOOM_BUCKETS,
+                        bloom_buckets,
                     ),
                     state,
-                    BLOOM_BITS,
+                    bloom_bits,
                 )
                 .filter(F.col("maybe_seen"))
                 .select("html_hash")
@@ -166,9 +179,14 @@ def publish(
             else:
                 # exact verify ONLY the positives against history,
                 # then anti-join incoming against the confirmed-seen
-                # set — small (true dups + ~fp rate), so broadcastable
-                seen_confirmed = maybe_hashes.join(
-                    existing.select("html_hash"), "html_hash", "left_semi"
+                # set — small (true dups + ~fp rate), so broadcastable.
+                # Join order matters at scale: history on the LEFT,
+                # the bounded positives BROADCAST on the right — the
+                # history hash column is scanned map-side and never
+                # shuffled (the other order plans a sort-merge semi
+                # that exchanges the full history column per publish)
+                seen_confirmed = existing.select("html_hash").join(
+                    F.broadcast(maybe_hashes), "html_hash", "left_semi"
                 )
                 incoming = incoming.join(
                     F.broadcast(seen_confirmed), "html_hash", "left_anti"
@@ -180,8 +198,18 @@ def publish(
             incoming = incoming.join(
                 existing.select("html_hash"), "html_hash", "left_anti"
             )
-        base_versions = existing.groupBy("case_number").agg(
-            F.max("version").alias("base_version")
+        # prune the max-version aggregate to the batch's case_numbers
+        # BEFORE aggregating: the key set is batch-bounded (broadcast
+        # semi), so the history contributes a map-side filtered scan
+        # instead of a full-table groupBy shuffle per publish.  Keys
+        # are taken from the PRE-anti-join batch — a superset of the
+        # inserted set, so the later left join is unchanged; reusing
+        # the post-anti-join plan here would re-run the anti-join.
+        batch_keys = incoming_keys.localCheckpoint(eager=True)
+        base_versions = (
+            existing.join(F.broadcast(batch_keys), "case_number", "left_semi")
+            .groupBy("case_number")
+            .agg(F.max("version").alias("base_version"))
         )
     else:
         base_versions = None
@@ -243,7 +271,8 @@ def publish(
         # of history size (same contract as the frontier seen-filter)
         new_state = bloom.update_state(
             state, out.select("html_hash"), "html_hash",
-            BLOOM_BUCKETS, BLOOM_BITS,
+            bloom_buckets, bloom_bits,
         )
         _save_state(new_state, "publish")
     return out
+

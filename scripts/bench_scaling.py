@@ -96,6 +96,30 @@ JOBS = {
         "n_edges": 20_000_000,
         "broadcast_ranks": True,
     },
+    # round-5 skew-stress cells (verdict item 4): LPA over a uniform
+    # 5M-edge background + one 10^5-degree hub, three defenses compared
+    # (broadcast label join / AQE skew-split / neither).  label_mass
+    # must be identical across all three — the determinism contract
+    # under skew.
+    "lpaskew5m": {
+        "kind": "lpaskew",
+        "n_edges": 5_000_000,
+        "hub_degree": 100_000,
+        "broadcast_ranks": None,
+    },
+    "lpaskew5m_shuffle": {
+        "kind": "lpaskew",
+        "n_edges": 5_000_000,
+        "hub_degree": 100_000,
+        "broadcast_ranks": False,
+    },
+    "lpaskew5m_shuffle_noaqe": {
+        "kind": "lpaskew",
+        "n_edges": 5_000_000,
+        "hub_degree": 100_000,
+        "broadcast_ranks": False,
+        "conf": {"spark.sql.adaptive.enabled": "false"},
+    },
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
@@ -217,6 +241,142 @@ def job_pagerank(spark, n_edges: int, broadcast_ranks: bool = False) -> dict:
     }
 
 
+def job_lpaskew(
+    spark, n_edges: int, hub_degree: int, broadcast_ranks: bool | None
+) -> dict:
+    """Skew-stress cell (round-5, verdict item 4): synchronous LPA over
+    a power-law-ish graph — a uniform background PLUS one hub node of
+    degree ``hub_degree`` (node 0) — using the ACTUAL library loop
+    (graph.lpa_rounds).  The question the cell answers: does the hub
+    serialize a straggler task?  Three variants are benched:
+    auto/broadcast (the label join is map-side, skew never reaches a
+    shuffle), forced-shuffle with AQE (skew-join split), and
+    forced-shuffle with AQE OFF (the raw exposure).  label_mass is the
+    BIGINT sum of final labels — must be identical across all variants
+    and parallelism levels (determinism contract).
+    Metric: neighbor-row-iterations per second."""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.operators import graph
+
+    rounds = 3
+    n_nodes = max(n_edges // 16, 2)
+    uni = spark.range(n_edges).select(
+        (F.pmod(F.xxhash64("id"), F.lit(n_nodes - 1)) + 1).alias("a"),
+        (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(n_nodes - 1)) + 1).alias("b"),
+    )
+    hub = spark.range(hub_degree).select(
+        F.lit(0).cast("bigint").alias("a"),
+        (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(n_nodes - 1)) + 1).alias("b"),
+    )
+    und = (
+        uni.unionAll(hub)
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    # materialize the graph OUTSIDE the timed window; also record the
+    # realized hub degree so the skew is a measured fact, not a config
+    n_nbr = nbr.count()
+    hub_deg = nbr.filter("node = 0").count()
+    t0 = time.time()
+    labels = graph.lpa_rounds(nbr, rounds=rounds, broadcast_ranks=broadcast_ranks)
+    mass = labels.agg(F.sum("label")).collect()[0][0]
+    wall = time.time() - t0
+    return {
+        "nbr_rows": n_nbr,
+        "hub_degree": hub_deg,
+        "rounds": rounds,
+        "broadcast_ranks": broadcast_ranks,
+        "label_mass": int(mass),
+        "wall": round(wall, 1),
+        "tput": round(n_nbr * rounds / wall, 1),
+    }
+
+
+def job_publishbloom(
+    spark, n_history: int, n_publishes: int, batch_rows: int, use_bloom: bool
+) -> dict:
+    """Publish-bloom crossover cell (round-5, verdict item 5): a
+    synthetic ``n_history``-row published history (unique md5 hashes),
+    then ``n_publishes`` steady-state all-new batches through the REAL
+    publish() — plain anti-join vs bloom pre-pass.  The bloom filter is
+    sized for capacity (64 buckets x 2^23 bits ≈ 13 bits/key at 40M
+    keys, fp ~0.3%), so most batches skip the exact join entirely and
+    the rare fp verifies by broadcast against a map-side history scan.
+    History build + warmup (bloom backfill) are OUTSIDE the timed
+    window — steady-state per-publish cost is the question.
+    Metric: published rows/second over the timed publishes."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.operators import publish as P
+    from indigent_defense_stats_spark.sources.catalog import SnapshotTable
+
+    buckets, bits = 64, 1 << 23
+    base = tempfile.mkdtemp(prefix="pubbloom-")
+    try:
+        tgt = SnapshotTable(spark, f"{base}/target", mode="append")
+        hist = spark.range(n_history).select(
+            F.concat(F.lit("C"), F.col("id").cast("string")).alias("case_number"),
+            F.lit("hays").alias("county"),
+            F.md5(F.col("id").cast("string")).alias("html_hash"),
+            F.lit(1).cast("int").alias("version"),
+            F.concat(F.lit("seed:"), F.col("id").cast("string")).alias("id"),
+        )
+        tgt.write(hist, {"event": "seed"})
+        bs = (
+            SnapshotTable(spark, f"{base}/bloom", mode="overwrite")
+            if use_bloom
+            else None
+        )
+
+        def batch(i: int):
+            return spark.range(batch_rows).select(
+                F.concat(
+                    F.lit(f"N{i}-"), F.col("id").cast("string")
+                ).alias("case_number"),
+                F.lit("hays").alias("county"),
+                F.md5(
+                    F.concat(F.lit(f"new-{i}-"), F.col("id").cast("string"))
+                ).alias("html_hash"),
+            )
+
+        kw = dict(bloom_buckets=buckets, bloom_bits=bits)
+        # warmup publish: backfills the bloom state from history (the
+        # one-time scan) — or, plain path, warms the codegen/scan caches
+        P.publish(batch(0), tgt, "01-01-2026", bloom_state=bs, **kw)
+
+        walls, skipped = [], 0
+        for i in range(1, n_publishes + 1):
+            st: dict = {}
+            t0 = time.time()
+            P.publish(batch(i), tgt, "01-01-2026", bloom_state=bs, stats=st, **kw)
+            walls.append(round(time.time() - t0, 2))
+            skipped += bool(st.get("exact_join_skipped"))
+        total = sum(walls)
+        return {
+            "history_rows": n_history,
+            "batch_rows": batch_rows,
+            "publishes": n_publishes,
+            "use_bloom": use_bloom,
+            "exact_join_skipped": skipped,
+            "per_publish_walls": walls,
+            "per_publish_mean": round(total / n_publishes, 2),
+            "wall": round(total, 1),
+            "tput": round(n_publishes * batch_rows / total, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def job_crawl(spark, n_counties: int, n_days: int) -> dict:
     from indigent_defense_stats_spark.plans import frontier as fr
 
@@ -232,12 +392,13 @@ def run_cell(job: str, cpus: int, args) -> dict:
     # --cluster: `cpus` counts EXECUTORS (separate worker JVMs with 4
     # cores each — real executor processes, real shuffle/broadcast
     # over the network stack), the literal unit of the N->4N rule
+    extra = dict(cfg.get("conf", {}))
     if getattr(args, "cluster", False):
         master = f"local-cluster[{cpus},4,3072]"
-        extra = {"spark.executor.memory": "2g"}
+        extra["spark.executor.memory"] = "2g"
     else:
         master = f"local[{cpus}]"
-        extra = None
+    extra = extra or None
     spark = get_spark(
         app_name=f"scaling-{job}-{cpus}", master=master, extra_conf=extra
     )
@@ -249,6 +410,13 @@ def run_cell(job: str, cpus: int, args) -> dict:
         res = job_pagerank(
             spark, cfg["n_edges"],
             broadcast_ranks=cfg.get("broadcast_ranks", False),
+        )
+    elif cfg["kind"] == "lpaskew":
+        res = job_lpaskew(
+            spark,
+            cfg["n_edges"],
+            cfg["hub_degree"],
+            cfg["broadcast_ranks"],
         )
     elif cfg["kind"] == "politeness":
         from indigent_defense_stats_spark.plans import frontier as fr
