@@ -555,6 +555,17 @@ _TAIL = [
                               # register mechanics via hll_distinct's
                               # exact-integer discipline; unrolled-
                               # iteration DuckDB oracle)
+    "jpeg_decode_stats",      # round-5 addition (REAL lossy-format
+                              # decode: baseline sequential JPEG —
+                              # FDCT, unit quant tables, canonical
+                              # Huffman, byte stuffing — by the pure
+                              # stdlib+numpy codec in functions/
+                              # jpeg.py; flat-tile grammar makes the
+                              # lossy path bit-exact so the oracle
+                              # replays pixel sums arithmetically.
+                              # The media family stays eval'd via
+                              # media_features + png_decode_stats
+                              # (both in the graded prefix))
     "png_resize_stats",       # round-4 addition (real binary-in/
                               # binary-out transform: PNG decode ->
                               # nearest-neighbor resample -> re-encode

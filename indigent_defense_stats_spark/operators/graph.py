@@ -634,11 +634,36 @@ def click_communities_lpa(
         .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .localCheckpoint(eager=False)
     )
+    labels = lpa_rounds(nbr, broadcast_ranks=broadcast_ranks)
+    return labels.select(F.col("node").alias("page"), F.col("label").alias("community"))
+
+
+def lpa_rounds(
+    nbr: DataFrame,
+    *,
+    rounds: int = LPA_ITERS,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """The shared synchronous-LPA loop over a pinned neighbor table
+    (node, nbr) — both directions materialized by the caller.  Returns
+    (node, label) after ``rounds`` synchronous updates with the total
+    (count DESC, label ASC) tie order (see click_communities_lpa's
+    determinism contract; both the broadcast and shuffle label paths
+    are exact-integer and therefore bit-identical).
+
+    Skew note (the hub-page case): the per-round label join keys by
+    ``nbr``, so a 10^5-degree hub is 10^5 rows of ONE key on the edge
+    side — under the broadcast path that join is map-side and the skew
+    never reaches a shuffle; under the shuffle path AQE's skew-join
+    split handles it.  The (node, label) count aggregate keys by the
+    PAIR, and partial aggregation combines map-side, so the hub's
+    gathered rows never serialize one reducer (measured: the lpaskew
+    bench cells)."""
     nodes = nbr.select("node").distinct().localCheckpoint(eager=False)
     n = nodes.count()  # bounded driver scalar (broadcast-rank policy)
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(LPA_ITERS):
+    for _ in range(rounds):
         gathered = (
             nbr.join(
                 _rank_side(
@@ -667,7 +692,7 @@ def click_communities_lpa(
             )
             .localCheckpoint(eager=False)
         )
-    return labels.select(F.col("node").alias("page"), F.col("label").alias("community"))
+    return labels
 
 
 def click_ppr_seeded(

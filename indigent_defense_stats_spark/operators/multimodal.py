@@ -72,6 +72,7 @@ def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
             )
 
         def _real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions import jpeg as jpegmod
             from ..functions import png as pngmod
 
             for pdf in batches:
@@ -80,17 +81,21 @@ def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
                 ws, hs, nbytes, fmts = [], [], [], []
                 for c in pdf["content"]:
                     c = bytes(c)
-                    if c[:8] != pngmod._SIG:
+                    if c[:8] == pngmod._SIG:
+                        w, h, _ct, _px = pngmod.decode_png(c)
+                        fmts.append("png")
+                    elif c[:2] == b"\xff\xd8":
+                        w, h, _nc, _px = jpegmod.decode_jpeg(c)
+                        fmts.append("jpeg")
+                    else:
                         raise ValueError(
-                            "decoder='real' supports PNG only in this"
-                            " container (libjpeg/ffmpeg absent); got magic"
-                            f" {c[:4]!r}"
+                            "decoder='real' supports PNG and baseline JPEG"
+                            " in this container (libjpeg/ffmpeg absent);"
+                            f" got magic {c[:4]!r}"
                         )
-                    w, h, _ct, _px = pngmod.decode_png(c)
                     ws.append(w)
                     hs.append(h)
                     nbytes.append(len(c))
-                    fmts.append("png")
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
@@ -526,6 +531,93 @@ def png_pixel_stats(payloads: DataFrame) -> DataFrame:
                         int(a.min()),
                         int(a.max()),
                     )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return payloads.mapInPandas(st, schema=PIXSTATS_SCHEMA)
+
+
+# JPEG flat-tile grammar: image = (JPEG_BW_MOD-bounded) grid of 8x8
+# constant tiles; tile k of doc d carries value (d*11 + k*37) % 256.
+# With functions/jpeg.py's unit quantization tables a constant block
+# round-trips BIT-EXACTLY through the lossy pipeline (DC-only block,
+# see the codec's exactness contract), so the decoded pixel statistics
+# are pure doc_id arithmetic — SQL-replayable like the PNG grammar.
+JPEG_BW_MOD = 3
+JPEG_TILE_A = 11
+JPEG_TILE_B = 37
+
+
+def media_payloads_jpeg(decoded: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG payloads (Huffman entropy coding, FDCT,
+    markers, byte stuffing) with flat-tile doc_id-arithmetic pixels —
+    the generator feeding :func:`decode_media(decoder='real')` and
+    :func:`jpeg_pixel_stats`.  format column is 'jpeg'."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import jpeg as jpegmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = 1 + d % JPEG_BW_MOD
+                bh = 1 + (d // JPEG_BW_MOD) % JPEG_BW_MOD
+                tiles = (
+                    (d * JPEG_TILE_A + np.arange(bw * bh) * JPEG_TILE_B) % 256
+                ).astype(np.uint8)
+                img = np.kron(
+                    tiles.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8)
+                )
+                content.append(
+                    jpegmod.encode_jpeg(bw * 8, bh * 8, img.tobytes())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": ["jpeg"] * len(pdf),
+                    "content": content,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "media_ref", "media_kind"
+    ).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def jpeg_pixel_stats(payloads: DataFrame) -> DataFrame:
+    """REAL-decode JPEG payloads and aggregate per-image pixel
+    statistics (exact integers — see media_payloads_jpeg's flat-tile
+    exactness contract).  Any defect in the codec chain (marker
+    framing, DHT canonical build, entropy unstuffing, dequant, IDCT,
+    DC prediction) shifts a sum and hash-mismatches the oracle."""
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import jpeg as jpegmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                w, h, nc, px = jpegmod.decode_jpeg(bytes(c))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (doc_id, w, h, nc, int(a.sum()), int(a.min()), int(a.max()))
                 )
             yield pd.DataFrame(
                 rows,

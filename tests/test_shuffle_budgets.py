@@ -167,6 +167,8 @@ BUDGETS = {
     "png_decode_stats": 0,
     # adds the decode->resample->re-encode stage; still map-only
     "png_resize_stats": 0,
+    # real JPEG codec chain: same two map-only stages, zero shuffle
+    "jpeg_decode_stats": 0,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -227,6 +229,7 @@ SCAN_BUDGETS = {
     "media_phash_neardup": 0,  # phash table pinned (3 consumers)
     "png_decode_stats": 1,  # one documents scan feeds the map chain
     "png_resize_stats": 1,
+    "jpeg_decode_stats": 1,  # same map-only chain, JPEG codec
 }
 
 
