@@ -294,6 +294,17 @@ def main() -> None:
         ):
             if k in effs:
                 headline_effs[k] = effs[k]
+        # iterative-join trend for the compact line (round-4 verdict
+        # item 6): edge-iterations/s of the shared graph loop at 20M
+        # edges, shuffle vs broadcast-rank path, pre-bandwidth-wall
+        # core levels — graded round-over-round
+        iterjoin = {
+            f"{c['job'].replace('pagerank20m', 'pr')}@{c['cpus']}": c["tput"]
+            for c in sc.get("cells", [])
+            if c["job"].startswith("pagerank20m") and c["cpus"] in (2, 8)
+        }
+        if iterjoin:
+            out["iterjoin_eps"] = iterjoin
     spark.stop()
 
     # --- grading interface (round-3 postmortem) ---------------------
@@ -326,6 +337,8 @@ def main() -> None:
     for k in ("crawl_urls_per_sec", "crawl_urls_per_sec_wave30", "crawl_error"):
         if k in extra:
             compact[k] = extra[k]
+    if "iterjoin_eps" in out:
+        compact["iterjoin_eps"] = out["iterjoin_eps"]
     line = json.dumps(compact)
     if len(line) > 2000:  # hard backstop: never outgrow the tail window
         compact.pop("queries", None)

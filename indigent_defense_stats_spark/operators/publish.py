@@ -51,9 +51,11 @@ def publish(
     at version 1 from the third publish onward.
 
     ``bloom_state`` (round-3 verdict watch item): without it, every
-    publish anti-joins the incoming batch against the FULL published
-    history's ``html_hash`` column — column-pruned and linear, but at
-    100x one full hash-column scan per publish.  Pass a SnapshotTable
+    publish checks the incoming batch against the FULL published
+    history's ``html_hash`` column via the broadcast-semi rewrite
+    (history ⋉ broadcast(batch keys) → broadcast anti) — column-pruned,
+    map-side, never shuffled, but still one full hash-column SCAN per
+    publish at 100x.  Pass a SnapshotTable
     (overwrite mode) holding a partitioned Bloom over all published
     hashes and the anti-join degrades gracefully: the batch probes the
     O(n_buckets)-row state first (plans/bloom.py, the frontier's
@@ -195,8 +197,24 @@ def publish(
                 stats["bloom_maybe_seen"] = n_maybe
                 stats["exact_join_skipped"] = n_maybe == 0
         else:
+            # broadcast-semi rewrite of the anti-join (round-5): a
+            # LeftAnti against the history would sort-merge — i.e.
+            # SHUFFLE the full history hash column per publish, since
+            # only an anti-join's RIGHT side can broadcast and the
+            # history is the right side.  The batch is bounded (one
+            # crawl wave), so flip it: history ⋉ broadcast(batch keys)
+            # is a map-side filtered SCAN producing the batch-bounded
+            # seen set, which then broadcasts into the anti-join.
+            # Identical result set; the history column is scanned, never
+            # exchanged.  Measured (BENCH/scaling.json publishbloom
+            # cells): this is the dominant publish cost at every decade.
+            seen = existing.select("html_hash").join(
+                F.broadcast(incoming.select("html_hash")),
+                "html_hash",
+                "left_semi",
+            )
             incoming = incoming.join(
-                existing.select("html_hash"), "html_hash", "left_anti"
+                F.broadcast(seen), "html_hash", "left_anti"
             )
         # prune the max-version aggregate to the batch's case_numbers
         # BEFORE aggregating: the key set is batch-bounded (broadcast

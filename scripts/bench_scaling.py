@@ -120,6 +120,46 @@ JOBS = {
         "broadcast_ranks": False,
         "conf": {"spark.sql.adaptive.enabled": "false"},
     },
+    # round-5 publish-bloom crossover (verdict item 5): 40M-row
+    # published history, steady-state all-new publishes, plain
+    # anti-join vs sized bloom pre-pass through the real publish()
+    "publishbloom40m_plain": {
+        "kind": "publishbloom",
+        "n_history": 40_000_000,
+        "n_publishes": 6,
+        "batch_rows": 2_300,
+        "use_bloom": False,
+    },
+    "publishbloom40m_bloom": {
+        "kind": "publishbloom",
+        "n_history": 40_000_000,
+        "n_publishes": 6,
+        "batch_rows": 2_300,
+        "use_bloom": True,
+    },
+    # one decade further: at 40M the bloom path's ~5 fixed jobs/publish
+    # still outweigh the avoided shuffle; both variable costs are
+    # linear in history with plain's slope ~25x steeper (33 B/key
+    # scanned+shuffled vs 1.25 B/key of state I/O), so the crossover
+    # sits between these two decades — measured, not extrapolated
+    "publishbloom160m_plain": {
+        "kind": "publishbloom",
+        "n_history": 160_000_000,
+        "n_publishes": 6,
+        "batch_rows": 2_300,
+        "use_bloom": False,
+    },
+    "publishbloom160m_bloom": {
+        "kind": "publishbloom",
+        "n_history": 160_000_000,
+        "n_publishes": 6,
+        "batch_rows": 2_300,
+        "use_bloom": True,
+    },
+    # crawl8640 (~21M URLs): round-5 extension (verdict item 6) — one
+    # more doubling past crawl4320 to locate the plateau of the
+    # rising-throughput trend (5637 -> 7165 -> 8813 -> 14927 URLs/s)
+    "crawl8640": {"kind": "crawl", "n_days": 8640},
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
@@ -265,8 +305,12 @@ def job_lpaskew(
         (F.pmod(F.xxhash64("id"), F.lit(n_nodes - 1)) + 1).alias("a"),
         (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(n_nodes - 1)) + 1).alias("b"),
     )
+    # hub id = n_nodes (LARGEST id, not 0): min-label LPA floods the
+    # smallest id through a connected graph, so a hub at id 0 collapses
+    # label_mass to 0 and the determinism check degenerates — a max-id
+    # hub keeps the same join-key skew with a meaningful label sum
     hub = spark.range(hub_degree).select(
-        F.lit(0).cast("bigint").alias("a"),
+        F.lit(n_nodes).cast("bigint").alias("a"),
         (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(n_nodes - 1)) + 1).alias("b"),
     )
     und = (
@@ -283,7 +327,7 @@ def job_lpaskew(
     # materialize the graph OUTSIDE the timed window; also record the
     # realized hub degree so the skew is a measured fact, not a config
     n_nbr = nbr.count()
-    hub_deg = nbr.filter("node = 0").count()
+    hub_deg = nbr.filter(F.col("node") == n_nodes).count()
     t0 = time.time()
     labels = graph.lpa_rounds(nbr, rounds=rounds, broadcast_ranks=broadcast_ranks)
     mass = labels.agg(F.sum("label")).collect()[0][0]
@@ -417,6 +461,14 @@ def run_cell(job: str, cpus: int, args) -> dict:
             cfg["n_edges"],
             cfg["hub_degree"],
             cfg["broadcast_ranks"],
+        )
+    elif cfg["kind"] == "publishbloom":
+        res = job_publishbloom(
+            spark,
+            cfg["n_history"],
+            cfg["n_publishes"],
+            cfg["batch_rows"],
+            cfg["use_bloom"],
         )
     elif cfg["kind"] == "politeness":
         from indigent_defense_stats_spark.plans import frontier as fr
