@@ -555,17 +555,6 @@ _TAIL = [
                               # register mechanics via hll_distinct's
                               # exact-integer discipline; unrolled-
                               # iteration DuckDB oracle)
-    "jpeg_decode_stats",      # round-5 addition (REAL lossy-format
-                              # decode: baseline sequential JPEG —
-                              # FDCT, unit quant tables, canonical
-                              # Huffman, byte stuffing — by the pure
-                              # stdlib+numpy codec in functions/
-                              # jpeg.py; flat-tile grammar makes the
-                              # lossy path bit-exact so the oracle
-                              # replays pixel sums arithmetically.
-                              # The media family stays eval'd via
-                              # media_features + png_decode_stats
-                              # (both in the graded prefix))
     "png_resize_stats",       # round-4 addition (real binary-in/
                               # binary-out transform: PNG decode ->
                               # nearest-neighbor resample -> re-encode
@@ -629,6 +618,16 @@ _TAIL = [
                               # application stays green via the
                               # dust_canonical_urls local oracle +
                               # mirror-collapse e2e pytest
+    # round-5 rotation: jpeg_decode_stats (the new REAL lossy-format
+    # decode surface, functions/jpeg.py) promoted INTO the graded
+    # prefix; demoted in exchange:
+    "pack_sequences",         # packing family: pack_interleaved stays
+                              # in the graded prefix (same per-shard
+                              # cumulative-window packing machinery,
+                              # multimodal variant); two rounds of
+                              # driver-green history (r3/r4 #39) and
+                              # the greedy-fill law stays pinned by
+                              # pytest + the local oracle sweep
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

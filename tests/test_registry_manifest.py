@@ -18,6 +18,11 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
+# Round-5 second rotation: jpeg_decode_stats (the REAL baseline-JPEG
+# decode surface, functions/jpeg.py — new this round) promoted next to
+# its png sibling; pack_sequences demoted (pack_interleaved keeps the
+# packing family's graded row; two rounds of driver-green history).
+#
 # The committed round-5 manifest: six round-4 families promoted
 # (winnow_matches, click_hits, click_components, collocation_topk,
 # jl_project_audit, png_decode_stats — the round-4 verdict's #1 item),
@@ -68,13 +73,13 @@ PREFIX_MANIFEST = [
     "ann_topk_ivf_indexed",
     "semantic_dedup",
     "jl_project_audit",
-    "pack_sequences",
     "mixture_sample",
     "money_parse_total",
     "cleaned_cases",
     "publish_versions",
     "media_features",
     "png_decode_stats",
+    "jpeg_decode_stats",
     "stream_event_window_counts",
     "stream_click_attribution",
     "session_windows",
