@@ -628,6 +628,13 @@ _TAIL = [
                               # driver-green history (r3/r4 #39) and
                               # the greedy-fill law stays pinned by
                               # pytest + the local oracle sweep
+    # round-5 session additions land in the tail (the graded 50-prefix
+    # is a committed manifest; promotion is an explicit rotation):
+    "wav_decode_stats",       # REAL RIFF/WAVE PCM decode — the audio
+                              # modality closed the way PNG/JPEG were;
+                              # lossless grammar -> exact DuckDB oracle
+    "wav_energy_windows",     # frame-level audio energy features over
+                              # the same real decode (VAD shape)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -630,6 +630,156 @@ def jpeg_pixel_stats(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(st, schema=PIXSTATS_SCHEMA)
 
 
+# WAV payload grammar (all arithmetic in doc_id, so the DuckDB oracle
+# recomputes decoded sample statistics WITHOUT parsing any binary):
+#   frames   nf = 256 + d % WAV_N_MOD
+#   channels ch = 2 when d % WAV_STEREO_EVERY == 0 else 1
+#   rate        = 8000 * (1 + d % WAV_RATE_MOD)
+#   interleaved sample i in [0, nf*ch):
+#       v[i] = (d*WAV_SAMPLE_A + i*WAV_SAMPLE_B) % 65536 - 32768
+#   an ICMT comment of doc_id-dependent length sits BETWEEN fmt and
+#   data, so every decode exercises the skip-unknown-chunk path (and
+#   half of them the RIFF odd-body pad byte)
+WAV_N_MOD = 1700
+WAV_STEREO_EVERY = 5
+WAV_RATE_MOD = 3
+WAV_SAMPLE_A = 31
+WAV_SAMPLE_B = 17
+WAV_WIN_FRAMES = 256  # energy-window width (frames), full windows only
+
+
+def media_payloads_wav(decoded: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE PCM payloads (chunk-walked, pad-byte-correct,
+    with a LIST/INFO chunk the decoder must skip) carrying
+    doc_id-arithmetic int16 samples — the audio analog of
+    :func:`media_payloads_png`.  format column is 'wav'."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import wav as wavmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 256 + d % WAV_N_MOD
+                ch = 2 if d % WAV_STEREO_EVERY == 0 else 1
+                rate = 8000 * (1 + d % WAV_RATE_MOD)
+                i = np.arange(nf * ch, dtype=np.int64)
+                v = (
+                    (d * WAV_SAMPLE_A + i * WAV_SAMPLE_B) % 65536 - 32768
+                ).astype("<i2")
+                content.append(
+                    wavmod.encode_wav(
+                        rate, ch, v.tobytes(), info=b"doc:%d" % d
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": ["wav"] * len(pdf),
+                    "content": content,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "media_ref", "media_kind"
+    ).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+WAVSTATS_SCHEMA = (
+    "doc_id string, sample_rate int, channels int, n_frames int,"
+    " duration_ms int, sample_sum long, sample_min int, sample_max int"
+)
+WAVWIN_SCHEMA = "doc_id string, window_idx int, energy long"
+
+
+def wav_sample_stats(payloads: DataFrame) -> DataFrame:
+    """REAL-decode WAV payloads and aggregate per-clip sample
+    statistics (exact integers — PCM is lossless, so the
+    :func:`media_payloads_wav` grammar replays in SQL).  Any defect in
+    the chain (RIFF walk, INFO skip, pad byte, fmt validation, int16
+    endianness) shifts a sum and hash-mismatches the oracle."""
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import wav as wavmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                rate, ch, nf, raw = wavmod.decode_wav(bytes(c))
+                a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        ch,
+                        nf,
+                        nf * 1000 // rate,
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "sample_sum", "sample_min", "sample_max",
+                ],
+            )
+
+    return payloads.mapInPandas(st, schema=WAVSTATS_SCHEMA)
+
+
+def wav_energy_windows(payloads: DataFrame) -> DataFrame:
+    """Frame-level audio feature extraction over REAL decoded samples:
+    per-clip fixed-width energy windows (sum of squared int16 samples
+    over WAV_WIN_FRAMES frames, full windows only) — the VAD /
+    speech-segmentation feature shape a training pipeline computes
+    before an acoustic model.  Exact int64 arithmetic end to end, so
+    the grammar oracle replays every window."""
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import wav as wavmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, energies = [], [], []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                _rate, ch, nf, raw = wavmod.decode_wav(bytes(c))
+                a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n_win = nf // WAV_WIN_FRAMES
+                if not n_win:
+                    continue
+                per = WAV_WIN_FRAMES * ch
+                e = (
+                    (a[: n_win * per] ** 2)
+                    .reshape(n_win, per)
+                    .sum(axis=1)
+                )
+                ids.extend([doc_id] * n_win)
+                idxs.extend(range(n_win))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "energy": energies}
+            )
+
+    return payloads.mapInPandas(win, schema=WAVWIN_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Every-nth-frame sample rows (video-shaped path): frame count is
     fabricated from n_bytes by the stub; the sequence/explode plumbing

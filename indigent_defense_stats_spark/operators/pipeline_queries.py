@@ -496,6 +496,41 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_pixel_stats(payloads)
 
 
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end: generate actual RIFF/WAVE PCM
+    files (chunk-walked container with a LIST/INFO chunk the decoder
+    must skip and RIFF pad bytes) and decode them with the pure-stdlib
+    codec in functions/wav.py, aggregating exact sample statistics.
+    PCM is lossless, so the doc_id-arithmetic sample grammar
+    (multimodal.media_payloads_wav) gives the whole chain an exact
+    DuckDB oracle — the audio analog of png_decode_stats /
+    jpeg_decode_stats, closing the third media modality (image done
+    rounds 3-5; soundfile/librosa absent from the container by
+    design).
+
+    Scale shape: two map-only mapInPandas stages, zero shuffle;
+    decode cost is per-item local."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_wav(_media_decoded(spark, sf_dir))
+    return multimodal.wav_sample_stats(payloads)
+
+
+def wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over REAL decoded PCM: fixed-width
+    energy windows (sum of squared int16 samples per WAV_WIN_FRAMES
+    frames) — the VAD/segmentation feature a speech-data pipeline
+    computes before filtering or aligning clips.  Exact int64
+    arithmetic end to end; the grammar oracle replays every window.
+
+    Scale shape: map-only (decode + windowed fold inside one
+    mapInPandas), zero shuffle; output is O(frames/window) rows."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_wav(_media_decoded(spark, sf_dir))
+    return multimodal.wav_energy_windows(payloads)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -513,6 +548,8 @@ QUERIES = {
     "png_decode_stats": png_decode_stats,
     "png_resize_stats": png_resize_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
+    "wav_decode_stats": wav_decode_stats,
+    "wav_energy_windows": wav_energy_windows,
 }
 
 ORACLE_SQL = {
@@ -660,6 +697,61 @@ ORACLE_SQL = {
                CAST(min(v) AS INT) AS pixel_min,
                CAST(max(v) AS INT) AS pixel_max
         FROM t GROUP BY doc_id, bw, bh
+    """,
+    # lossless-PCM replay of the REAL WAV decode: interleaved sample i
+    # of doc d is (d*A + i*B) % 65536 - 32768 — PCM round-trips
+    # bit-exactly, so every statistic is pure doc_id arithmetic
+    "wav_decode_stats": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   8000 * (1 + doc_id % {multimodal.WAV_RATE_MOD}) AS rate,
+                   CASE WHEN doc_id % {multimodal.WAV_STEREO_EVERY} = 0
+                        THEN 2 ELSE 1 END AS ch,
+                   256 + doc_id % {multimodal.WAV_N_MOD} AS nf
+            FROM documents
+        ), s AS (
+            SELECT doc_id, rate, ch, nf,
+                   (doc_id * {multimodal.WAV_SAMPLE_A}
+                    + g.i * {multimodal.WAV_SAMPLE_B}) % 65536 - 32768 AS v
+            FROM m, unnest(generate_series(0, nf * ch - 1)) AS g(i)
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(ch AS INT) AS channels,
+               CAST(nf AS INT) AS n_frames,
+               CAST(nf * 1000 // rate AS INT) AS duration_ms,
+               CAST(sum(v) AS BIGINT) AS sample_sum,
+               CAST(min(v) AS INT) AS sample_min,
+               CAST(max(v) AS INT) AS sample_max
+        FROM s GROUP BY doc_id, rate, ch, nf
+    """,
+    # windowed-energy replay: window w covers interleaved samples
+    # [w*W*ch, (w+1)*W*ch) of the same grammar; energy = sum(v*v)
+    "wav_energy_windows": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {multimodal.WAV_STEREO_EVERY} = 0
+                        THEN 2 ELSE 1 END AS ch,
+                   256 + doc_id % {multimodal.WAV_N_MOD} AS nf
+            FROM documents
+        ), w AS (
+            SELECT doc_id, ch, g.w AS window_idx
+            FROM m,
+                 unnest(generate_series(
+                     0, nf // {multimodal.WAV_WIN_FRAMES} - 1)) AS g(w)
+        ), s AS (
+            SELECT doc_id, window_idx,
+                   (doc_id * {multimodal.WAV_SAMPLE_A}
+                    + (window_idx * {multimodal.WAV_WIN_FRAMES} * ch + g.j)
+                      * {multimodal.WAV_SAMPLE_B}) % 65536 - 32768 AS v
+            FROM w,
+                 unnest(generate_series(
+                     0, {multimodal.WAV_WIN_FRAMES} * ch - 1)) AS g(j)
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(window_idx AS INT) AS window_idx,
+               CAST(sum(v * v) AS BIGINT) AS energy
+        FROM s GROUP BY doc_id, window_idx
     """,
     "media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -169,6 +169,10 @@ BUDGETS = {
     "png_resize_stats": 0,
     # real JPEG codec chain: same two map-only stages, zero shuffle
     "jpeg_decode_stats": 0,
+    # real WAV codec chain: generate -> decode+stats, zero shuffle
+    "wav_decode_stats": 0,
+    # decode + windowed fold inside one mapInPandas, zero shuffle
+    "wav_energy_windows": 0,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -230,6 +234,8 @@ SCAN_BUDGETS = {
     "png_decode_stats": 1,  # one documents scan feeds the map chain
     "png_resize_stats": 1,
     "jpeg_decode_stats": 1,  # same map-only chain, JPEG codec
+    "wav_decode_stats": 1,  # same map-only chain, WAV codec
+    "wav_energy_windows": 1,
 }
 
 
