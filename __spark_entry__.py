@@ -635,6 +635,10 @@ _TAIL = [
                               # lossless grammar -> exact DuckDB oracle
     "wav_energy_windows",     # frame-level audio energy features over
                               # the same real decode (VAD shape)
+    "avi_frame_stats",        # REAL MJPEG-AVI demux (idx1-verified)
+                              # + native frame-sample filter + real
+                              # JPEG frame decode — the video modality
+                              # closed; last declared media stub gone
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

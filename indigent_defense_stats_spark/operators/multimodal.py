@@ -11,12 +11,15 @@ plumbing a 100 TB multimodal corpus needs:
 - :func:`decode_media` — metadata extraction behind ``mapInPandas``.
   The default 'stub' fabricates deterministic metadata from the ref
   hash (no bytes needed); ``decoder='real'`` does a REAL decode of
-  PNG payload bytes via the pure-stdlib codec in functions/png.py
-  (zlib inflate + all-five-scanline-filter reversal + CRC checks).
-  JPEG/video decode still needs libjpeg/ffmpeg (absent here); those
-  formats raise ValueError naming the format — quarantine, not crash.
+  the payload bytes via the pure-stdlib codecs: PNG (functions/
+  png.py), baseline JPEG (functions/jpeg.py), PCM WAV audio
+  (functions/wav.py) and MJPEG-AVI video (functions/avi.py) — all
+  three modalities, sniffed by magic.  Anything else raises
+  ValueError naming the format — quarantine, not crash.
 - :func:`frame_sample` — every-nth-frame sampling rows via native
-  ``sequence``/``explode`` (no UDF): the video-path shape.
+  ``sequence``/``explode`` (no UDF); :func:`avi_frame_table` +
+  a native frame_idx filter + :func:`mjpeg_frame_stats` is the same
+  path over REAL video bytes.
 
 Scale notes: decode is per-item local (zero shuffle); media tables
 should be bucketed by doc_id so media joins back to text co-partition.
@@ -60,9 +63,10 @@ def media_table(documents: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
     """Attach decoded metadata.  'stub' fabricates deterministic values
     from the ref hash (works on the metadata-only media table);
-    'real' decodes actual PNG bytes from a ``content`` column (see
-    :func:`media_payloads_png`) — width/height/format come from the
-    pixels, not a header sniff."""
+    'real' decodes actual bytes from a ``content`` column (PNG, JPEG,
+    PCM WAV, MJPEG AVI — see the media_payloads_* generators) —
+    width/height/format come from the decoded payload, not a header
+    sniff."""
     if decoder == "real":
         if "content" not in media.columns:
             raise ValueError(
@@ -72,8 +76,10 @@ def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
             )
 
         def _real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions import avi as avimod
             from ..functions import jpeg as jpegmod
             from ..functions import png as pngmod
+            from ..functions import wav as wavmod
 
             for pdf in batches:
                 if not len(pdf):
@@ -87,10 +93,20 @@ def decode_media(media: DataFrame, decoder: str = "stub") -> DataFrame:
                     elif c[:2] == b"\xff\xd8":
                         w, h, _nc, _px = jpegmod.decode_jpeg(c)
                         fmts.append("jpeg")
+                    elif c[:4] == b"RIFF" and c[8:12] == b"WAVE":
+                        # audio: width/height carry (frames, channels)
+                        # — the typed-metadata shape for 1-D media
+                        _rate, ch, nf, _raw = wavmod.decode_wav(c)
+                        w, h = nf, ch
+                        fmts.append("wav")
+                    elif c[:4] == b"RIFF" and c[8:12] == b"AVI ":
+                        w, h, _fps, _frames = avimod.decode_avi_mjpeg(c)
+                        fmts.append("avi")
                     else:
                         raise ValueError(
-                            "decoder='real' supports PNG and baseline JPEG"
-                            " in this container (libjpeg/ffmpeg absent);"
+                            "decoder='real' supports PNG, baseline JPEG,"
+                            " PCM WAV and MJPEG AVI in this container"
+                            " (libjpeg/ffmpeg absent);"
                             f" got magic {c[:4]!r}"
                         )
                     ws.append(w)
@@ -780,10 +796,158 @@ def wav_energy_windows(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(win, schema=WAVWIN_SCHEMA)
 
 
+# MJPEG-AVI payload grammar (arithmetic in (doc_id, frame_idx), so the
+# DuckDB oracle replays decoded frame statistics WITHOUT any binary):
+#   frames  nfr = 2 + d % AVI_NFRAMES_MOD
+#   frame geometry reuses the JPEG flat-tile grammar (bw, bh, tiles);
+#   tile k of frame f of doc d = (d*JPEG_TILE_A + f*AVI_FRAME_C
+#                                 + k*JPEG_TILE_B) % 256
+#   fps = AVI_FPS; frame sampling keeps frame_idx % AVI_SAMPLE_EVERY=0
+AVI_NFRAMES_MOD = 4
+AVI_FPS = 12
+AVI_FRAME_C = 53
+AVI_SAMPLE_EVERY = 2
+MJPEG_FRAME_SCHEMA = (
+    "doc_id string, frame_idx int, n_frames int, fps int, frame binary"
+)
+
+
+def media_payloads_avi(decoded: DataFrame) -> DataFrame:
+    """REAL MJPEG-AVI payloads (RIFF hdrl/movi/idx1, every frame an
+    actual baseline JPEG from functions/jpeg.py) carrying
+    (doc_id, frame)-arithmetic flat-tile pixels — the video analog of
+    :func:`media_payloads_png`.  format column is 'avi'."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import avi as avimod
+        from ..functions import jpeg as jpegmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = 1 + d % JPEG_BW_MOD
+                bh = 1 + (d // JPEG_BW_MOD) % JPEG_BW_MOD
+                nfr = 2 + d % AVI_NFRAMES_MOD
+                frames = []
+                for f in range(nfr):
+                    tiles = (
+                        (
+                            d * JPEG_TILE_A
+                            + f * AVI_FRAME_C
+                            + np.arange(bw * bh) * JPEG_TILE_B
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    img = np.kron(
+                        tiles.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8)
+                    )
+                    frames.append(
+                        jpegmod.encode_jpeg(bw * 8, bh * 8, img.tobytes())
+                    )
+                content.append(
+                    avimod.encode_avi_mjpeg(bw * 8, bh * 8, AVI_FPS, frames)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": ["avi"] * len(pdf),
+                    "content": content,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "media_ref", "media_kind"
+    ).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def avi_frame_table(payloads: DataFrame) -> DataFrame:
+    """Demux REAL AVI payloads into one row per frame (frame = the raw
+    JPEG bytes) — the container walk with idx1 verification, no pixel
+    work yet.  Frame sampling then happens as a NATIVE relational
+    filter between this stage and the pixel decode, so the optimizer
+    sees it (and at scale can drop unsampled frames before the
+    expensive decode stage)."""
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import avi as avimod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, totals, fpss, blobs = [], [], [], [], []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                _w, _h, fps, frames = avimod.decode_avi_mjpeg(bytes(c))
+                for f, fr in enumerate(frames):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    totals.append(len(frames))
+                    fpss.append(fps)
+                    blobs.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "fps": fpss,
+                    "frame": blobs,
+                }
+            )
+
+    return payloads.mapInPandas(demux, schema=MJPEG_FRAME_SCHEMA)
+
+
+MJPEG_STATS_SCHEMA = (
+    "doc_id string, frame_idx int, width int, height int,"
+    " pixel_sum long, pixel_min int, pixel_max int"
+)
+
+
+def mjpeg_frame_stats(frames: DataFrame) -> DataFrame:
+    """REAL-decode sampled MJPEG frames (functions/jpeg.py) and emit
+    exact per-frame pixel statistics — the flat-tile exactness
+    contract makes every value (doc_id, frame_idx) arithmetic."""
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import jpeg as jpegmod
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, fi, fr in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                w, h, _nc, px = jpegmod.decode_jpeg(bytes(fr))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (doc_id, int(fi), w, h,
+                     int(a.sum()), int(a.min()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return frames.mapInPandas(st, schema=MJPEG_STATS_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Every-nth-frame sample rows (video-shaped path): frame count is
     fabricated from n_bytes by the stub; the sequence/explode plumbing
-    is the real thing."""
+    is the real thing.  For REAL frame bytes see
+    :func:`avi_frame_table` + the native frame_idx filter."""
     n_frames = (F.col("n_bytes") / 1000).cast("int") + 1
     return decoded.select(
         "doc_id",

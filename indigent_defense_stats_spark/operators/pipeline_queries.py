@@ -531,6 +531,34 @@ def wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_energy_windows(payloads)
 
 
+def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, end to end: generate actual MJPEG AVI files
+    (RIFF hdrl/movi/idx1 container; every frame an actual baseline
+    JPEG), demux them with the pure-stdlib container codec in
+    functions/avi.py (idx1-verified), sample every
+    AVI_SAMPLE_EVERY-th frame with a NATIVE filter between the demux
+    and decode stages, then decode the sampled frames with
+    functions/jpeg.py for exact pixel statistics.  The flat-tile
+    grammar makes the lossy frame pipeline bit-exact, so the DuckDB
+    oracle replays every statistic as (doc_id, frame_idx) arithmetic.
+    Closes the engine's LAST declared media stub: with PNG+JPEG
+    (images, rounds 3-5), WAV (audio) and MJPEG-AVI (video) all three
+    modalities now do real byte-level decode work (ffmpeg absent from
+    the container by design — a production image swaps PyAV in under
+    the identical mapInPandas contracts).
+
+    Scale shape: three map-only stages (generate -> demux -> decode)
+    with the frame-sample as a native filter the optimizer can see;
+    zero shuffle, decode cost per-item local."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_avi(_media_decoded(spark, sf_dir))
+    frames = multimodal.avi_frame_table(payloads).filter(
+        F.col("frame_idx") % multimodal.AVI_SAMPLE_EVERY == 0
+    )
+    return multimodal.mjpeg_frame_stats(frames)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -550,6 +578,7 @@ QUERIES = {
     "jpeg_decode_stats": jpeg_decode_stats,
     "wav_decode_stats": wav_decode_stats,
     "wav_energy_windows": wav_energy_windows,
+    "avi_frame_stats": avi_frame_stats,
 }
 
 ORACLE_SQL = {
@@ -752,6 +781,39 @@ ORACLE_SQL = {
                CAST(window_idx AS INT) AS window_idx,
                CAST(sum(v * v) AS BIGINT) AS energy
         FROM s GROUP BY doc_id, window_idx
+    """,
+    # MJPEG replay: sampled frame f of doc d is a flat-tile JPEG whose
+    # tile k carries (d*A + f*C + k*B) % 256 — container demux is
+    # lossless framing and flat tiles are DCT-bit-exact, so the pixel
+    # statistics are pure (doc_id, frame) arithmetic
+    "avi_frame_stats": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   1 + doc_id % {multimodal.JPEG_BW_MOD} AS bw,
+                   1 + (doc_id // {multimodal.JPEG_BW_MOD})
+                       % {multimodal.JPEG_BW_MOD} AS bh,
+                   2 + doc_id % {multimodal.AVI_NFRAMES_MOD} AS nfr
+            FROM documents
+        ), fr AS (
+            SELECT doc_id, bw, bh, g.f AS frame_idx
+            FROM m, unnest(generate_series(0, nfr - 1,
+                                           {multimodal.AVI_SAMPLE_EVERY}))
+                    AS g(f)
+        ), t AS (
+            SELECT doc_id, bw, bh, frame_idx,
+                   (doc_id * {multimodal.JPEG_TILE_A}
+                    + frame_idx * {multimodal.AVI_FRAME_C}
+                    + g.k * {multimodal.JPEG_TILE_B}) % 256 AS v
+            FROM fr, unnest(generate_series(0, bw * bh - 1)) AS g(k)
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(bw * 8 AS INT) AS width,
+               CAST(bh * 8 AS INT) AS height,
+               CAST(64 * sum(v) AS BIGINT) AS pixel_sum,
+               CAST(min(v) AS INT) AS pixel_min,
+               CAST(max(v) AS INT) AS pixel_max
+        FROM t GROUP BY doc_id, bw, bh, frame_idx
     """,
     "media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -1,0 +1,240 @@
+"""functions/avi.py — the pure-stdlib MJPEG-AVI container codec
+(video axis; frames decoded by functions/jpeg.py).
+
+Contracts pinned here (mirrors test_png.py / test_jpeg.py /
+test_wav.py):
+- flat-tile MJPEG frames round-trip BIT-EXACTLY through the container
+  + JPEG chain (the exactness contract avi_frame_stats' oracle relies
+  on);
+- the idx1 index is required and VERIFIED: a lying offset/size/fourcc
+  quarantines instead of silently trusting either side;
+- EVERY truncation point raises ValueError, never struct/IndexError;
+- non-MJPG codecs, non-vids streams, audio chunks, and multi-stream
+  files are quarantined by name;
+- hostile declared sizes are rejected before any size-driven slice;
+- the Spark path (media_payloads_avi -> avi_frame_table -> native
+  frame_idx filter -> mjpeg_frame_stats) matches the (doc_id, frame)
+  tile grammar.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from indigent_defense_stats_spark.functions import avi, jpeg
+from indigent_defense_stats_spark.operators import multimodal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _clip(d: int):
+    bw = 1 + d % multimodal.JPEG_BW_MOD
+    bh = 1 + (d // multimodal.JPEG_BW_MOD) % multimodal.JPEG_BW_MOD
+    nfr = 2 + d % multimodal.AVI_NFRAMES_MOD
+    frames, imgs = [], []
+    for f in range(nfr):
+        tiles = (
+            (
+                d * multimodal.JPEG_TILE_A
+                + f * multimodal.AVI_FRAME_C
+                + np.arange(bw * bh) * multimodal.JPEG_TILE_B
+            )
+            % 256
+        ).astype(np.uint8)
+        img = np.kron(tiles.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8))
+        frames.append(jpeg.encode_jpeg(bw * 8, bh * 8, img.tobytes()))
+        imgs.append(img)
+    return bw * 8, bh * 8, frames, imgs
+
+
+def test_mjpeg_roundtrip_bit_exact():
+    for d in (0, 1, 5, 17, 123, 999):
+        w, h, frames, imgs = _clip(d)
+        data = avi.encode_avi_mjpeg(w, h, multimodal.AVI_FPS, frames)
+        gw, gh, fps, out = avi.decode_avi_mjpeg(data)
+        assert (gw, gh, fps, len(out)) == (w, h, multimodal.AVI_FPS,
+                                           len(frames))
+        for f, fr in enumerate(out):
+            dw, dh, nc, px = jpeg.decode_jpeg(fr)
+            assert (dw, dh, nc) == (w, h, 1)
+            assert px == imgs[f].tobytes(), f"doc {d} frame {f}"
+
+
+def test_every_truncation_point_is_valueerror():
+    w, h, frames, _ = _clip(7)
+    data = avi.encode_avi_mjpeg(w, h, 12, frames)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            avi.decode_avi_mjpeg(data[:cut])
+
+
+def _sample() -> bytes:
+    w, h, frames, _ = _clip(5)
+    return avi.encode_avi_mjpeg(w, h, 12, frames)
+
+
+def test_unsupported_codecs_quarantined_by_name():
+    data = _sample()
+    # fccHandler XVID (strh)
+    b = bytearray(data)
+    i = bytes(b).find(b"MJPG")
+    b[i : i + 4] = b"XVID"
+    with pytest.raises(ValueError, match="XVID"):
+        avi.decode_avi_mjpeg(bytes(b))
+    # biCompression DIB (strf; second MJPG occurrence)
+    b = bytearray(data)
+    j = bytes(b).find(b"MJPG", i + 4)
+    b[j : j + 4] = b"DIB "
+    with pytest.raises(ValueError, match="biCompression"):
+        avi.decode_avi_mjpeg(bytes(b))
+    # auds stream type
+    b = bytearray(data)
+    k = bytes(b).find(b"vids")
+    b[k : k + 4] = b"auds"
+    with pytest.raises(ValueError, match="vids"):
+        avi.decode_avi_mjpeg(bytes(b))
+    # wrong containers
+    with pytest.raises(ValueError, match="RIFF"):
+        avi.decode_avi_mjpeg(b"\x89PNG\r\n\x1a\n" + bytes(8))
+    with pytest.raises(ValueError, match="AVI"):
+        avi.decode_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_lying_index_quarantined():
+    data = _sample()
+    i = bytes(data).find(b"idx1")
+    # offset lie
+    b = bytearray(data)
+    struct.pack_into("<I", b, i + 8 + 8, 9999)
+    with pytest.raises(ValueError, match="disagrees"):
+        avi.decode_avi_mjpeg(bytes(b))
+    # size lie
+    b = bytearray(data)
+    struct.pack_into("<I", b, i + 8 + 12, 1)
+    with pytest.raises(ValueError, match="disagrees"):
+        avi.decode_avi_mjpeg(bytes(b))
+    # entry-count lie: truncate idx1 by one 16-byte entry
+    b = bytearray(data)
+    size = struct.unpack_from("<I", b, i + 4)[0]
+    struct.pack_into("<I", b, i + 4, size - 16)
+    trimmed = bytes(b[: i + 8 + size - 16])
+    struct.pack_into("<I", b, 4, len(trimmed) - 8)
+    trimmed = bytes(b[:4]) + struct.pack("<I", len(trimmed) - 8) + bytes(
+        b[8 : i + 8 + size - 16]
+    )
+    with pytest.raises(ValueError, match="entries"):
+        avi.decode_avi_mjpeg(trimmed)
+
+
+def test_hostile_declared_sizes_rejected():
+    data = bytearray(_sample())
+    i = bytes(data).find(b"00dc")
+    struct.pack_into("<I", data, i + 4, 1 << 31)
+    with pytest.raises(ValueError, match="decode bound|declares"):
+        avi.decode_avi_mjpeg(bytes(data))
+    b2 = bytearray(_sample())
+    struct.pack_into("<I", b2, 4, len(b2) * 2)
+    with pytest.raises(ValueError, match="declares"):
+        avi.decode_avi_mjpeg(bytes(b2))
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="frame"):
+        avi.encode_avi_mjpeg(8, 8, 12, [])
+    with pytest.raises(ValueError, match="SOI"):
+        avi.encode_avi_mjpeg(8, 8, 12, [b"not a jpeg"])
+    with pytest.raises(ValueError, match="fps"):
+        avi.encode_avi_mjpeg(8, 8, 0, [b"\xff\xd8\xff\xd9"])
+
+
+# ---------------------------------------------------------------------------
+# Spark path: real demux + decode over generated AVI payloads
+# ---------------------------------------------------------------------------
+
+pytestmark_data = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/documents.parquet"), reason="testdata missing"
+)
+
+
+@pytest.fixture(scope="module")
+def avi_payloads(spark):
+    from indigent_defense_stats_spark.operators.pipeline_queries import (
+        _media_decoded,
+    )
+
+    return multimodal.media_payloads_avi(
+        _media_decoded(spark, SF_DIR).limit(30)
+    ).localCheckpoint()
+
+
+@pytestmark_data
+def test_payloads_are_real_avis(avi_payloads):
+    rows = avi_payloads.collect()
+    assert rows
+    for r in rows:
+        c = bytes(r["content"])
+        assert c[:4] == b"RIFF" and c[8:12] == b"AVI "
+        d = int(r["doc_id"])
+        w, h, _frames, imgs = _clip(d)
+        gw, gh, fps, out = avi.decode_avi_mjpeg(c)
+        assert (gw, gh, fps, len(out)) == (w, h, multimodal.AVI_FPS,
+                                           len(imgs))
+
+
+@pytestmark_data
+def test_decode_media_real_sniffs_riff_formats(avi_payloads, spark):
+    # the unified real decoder covers all three modalities by magic:
+    # AVI reports (width, height); WAV reports (n_frames, channels)
+    rows = multimodal.decode_media(avi_payloads, decoder="real").collect()
+    assert rows
+    for r in rows:
+        d = int(r["doc_id"])
+        w, h, _frames, _imgs = _clip(d)
+        assert (r["format"], r["width"], r["height"]) == ("avi", w, h)
+    from indigent_defense_stats_spark.operators.pipeline_queries import (
+        _media_decoded,
+    )
+
+    wavs = multimodal.media_payloads_wav(
+        _media_decoded(spark, SF_DIR).limit(10)
+    )
+    for r in multimodal.decode_media(wavs, decoder="real").collect():
+        d = int(r["doc_id"])
+        assert r["format"] == "wav"
+        assert r["width"] == 256 + d % multimodal.WAV_N_MOD
+        assert r["height"] == (
+            2 if d % multimodal.WAV_STEREO_EVERY == 0 else 1
+        )
+
+
+@pytestmark_data
+def test_frame_table_and_sampled_stats_match_grammar(avi_payloads, spark):
+    import pyspark.sql.functions as F
+
+    frames = multimodal.avi_frame_table(avi_payloads)
+    sampled = frames.filter(
+        F.col("frame_idx") % multimodal.AVI_SAMPLE_EVERY == 0
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in multimodal.mjpeg_frame_stats(sampled).collect()
+    }
+    assert got
+    docs = {r["doc_id"] for r in avi_payloads.select("doc_id").collect()}
+    expected_keys = set()
+    for doc_id in docs:
+        d = int(doc_id)
+        w, h, _frames, imgs = _clip(d)
+        for f in range(0, len(imgs), multimodal.AVI_SAMPLE_EVERY):
+            expected_keys.add((doc_id, f))
+            r = got[(doc_id, f)]
+            a = imgs[f].astype(np.int64)
+            assert (
+                r["width"], r["height"], r["pixel_sum"],
+                r["pixel_min"], r["pixel_max"],
+            ) == (w, h, int(a.sum()), int(a.min()), int(a.max()))
+    assert set(got) == expected_keys

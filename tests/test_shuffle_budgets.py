@@ -173,6 +173,9 @@ BUDGETS = {
     "wav_decode_stats": 0,
     # decode + windowed fold inside one mapInPandas, zero shuffle
     "wav_energy_windows": 0,
+    # generate -> demux -> native sample filter -> frame decode:
+    # all map-only, zero shuffle
+    "avi_frame_stats": 0,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -236,6 +239,7 @@ SCAN_BUDGETS = {
     "jpeg_decode_stats": 1,  # same map-only chain, JPEG codec
     "wav_decode_stats": 1,  # same map-only chain, WAV codec
     "wav_energy_windows": 1,
+    "avi_frame_stats": 1,  # one documents scan feeds demux + decode
 }
 
 
