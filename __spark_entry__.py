@@ -639,6 +639,9 @@ _TAIL = [
                               # + native frame-sample filter + real
                               # JPEG frame decode — the video modality
                               # closed; last declared media stub gone
+    "audio_fingerprint_neardup",  # audio dedup: real PCM decode ->
+                              # delta-sign fingerprint (native HOFs)
+                              # -> 4x8-bit banding -> Hamming verify
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

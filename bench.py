@@ -114,6 +114,11 @@ OPTIONAL = [
     "winnow_matches",
     "click_hits",
     "click_communities_lpa",
+    # round-5: real JPEG decode and the audio/video modality closures
+    # (WAV PCM stats, MJPEG-AVI demux + sampled-frame decode)
+    "jpeg_decode_stats",
+    "wav_decode_stats",
+    "avi_frame_stats",
 ]
 
 

@@ -796,6 +796,105 @@ def wav_energy_windows(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(win, schema=WAVWIN_SCHEMA)
 
 
+# Audio-fingerprint grammar (group-mixed, like the pHash body grammar):
+# clips sharing g = doc_id % AFP_GROUPS are the SAME base waveform —
+# per-(g, window) md5 amplitudes decorrelate energy walks ACROSS
+# groups — plus one per-doc perturbed sample INSIDE window g % AFP_
+# WINDOWS, so same-group signatures differ in at most the two delta
+# bits that window touches (Hamming <= 2 < the 4-band pigeonhole
+# bound: every true pair shares a band).  All integer arithmetic in
+# doc_id, so the DuckDB oracle replays every sample, energy, bit.
+AFP_GROUPS = 100
+AFP_WINDOWS = 33  # 33 energy windows -> 32 delta-sign bits
+AFP_RATE = 16000
+AFP_HAM_MAX = 4
+
+
+def media_payloads_wav_groups(decoded: DataFrame) -> DataFrame:
+    """REAL mono PCM WAV payloads with group-mixed doc_id-arithmetic
+    samples — the audio near-dup corpus (same-group clips are
+    near-identical recordings).  format column is 'wav'."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions import wav as wavmod
+
+        nf = AFP_WINDOWS * WAV_WIN_FRAMES
+        i = np.arange(nf, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % AFP_GROUPS
+                base = np.array(
+                    [
+                        int(
+                            hashlib.md5(f"a:{g}:{w}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % 1024
+                        for w in range(AFP_WINDOWS)
+                    ],
+                    dtype=np.int64,
+                )
+                v = base[i // WAV_WIN_FRAMES] + i % 7
+                p = (g % AFP_WINDOWS) * WAV_WIN_FRAMES + d % WAV_WIN_FRAMES
+                v = v.copy()
+                v[p] += 1 + (d // AFP_GROUPS) % 3
+                content.append(
+                    wavmod.encode_wav(
+                        AFP_RATE, 1, v.astype("<i2").tobytes()
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": ["wav"] * len(pdf),
+                    "content": content,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "media_ref", "media_kind"
+    ).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def audio_fingerprint(payloads: DataFrame) -> DataFrame:
+    """32-bit audio fingerprint from REAL decoded PCM: the delta-sign
+    of consecutive energy windows (bit w = 1 iff e[w+1] > e[w]) — the
+    integer skeleton of Chromaprint/Shazam-style fingerprints (those
+    take deltas of spectral bands; same shape, same banding math).
+    The energies come from :func:`wav_energy_windows` (the real codec
+    chain); the bit packing is NATIVE Spark (array_sort + aggregate
+    HOF, JVM-side) — the Python boundary ends at the decode.
+    Returns (doc_id BIGINT, sig BIGINT)."""
+    e = wav_energy_windows(payloads)
+    return (
+        e.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("window_idx", "energy"))
+            ).alias("ws")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, w) ->"
+                " acc + IF(ws[w + 1].energy > ws[w].energy,"
+                "          shiftleft(CAST(1 AS BIGINT), 31 - w),"
+                "          CAST(0 AS BIGINT)))"
+            ).alias("sig"),
+        )
+    )
+
+
 # MJPEG-AVI payload grammar (arithmetic in (doc_id, frame_idx), so the
 # DuckDB oracle replays decoded frame statistics WITHOUT any binary):
 #   frames  nfr = 2 + d % AVI_NFRAMES_MOD

@@ -559,6 +559,61 @@ def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mjpeg_frame_stats(frames)
 
 
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over REAL decoded PCM — the
+    audio analog of media_phash_neardup and the dedup story for a
+    speech corpus: decode (functions/wav.py) -> energy windows ->
+    32-bit delta-sign fingerprint (native array_sort + aggregate HOF;
+    the Chromaprint shape) -> 4x8-bit LSH banding (pairs sharing any
+    band are candidates) -> exact Hamming verify at AFP_HAM_MAX.
+    Clip samples are group-mixed doc_id arithmetic
+    (multimodal.media_payloads_wav_groups), so the DuckDB oracle
+    replays every sample, window energy, signature bit, band and
+    Hamming distance.
+
+    Scale shape: fingerprinting is one map-only decode pass + one
+    doc-keyed aggregate (O(1) state per clip); banding shuffles 4
+    bytes per clip; the verify joins signature rows only — the same
+    linear-shuffle banding contract as the MinHash/pHash dedups.  The
+    signature table feeds 3 consumers (band explode + both verify
+    sides) and is localCheckpoint-pinned."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_wav_groups(
+        _media_decoded(spark, sf_dir)
+    )
+    fp = multimodal.audio_fingerprint(payloads).localCheckpoint(eager=False)
+    sig = F.col("sig")
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.shiftright(sig, 24).bitwiseAND(F.lit(255)),
+                F.shiftright(sig, 16).bitwiseAND(F.lit(255)),
+                F.shiftright(sig, 8).bitwiseAND(F.lit(255)),
+                sig.bitwiseAND(F.lit(255)),
+            )
+        ).alias("band_pos", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band_pos", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_pos", "band_val")
+    cand = (
+        a.join(b, ["band_pos", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = fp.select(F.col("doc_id").alias("d1"), sig.alias("sig1"))
+    s2 = fp.select(F.col("doc_id").alias("d2"), sig.alias("sig2"))
+    ham = F.expr("bit_count(sig1 ^ sig2)").cast("int")
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= multimodal.AFP_HAM_MAX)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -579,6 +634,7 @@ QUERIES = {
     "wav_decode_stats": wav_decode_stats,
     "wav_energy_windows": wav_energy_windows,
     "avi_frame_stats": avi_frame_stats,
+    "audio_fingerprint_neardup": audio_fingerprint_neardup,
 }
 
 ORACLE_SQL = {
@@ -814,6 +870,64 @@ ORACLE_SQL = {
                CAST(min(v) AS INT) AS pixel_min,
                CAST(max(v) AS INT) AS pixel_max
         FROM t GROUP BY doc_id, bw, bh, frame_idx
+    """,
+    # full independent replay of the audio-fingerprint near-dup:
+    # samples -> window energies -> delta-sign bits -> 8-bit bands ->
+    # candidate join -> Hamming verify.  All integer arithmetic.
+    "audio_fingerprint_neardup": f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        base AS (
+            SELECT doc_id, g.w AS w,
+                   ('0x' || left(md5('a:'
+                       || (doc_id % {multimodal.AFP_GROUPS})::VARCHAR
+                       || ':' || g.w::VARCHAR), 15))::BIGINT % 1024 AS b
+            FROM ids,
+                 unnest(generate_series(0, {multimodal.AFP_WINDOWS - 1}))
+                     AS g(w)
+        ), s AS (
+            SELECT doc_id, w,
+                   b + (w * {multimodal.WAV_WIN_FRAMES} + g.j) % 7
+                   + CASE WHEN w * {multimodal.WAV_WIN_FRAMES} + g.j =
+                          (doc_id % {multimodal.AFP_GROUPS}
+                           % {multimodal.AFP_WINDOWS})
+                              * {multimodal.WAV_WIN_FRAMES}
+                          + doc_id % {multimodal.WAV_WIN_FRAMES}
+                          THEN 1 + (doc_id // {multimodal.AFP_GROUPS}) % 3
+                          ELSE 0 END AS v
+            FROM base,
+                 unnest(generate_series(0, {multimodal.WAV_WIN_FRAMES - 1}))
+                     AS g(j)
+        ), e AS (
+            SELECT doc_id, w, sum(v * v) AS energy
+            FROM s GROUP BY doc_id, w
+        ), d AS (
+            SELECT doc_id, w, energy,
+                   lead(energy) OVER (PARTITION BY doc_id ORDER BY w)
+                       AS nexte
+            FROM e
+        ), sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN nexte > energy
+                            THEN (1::BIGINT << (31 - w)) ELSE 0 END)
+                       AS sig
+            FROM d WHERE w < 32 GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, g.p AS band_pos,
+                   (sig >> (8 * (3 - g.p))) & 255 AS band_val
+            FROM sig, unnest(generate_series(0, 3)) AS g(p)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band_pos = b.band_pos
+                        AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.d1, c.d2,
+               CAST(bit_count(xor(s1.sig, s2.sig)) AS INT) AS hamming
+        FROM cand c
+        JOIN sig s1 ON s1.doc_id = c.d1
+        JOIN sig s2 ON s2.doc_id = c.d2
+        WHERE bit_count(xor(s1.sig, s2.sig)) <= {multimodal.AFP_HAM_MAX}
     """,
     "media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

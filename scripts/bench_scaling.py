@@ -165,6 +165,12 @@ JOBS = {
     # the mechanism behind N->4N executor scaling in production
     "politeness127": {"kind": "politeness", "n_hosts": 127},
     "politeness508": {"kind": "politeness", "n_hosts": 508},
+    # round-5 media-modality cell: the full REAL video chain (encode
+    # MJPEG-AVI -> idx1-verified demux -> native frame-sample filter ->
+    # baseline-JPEG frame decode) over generated docs — map-only, zero
+    # shuffle, so its N->4N ratio should track fetchparse's (the
+    # Python-boundary ceiling), evidencing the decode layer scales
+    "mediadecode": {"kind": "mediadecode", "n_docs": 100_000},
     # heterogeneous robots Crawl-delay: half the hosts declare 500 ms,
     # half keep the 200 ms default -> mixed ceiling = 127x2 + 127x5
     # = 889 URLs/s; quotas are rate-proportional so all streams share
@@ -216,6 +222,41 @@ def job_fetchparse(spark, n_urls: int, n_hosts: int) -> dict:
     n = out.filter("spans_json IS NOT NULL").count()
     wall = time.time() - t0
     return {"urls": n_urls, "ok": n, "wall": round(wall, 1), "tput": round(n_urls / wall, 1)}
+
+
+def job_mediadecode(spark, n_docs: int) -> dict:
+    """REAL media decode scaling cell: the avi_frame_stats chain
+    (generate actual MJPEG-AVI bytes -> container demux with idx1
+    verification -> native frame_idx%2 sample filter -> real baseline-
+    JPEG decode of the sampled frames) over a GENERATED doc table.
+    Every stage is mapInPandas or a native filter — zero shuffle — so
+    this measures the Arrow/Python decode boundary, the same boundary
+    fetchparse measures for the crawl.  tput is sampled frames/s."""
+    import pyspark.sql.functions as F
+
+    from indigent_defense_stats_spark.operators import multimodal
+
+    docs = spark.range(n_docs).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("m://"), F.col("id").cast("string")).alias("media_ref"),
+        F.lit("mugshot").alias("media_kind"),
+    )
+    # CPU-per-row work, invisible to byte-based AQE coalescing
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 4)
+    payloads = multimodal.media_payloads_avi(docs)
+    frames = multimodal.avi_frame_table(payloads).filter(
+        F.col("frame_idx") % multimodal.AVI_SAMPLE_EVERY == 0
+    )
+    stats = multimodal.mjpeg_frame_stats(frames)
+    t0 = time.time()
+    n = stats.count()
+    wall = time.time() - t0
+    return {
+        "docs": n_docs,
+        "frames": n,
+        "wall": round(wall, 1),
+        "tput": round(n / wall, 1),
+    }
 
 
 def job_pagerank(spark, n_edges: int, broadcast_ranks: bool = False) -> dict:
@@ -450,6 +491,8 @@ def run_cell(job: str, cpus: int, args) -> dict:
     spark.range(1000).count()
     if cfg["kind"] == "fetchparse":
         res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
+    elif cfg["kind"] == "mediadecode":
+        res = job_mediadecode(spark, cfg["n_docs"])
     elif cfg["kind"] == "pagerank":
         res = job_pagerank(
             spark, cfg["n_edges"],

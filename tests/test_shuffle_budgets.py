@@ -176,6 +176,9 @@ BUDGETS = {
     # generate -> demux -> native sample filter -> frame decode:
     # all map-only, zero shuffle
     "avi_frame_stats": 0,
+    # one doc-keyed energy aggregate feeds the pinned signature table;
+    # banding/verify joins are broadcast-sized at test SF
+    "audio_fingerprint_neardup": 1,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -240,6 +243,7 @@ SCAN_BUDGETS = {
     "wav_decode_stats": 1,  # same map-only chain, WAV codec
     "wav_energy_windows": 1,
     "avi_frame_stats": 1,  # one documents scan feeds demux + decode
+    "audio_fingerprint_neardup": 0,  # signature table pinned (3 consumers)
 }
 
 

@@ -198,3 +198,96 @@ def test_energy_windows_match_grammar(wav_payloads):
         a = v.astype(np.int64)
         for w in range(n_win):
             assert wins[w] == int((a[w * per : (w + 1) * per] ** 2).sum())
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup (group-mixed grammar)
+# ---------------------------------------------------------------------------
+
+
+def _afp_clip(d: int) -> np.ndarray:
+    import hashlib
+
+    g = d % multimodal.AFP_GROUPS
+    nf = multimodal.AFP_WINDOWS * multimodal.WAV_WIN_FRAMES
+    i = np.arange(nf, dtype=np.int64)
+    base = np.array(
+        [
+            int(hashlib.md5(f"a:{g}:{w}".encode()).hexdigest()[:15], 16)
+            % 1024
+            for w in range(multimodal.AFP_WINDOWS)
+        ],
+        dtype=np.int64,
+    )
+    v = base[i // multimodal.WAV_WIN_FRAMES] + i % 7
+    p = (
+        (g % multimodal.AFP_WINDOWS) * multimodal.WAV_WIN_FRAMES
+        + d % multimodal.WAV_WIN_FRAMES
+    )
+    v = v.copy()
+    v[p] += 1 + (d // multimodal.AFP_GROUPS) % 3
+    return v
+
+
+def _afp_sig(v: np.ndarray) -> int:
+    e = (v.reshape(multimodal.AFP_WINDOWS, -1) ** 2).sum(axis=1)
+    sig = 0
+    for w in range(32):
+        if e[w + 1] > e[w]:
+            sig |= 1 << (31 - w)
+    return sig
+
+
+@pytestmark_data
+def test_audio_fingerprint_matches_numpy_replay(spark):
+    from indigent_defense_stats_spark.operators.pipeline_queries import (
+        _media_decoded,
+    )
+
+    payloads = multimodal.media_payloads_wav_groups(
+        _media_decoded(spark, SF_DIR).limit(30)
+    )
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in multimodal.audio_fingerprint(payloads).collect()
+    }
+    assert got
+    for d, sig in got.items():
+        assert sig == _afp_sig(_afp_clip(int(d))), f"doc {d}"
+
+
+@pytestmark_data
+def test_audio_neardup_same_group_within_two_bits(spark):
+    # same-group clips differ in <= 2 samples, both inside ONE window
+    # -> at most the two delta bits that window touches flip ->
+    # Hamming <= 2 < the 4-band pigeonhole bound (3): every true pair
+    # is a candidate AND a verified match
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["audio_fingerprint_neardup"](
+        spark, SF_DIR
+    ).collect()
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in rows}
+    assert pairs
+    import pyspark.sql.functions as F
+
+    docs = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    by_group: dict[int, list[int]] = {}
+    for d in docs:
+        by_group.setdefault(d % multimodal.AFP_GROUPS, []).append(d)
+    n_true = 0
+    for g, members in by_group.items():
+        members.sort()
+        for i, d1 in enumerate(members):
+            for d2 in members[i + 1 :]:
+                sig1 = _afp_sig(_afp_clip(d1))
+                sig2 = _afp_sig(_afp_clip(d2))
+                assert bin(sig1 ^ sig2).count("1") <= 2, (d1, d2)
+                assert (d1, d2) in pairs, f"missed true pair {(d1, d2)}"
+                n_true += 1
+    assert n_true > 0
