@@ -274,11 +274,12 @@ _TAIL = [
     "first_1000_orders",      # bounded export; top5_orders eval'd
     "days_elapsed",           # window family: event_sequence eval'd
     "sliding_window_counts",  # sliding form of the windowed-count
-                              # family (stream_event_window_counts
-                              # eval'd covers the tumbling aggregate)
+                              # family (session_windows +
+                              # stream_click_attribution keep the
+                              # streaming surface graded)
     "stream_exact_dedup",     # streaming form of exact_dedup_docs
                               # (eval'd); stream surface covered by
-                              # stream_event_window_counts (eval'd)
+                              # session_windows (eval'd)
     "weighted_sample",        # round-3 late addition (sampling family:
                               # Efraimidis-Spirakis A-Res length-
                               # weighted draw; stratified/threshold/
@@ -635,13 +636,20 @@ _TAIL = [
                               # lossless grammar -> exact DuckDB oracle
     "wav_energy_windows",     # frame-level audio energy features over
                               # the same real decode (VAD shape)
-    "avi_frame_stats",        # REAL MJPEG-AVI demux (idx1-verified)
-                              # + native frame-sample filter + real
-                              # JPEG frame decode — the video modality
-                              # closed; last declared media stub gone
-    "audio_fingerprint_neardup",  # audio dedup: real PCM decode ->
-                              # delta-sign fingerprint (native HOFs)
-                              # -> 4x8-bit banding -> Hamming verify
+    # round-5 third rotation: avi_frame_stats (REAL MJPEG-AVI demux +
+    # sampled-frame JPEG decode) and audio_fingerprint_neardup (real
+    # PCM -> delta-sign fingerprint -> banded Hamming verify) promoted
+    # into the graded prefix — the two new media modalities deserve
+    # hard driver rows; the two demotions below each keep their family
+    # graded via a sibling:
+    "stream_event_window_counts",  # tumbling windowed count: streaming
+                              # family keeps TWO graded rows
+                              # (stream_click_attribution #48,
+                              # session_windows #49); r04 driver-green
+                              # history at #47
+    "asof_attribution",       # as-of join: temporal family keeps
+                              # range_attribution graded; r04
+                              # driver-green history at #11
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

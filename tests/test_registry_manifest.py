@@ -18,6 +18,15 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
+# Round-5 third rotation: avi_frame_stats (REAL MJPEG-AVI demux +
+# sampled-frame JPEG decode) and audio_fingerprint_neardup (real PCM
+# -> delta-sign fingerprint -> banded Hamming verify) promoted so the
+# two new media modalities carry hard driver rows; demoted:
+# stream_event_window_counts (streaming family keeps
+# stream_click_attribution + session_windows graded; r04 green at #47)
+# and asof_attribution (temporal family keeps range_attribution
+# graded; r04 green at #11).
+#
 # Round-5 second rotation: jpeg_decode_stats (the REAL baseline-JPEG
 # decode surface, functions/jpeg.py — new this round) promoted next to
 # its png sibling; pack_sequences demoted (pack_interleaved keeps the
@@ -44,7 +53,6 @@ PREFIX_MANIFEST = [
     "priority_severity_rollup",
     "doc_motion_flags",
     "user_events_reversed",
-    "asof_attribution",
     "range_attribution",
     "funnel_stages",
     "click_pagerank",
@@ -80,7 +88,8 @@ PREFIX_MANIFEST = [
     "media_features",
     "png_decode_stats",
     "jpeg_decode_stats",
-    "stream_event_window_counts",
+    "avi_frame_stats",
+    "audio_fingerprint_neardup",
     "stream_click_attribution",
     "session_windows",
     "sql_q1_pricing_summary",
