@@ -650,6 +650,13 @@ _TAIL = [
     "asof_attribution",       # as-of join: temporal family keeps
                               # range_attribution graded; r04
                               # driver-green history at #11
+    "video_ahash_neardup",    # video dedup: real AVI demux + frame
+                              # decode -> per-frame aHash temporal
+                              # signature (native HOFs) -> frame-hash
+                              # banding -> summed Hamming verify;
+                              # completes the media near-dup triangle
+                              # (pHash image / fingerprint audio /
+                              # temporal-signature video)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

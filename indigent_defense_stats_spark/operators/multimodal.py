@@ -1055,3 +1055,171 @@ def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+# Video-signature grammar (group-mixed, like the pHash and audio-
+# fingerprint grammars): videos sharing g = doc_id % VID_GROUPS are
+# the SAME 4-frame base clip — per-(g, frame, tile) md5 tiles
+# decorrelate frame hashes ACROSS groups — plus one SUM-PRESERVING
+# per-doc perturbation (+delta on tile k1, -delta on tile k2, both
+# inside frame doc_id % VID_FRAMES).  The frame mean is untouched, so
+# only the two perturbed tiles' aHash bits can flip: same-group
+# signatures differ in <= 4 bits spread over <= 2 frames, leaving
+# >= 2 of the 4 frame-hash bands identical — every true pair is a
+# candidate AND verifies at VID_HAM_MAX.  All integer arithmetic in
+# doc_id, so the DuckDB oracle replays every tile, cell sum, bit.
+VID_GROUPS = 100
+VID_FRAMES = 4
+VID_GRID = 4  # 4x4 tiles -> 16 cells -> 16-bit frame hash
+VID_HAM_MAX = 4
+
+
+def media_payloads_avi_groups(decoded: DataFrame) -> DataFrame:
+    """REAL MJPEG-AVI payloads with group-mixed doc_id-arithmetic
+    frames — the video near-dup corpus (same-group clips are
+    near-identical videos).  Fixed geometry: VID_FRAMES frames of
+    VID_GRID x VID_GRID flat 8x8 tiles (32x32 px).  format column is
+    'avi'."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions import avi as avimod
+        from ..functions import jpeg as jpegmod
+
+        nt = VID_GRID * VID_GRID
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % VID_GROUPS
+                fp = d % VID_FRAMES
+                k1 = (d // VID_FRAMES) % nt
+                k2 = (k1 + 1 + (d // 64) % (nt - 1)) % nt
+                delta = 1 + (d // VID_GROUPS) % 7
+                frames = []
+                for f in range(VID_FRAMES):
+                    tiles = np.array(
+                        [
+                            8
+                            + int(
+                                hashlib.md5(
+                                    f"m:{g}:{f}:{k}".encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            % 240
+                            for k in range(nt)
+                        ],
+                        dtype=np.int64,
+                    )
+                    if f == fp:
+                        tiles = tiles.copy()
+                        tiles[k1] += delta
+                        tiles[k2] -= delta
+                    img = np.kron(
+                        tiles.reshape(VID_GRID, VID_GRID).astype(np.uint8),
+                        np.ones((8, 8), dtype=np.uint8),
+                    )
+                    frames.append(
+                        jpegmod.encode_jpeg(
+                            VID_GRID * 8, VID_GRID * 8, img.tobytes()
+                        )
+                    )
+                content.append(
+                    avimod.encode_avi_mjpeg(
+                        VID_GRID * 8, VID_GRID * 8, AVI_FPS, frames
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "format": ["avi"] * len(pdf),
+                    "content": content,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "media_ref", "media_kind"
+    ).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+CELL_SUM_SCHEMA = (
+    "doc_id string, frame_idx int, cell_idx int, cell_sum long"
+)
+
+
+def frame_cell_sums(frames: DataFrame) -> DataFrame:
+    """REAL-decode demuxed frames (functions/jpeg.py) and emit the
+    8x8-block pixel sums — the downsample grid under a frame aHash.
+    cell_idx is row-major over the (h/8, w/8) grid; cell_sum is the
+    exact integer sum of the 64 pixels in that block, so the flat-tile
+    grammar makes every value (doc_id, frame_idx) arithmetic."""
+
+    def cs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import jpeg as jpegmod
+
+        cols = ["doc_id", "frame_idx", "cell_idx", "cell_sum"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, fi, fr in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                w, h, _nc, px = jpegmod.decode_jpeg(bytes(fr))
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w)
+                )
+                c = a.reshape(h // 8, 8, w // 8, 8).sum(axis=(1, 3))
+                for ci, v in enumerate(c.flatten()):
+                    rows.append((doc_id, int(fi), ci, int(v)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return frames.mapInPandas(cs, schema=CELL_SUM_SCHEMA)
+
+
+def video_ahash(cells: DataFrame) -> DataFrame:
+    """Temporal video signature from REAL decoded frames: one 16-bit
+    aHash per frame (bit k = 1 iff cell k's mean is strictly above the
+    frame mean — integer form cell_sum*16 > sum(cell_sums)), returned
+    as fh: array<bigint> of VID_FRAMES frame hashes.  The grid fold is
+    NATIVE Spark (array_sort + nested aggregate/transform HOFs,
+    JVM-side) — the Python boundary ends at the pixel decode.
+    Returns (doc_id BIGINT, fh ARRAY<BIGINT>)."""
+    nt = VID_GRID * VID_GRID
+    return (
+        cells.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("frame_idx", "cell_idx", "cell_sum")
+                )
+            ).alias("ws")
+        )
+        .selectExpr(
+            "doc_id",
+            "ws",
+            f"transform(sequence(0, {VID_FRAMES - 1}), f ->"
+            f" aggregate(sequence(0, {nt - 1}), CAST(0 AS BIGINT),"
+            f" (acc, k) -> acc + ws[f * {nt} + k].cell_sum)) AS fs",
+        )
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(0, {VID_FRAMES - 1}), f ->"
+            f" aggregate(sequence(0, {nt - 1}), CAST(0 AS BIGINT),"
+            f" (acc, k) -> acc + IF(ws[f * {nt} + k].cell_sum * {nt}"
+            f" > fs[f], shiftleft(CAST(1 AS BIGINT), {nt - 1} - k),"
+            " CAST(0 AS BIGINT)))) AS fh",
+        )
+    )

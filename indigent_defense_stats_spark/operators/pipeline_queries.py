@@ -614,6 +614,62 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection over REAL decoded frames — the
+    video analog of media_phash_neardup/audio_fingerprint_neardup,
+    completing the media near-dup triangle (image pHash, audio
+    fingerprint, video temporal signature): encode MJPEG-AVI
+    (functions/avi.py) -> demux (avi_frame_table, idx1-verified) ->
+    real per-frame JPEG decode to 8x8-block cell sums -> per-frame
+    16-bit aHash folded with native HOFs (multimodal.video_ahash) ->
+    per-frame-hash LSH banding (pairs sharing any frame hash are
+    candidates) -> exact Hamming verify over the full 64-bit temporal
+    signature at VID_HAM_MAX.  Clip tiles are group-mixed doc_id
+    arithmetic with a SUM-PRESERVING perturbation
+    (multimodal.media_payloads_avi_groups), so the DuckDB oracle
+    replays every tile, cell sum, hash bit, band and Hamming distance.
+
+    Scale shape: decode is two map-only mapInPandas passes (demux,
+    pixel decode) + one doc-keyed aggregate (O(1) state per clip);
+    banding shuffles VID_FRAMES 16-bit values per clip; the verify
+    joins signature rows only — the same linear-shuffle banding
+    contract as the MinHash/pHash/audio dedups.  The signature table
+    feeds 3 consumers (band explode + both verify sides) and is
+    localCheckpoint-pinned."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_avi_groups(
+        _media_decoded(spark, sf_dir)
+    )
+    cells = multimodal.frame_cell_sums(
+        multimodal.avi_frame_table(payloads)
+    )
+    sig = multimodal.video_ahash(cells).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id", F.posexplode("fh").alias("band_pos", "band_val")
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band_pos", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_pos", "band_val")
+    cand = (
+        a.join(b, ["band_pos", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("fh").alias("f1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("fh").alias("f2"))
+    ham = F.expr(
+        "CAST(bit_count(f1[0] ^ f2[0]) + bit_count(f1[1] ^ f2[1])"
+        " + bit_count(f1[2] ^ f2[2]) + bit_count(f1[3] ^ f2[3]) AS INT)"
+    )
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= multimodal.VID_HAM_MAX)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -635,6 +691,7 @@ QUERIES = {
     "wav_energy_windows": wav_energy_windows,
     "avi_frame_stats": avi_frame_stats,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
+    "video_ahash_neardup": video_ahash_neardup,
 }
 
 ORACLE_SQL = {
@@ -928,6 +985,64 @@ ORACLE_SQL = {
         JOIN sig s1 ON s1.doc_id = c.d1
         JOIN sig s2 ON s2.doc_id = c.d2
         WHERE bit_count(xor(s1.sig, s2.sig)) <= {multimodal.AFP_HAM_MAX}
+    """,
+    # full independent replay of the video-signature near-dup: tiles
+    # (md5 base + sum-preserving perturbation) -> per-frame 16-bit
+    # aHash (cell vs frame mean in tile units: tile*16 > sum(tiles))
+    # -> frame-hash bands -> candidate join -> summed Hamming verify.
+    # All integer arithmetic; cell_sum = tile*64 cancels the 64 on
+    # both sides of the Spark comparison, so tile units replay it
+    # exactly.
+    "video_ahash_neardup": f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        tiles AS (
+            SELECT doc_id, f.f AS f, k.k AS k,
+                   8 + ('0x' || left(md5('m:'
+                       || (doc_id % {multimodal.VID_GROUPS})::VARCHAR
+                       || ':' || f.f::VARCHAR
+                       || ':' || k.k::VARCHAR), 15))::BIGINT % 240
+                   + CASE WHEN f.f = doc_id % {multimodal.VID_FRAMES}
+                          AND k.k = (doc_id // {multimodal.VID_FRAMES})
+                              % {multimodal.VID_GRID ** 2}
+                          THEN 1 + (doc_id // {multimodal.VID_GROUPS}) % 7
+                          ELSE 0 END
+                   - CASE WHEN f.f = doc_id % {multimodal.VID_FRAMES}
+                          AND k.k = ((doc_id // {multimodal.VID_FRAMES})
+                                     % {multimodal.VID_GRID ** 2}
+                                     + 1 + (doc_id // 64)
+                                     % {multimodal.VID_GRID ** 2 - 1})
+                              % {multimodal.VID_GRID ** 2}
+                          THEN 1 + (doc_id // {multimodal.VID_GROUPS}) % 7
+                          ELSE 0 END AS tile
+            FROM ids,
+                 unnest(generate_series(0, {multimodal.VID_FRAMES - 1}))
+                     AS f(f),
+                 unnest(generate_series(0, {multimodal.VID_GRID ** 2 - 1}))
+                     AS k(k)
+        ), fsum AS (
+            SELECT doc_id, f, sum(tile) AS fs
+            FROM tiles GROUP BY doc_id, f
+        ), fh AS (
+            SELECT t.doc_id, t.f,
+                   sum(CASE WHEN t.tile * {multimodal.VID_GRID ** 2} > s.fs
+                            THEN (1::BIGINT
+                                  << ({multimodal.VID_GRID ** 2 - 1} - t.k))
+                            ELSE 0 END) AS h
+            FROM tiles t
+            JOIN fsum s ON s.doc_id = t.doc_id AND s.f = t.f
+            GROUP BY t.doc_id, t.f
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM fh a
+            JOIN fh b ON a.f = b.f AND a.h = b.h AND a.doc_id < b.doc_id
+        )
+        SELECT c.d1, c.d2,
+               CAST(sum(bit_count(xor(x.h, y.h))) AS INT) AS hamming
+        FROM cand c
+        JOIN fh x ON x.doc_id = c.d1
+        JOIN fh y ON y.doc_id = c.d2 AND y.f = x.f
+        GROUP BY c.d1, c.d2
+        HAVING sum(bit_count(xor(x.h, y.h))) <= {multimodal.VID_HAM_MAX}
     """,
     "media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

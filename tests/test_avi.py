@@ -238,3 +238,102 @@ def test_frame_table_and_sampled_stats_match_grammar(avi_payloads, spark):
                 r["pixel_min"], r["pixel_max"],
             ) == (w, h, int(a.sum()), int(a.min()), int(a.max()))
     assert set(got) == expected_keys
+
+
+# ---------------------------------------------------------------------------
+# video temporal near-dup (group-mixed grammar)
+# ---------------------------------------------------------------------------
+
+
+def _vnp_tiles(d: int, f: int) -> np.ndarray:
+    import hashlib
+
+    nt = multimodal.VID_GRID * multimodal.VID_GRID
+    g = d % multimodal.VID_GROUPS
+    tiles = np.array(
+        [
+            8
+            + int(hashlib.md5(f"m:{g}:{f}:{k}".encode()).hexdigest()[:15], 16)
+            % 240
+            for k in range(nt)
+        ],
+        dtype=np.int64,
+    )
+    if f == d % multimodal.VID_FRAMES:
+        k1 = (d // multimodal.VID_FRAMES) % nt
+        k2 = (k1 + 1 + (d // 64) % (nt - 1)) % nt
+        delta = 1 + (d // multimodal.VID_GROUPS) % 7
+        tiles = tiles.copy()
+        tiles[k1] += delta
+        tiles[k2] -= delta
+    return tiles
+
+
+def _vnp_sig(d: int) -> list[int]:
+    nt = multimodal.VID_GRID * multimodal.VID_GRID
+    out = []
+    for f in range(multimodal.VID_FRAMES):
+        t = _vnp_tiles(d, f)
+        h = 0
+        s = int(t.sum())
+        for k in range(nt):
+            if int(t[k]) * nt > s:
+                h |= 1 << (nt - 1 - k)
+        out.append(h)
+    return out
+
+
+@pytestmark_data
+def test_video_ahash_matches_numpy_replay(spark):
+    from indigent_defense_stats_spark.operators.pipeline_queries import (
+        _media_decoded,
+    )
+
+    payloads = multimodal.media_payloads_avi_groups(
+        _media_decoded(spark, SF_DIR).limit(25)
+    )
+    cells = multimodal.frame_cell_sums(multimodal.avi_frame_table(payloads))
+    got = {
+        r["doc_id"]: list(r["fh"])
+        for r in multimodal.video_ahash(cells).collect()
+    }
+    assert got
+    for d, fh in got.items():
+        assert fh == _vnp_sig(int(d)), f"doc {d}"
+
+
+@pytestmark_data
+def test_video_neardup_sum_preserving_recall(spark):
+    # the perturbation is SUM-PRESERVING inside one frame, so only the
+    # two perturbed tiles' bits can flip: same-group signatures differ
+    # in <= 4 bits across <= 2 frames -> >= 2 of the 4 frame-hash
+    # bands identical -> every true pair is a candidate AND verifies
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["video_ahash_neardup"](spark, SF_DIR).collect()
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in rows}
+    assert pairs
+    import pyspark.sql.functions as F  # noqa: F401
+
+    docs = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    by_group: dict[int, list[int]] = {}
+    for d in docs:
+        by_group.setdefault(d % multimodal.VID_GROUPS, []).append(d)
+    n_true = 0
+    for g, members in by_group.items():
+        members.sort()
+        for i, d1 in enumerate(members):
+            for d2 in members[i + 1 :]:
+                s1, s2 = _vnp_sig(d1), _vnp_sig(d2)
+                ham = sum(bin(a ^ b).count("1") for a, b in zip(s1, s2))
+                assert ham <= 2 * 2, (d1, d2)
+                shared = sum(a == b for a, b in zip(s1, s2))
+                assert shared >= 2, (d1, d2)
+                assert (d1, d2) in pairs, f"missed true pair {(d1, d2)}"
+                n_true += 1
+    assert n_true > 0

@@ -179,6 +179,8 @@ BUDGETS = {
     # one doc-keyed energy aggregate feeds the pinned signature table;
     # banding/verify joins are broadcast-sized at test SF
     "audio_fingerprint_neardup": 1,
+    # same shape: one doc-keyed cell aggregate -> pinned signature
+    "video_ahash_neardup": 1,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -244,6 +246,7 @@ SCAN_BUDGETS = {
     "wav_energy_windows": 1,
     "avi_frame_stats": 1,  # one documents scan feeds demux + decode
     "audio_fingerprint_neardup": 0,  # signature table pinned (3 consumers)
+    "video_ahash_neardup": 0,  # signature table pinned (3 consumers)
 }
 
 
