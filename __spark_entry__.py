@@ -657,6 +657,12 @@ _TAIL = [
                               # completes the media near-dup triangle
                               # (pHash image / fingerprint audio /
                               # temporal-signature video)
+    "audio_vad_segments",     # VAD utterance splitting: real PCM
+                              # energies -> per-clip mean threshold ->
+                              # gaps-and-islands segment aggregation
+    "video_shot_transitions", # scene segmentation: consecutive-frame
+                              # aHash Hamming with a cut flag (native
+                              # HOF fold over the signature array)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

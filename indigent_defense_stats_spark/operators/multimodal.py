@@ -1072,6 +1072,7 @@ VID_GROUPS = 100
 VID_FRAMES = 4
 VID_GRID = 4  # 4x4 tiles -> 16 cells -> 16-bit frame hash
 VID_HAM_MAX = 4
+VID_CUT_T = 6  # shot-cut threshold on consecutive-frame Hamming
 
 
 def media_payloads_avi_groups(decoded: DataFrame) -> DataFrame:

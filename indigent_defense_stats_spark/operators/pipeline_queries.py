@@ -21,6 +21,7 @@ import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..functions.money import parse_money
 from . import clean, multimodal, publish
@@ -670,6 +671,98 @@ def video_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL decoded PCM — the
+    utterance-splitting step a speech-data pipeline runs before
+    transcription/alignment: decode (functions/wav.py) -> energy
+    windows -> per-clip activity threshold (window active iff
+    energy * n_windows > total_energy, the strict integer form of
+    'above the clip mean') -> gaps-and-islands (lag + running sum of
+    boundaries) -> one row per contiguous ACTIVE segment with its
+    window span and energy mass.  Exact int64 arithmetic end to end,
+    so the sample grammar replays the whole chain in SQL.
+
+    Scale shape: one doc-keyed Exchange shared by every window
+    function and the final (doc_id, seg_id) aggregate (doc_id
+    partitioning satisfies the superset grouping key, so Spark adds
+    no second shuffle); per-clip state is O(windows).  The decode
+    stays map-only mapInPandas."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_wav(_media_decoded(spark, sf_dir))
+    e = multimodal.wav_energy_windows(payloads)
+    w_doc = Window.partitionBy("doc_id")
+    w_ord = Window.partitionBy("doc_id").orderBy("window_idx")
+    lag_active = F.lag("active").over(w_ord)
+    segs = (
+        e.withColumn("n_win", F.count("*").over(w_doc))
+        .withColumn("tot", F.sum("energy").over(w_doc))
+        .withColumn(
+            "active",
+            (F.col("energy") * F.col("n_win") > F.col("tot")).cast("int"),
+        )
+        .withColumn(
+            "new_seg",
+            F.when(
+                lag_active.isNull() | (lag_active != F.col("active")), 1
+            ).otherwise(0),
+        )
+        .withColumn("seg_id", F.sum("new_seg").over(w_ord))
+    )
+    return (
+        segs.filter(F.col("active") == 1)
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.min("window_idx").alias("seg_start"),
+            F.max("window_idx").alias("seg_end"),
+            F.count("*").alias("n_windows"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .drop("seg_id")
+    )
+
+
+def video_shot_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded frames — the scene
+    segmentation a video pipeline runs to pick representative frames:
+    the per-frame aHash signatures from :func:`video_ahash_neardup`'s
+    chain, then consecutive-frame Hamming distance via native HOFs
+    (transform over the signature array; zero extra shuffle beyond
+    the signature aggregate) with a cut flag at VID_CUT_T.  The
+    group-mixed tile grammar replays every distance in SQL.
+
+    Scale shape: identical to the signature build (two map-only
+    decode passes + one doc-keyed aggregate); the transition fold is
+    a plan-literal array expression, O(frames) per clip."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_avi_groups(
+        _media_decoded(spark, sf_dir)
+    )
+    cells = multimodal.frame_cell_sums(
+        multimodal.avi_frame_table(payloads)
+    )
+    nf = multimodal.VID_FRAMES
+    return (
+        multimodal.video_ahash(cells)
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(1, {nf - 1}), f ->"
+            " struct(f AS frame_idx,"
+            " CAST(bit_count(fh[f] ^ fh[f - 1]) AS INT)"
+            " AS hamming_prev))) AS t",
+        )
+        .select(
+            "doc_id",
+            F.col("t.frame_idx").alias("frame_idx"),
+            F.col("t.hamming_prev").alias("hamming_prev"),
+            (F.col("t.hamming_prev") > multimodal.VID_CUT_T).alias(
+                "is_cut"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -692,6 +785,8 @@ QUERIES = {
     "avi_frame_stats": avi_frame_stats,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "video_ahash_neardup": video_ahash_neardup,
+    "audio_vad_segments": audio_vad_segments,
+    "video_shot_transitions": video_shot_transitions,
 }
 
 ORACLE_SQL = {
@@ -985,6 +1080,108 @@ ORACLE_SQL = {
         JOIN sig s1 ON s1.doc_id = c.d1
         JOIN sig s2 ON s2.doc_id = c.d2
         WHERE bit_count(xor(s1.sig, s2.sig)) <= {multimodal.AFP_HAM_MAX}
+    """,
+    # VAD replay: the wav_energy_windows grammar, then the identical
+    # window-function cascade (per-clip mean threshold in strict
+    # integer form, lag-boundary flags, running-sum segment ids,
+    # active-island aggregation)
+    "audio_vad_segments": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {multimodal.WAV_STEREO_EVERY} = 0
+                        THEN 2 ELSE 1 END AS ch,
+                   256 + doc_id % {multimodal.WAV_N_MOD} AS nf
+            FROM documents
+        ), w AS (
+            SELECT doc_id, ch, g.w AS window_idx
+            FROM m,
+                 unnest(generate_series(
+                     0, nf // {multimodal.WAV_WIN_FRAMES} - 1)) AS g(w)
+        ), s AS (
+            SELECT doc_id, window_idx,
+                   (doc_id * {multimodal.WAV_SAMPLE_A}
+                    + (window_idx * {multimodal.WAV_WIN_FRAMES} * ch + g.j)
+                      * {multimodal.WAV_SAMPLE_B}) % 65536 - 32768 AS v
+            FROM w,
+                 unnest(generate_series(
+                     0, {multimodal.WAV_WIN_FRAMES} * ch - 1)) AS g(j)
+        ), e AS (
+            SELECT doc_id, window_idx, sum(v * v) AS energy
+            FROM s GROUP BY doc_id, window_idx
+        ), a AS (
+            SELECT doc_id, window_idx, energy,
+                   CASE WHEN energy * count(*) OVER (PARTITION BY doc_id)
+                        > sum(energy) OVER (PARTITION BY doc_id)
+                        THEN 1 ELSE 0 END AS active
+            FROM e
+        ), f AS (
+            SELECT *, CASE WHEN lag(active) OVER (
+                               PARTITION BY doc_id ORDER BY window_idx)
+                           IS DISTINCT FROM active
+                           THEN 1 ELSE 0 END AS new_seg
+            FROM a
+        ), g AS (
+            SELECT *, sum(new_seg) OVER (
+                          PARTITION BY doc_id ORDER BY window_idx
+                      ) AS seg_id
+            FROM f
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(min(window_idx) AS INT) AS seg_start,
+               CAST(max(window_idx) AS INT) AS seg_end,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(energy) AS BIGINT) AS seg_energy
+        FROM g WHERE active = 1
+        GROUP BY doc_id, seg_id
+    """,
+    # shot-transition replay: the video-signature fh CTE, then the
+    # consecutive-frame Hamming via a self-join on f-1
+    "video_shot_transitions": f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        tiles AS (
+            SELECT doc_id, f.f AS f, k.k AS k,
+                   8 + ('0x' || left(md5('m:'
+                       || (doc_id % {multimodal.VID_GROUPS})::VARCHAR
+                       || ':' || f.f::VARCHAR
+                       || ':' || k.k::VARCHAR), 15))::BIGINT % 240
+                   + CASE WHEN f.f = doc_id % {multimodal.VID_FRAMES}
+                          AND k.k = (doc_id // {multimodal.VID_FRAMES})
+                              % {multimodal.VID_GRID ** 2}
+                          THEN 1 + (doc_id // {multimodal.VID_GROUPS}) % 7
+                          ELSE 0 END
+                   - CASE WHEN f.f = doc_id % {multimodal.VID_FRAMES}
+                          AND k.k = ((doc_id // {multimodal.VID_FRAMES})
+                                     % {multimodal.VID_GRID ** 2}
+                                     + 1 + (doc_id // 64)
+                                     % {multimodal.VID_GRID ** 2 - 1})
+                              % {multimodal.VID_GRID ** 2}
+                          THEN 1 + (doc_id // {multimodal.VID_GROUPS}) % 7
+                          ELSE 0 END AS tile
+            FROM ids,
+                 unnest(generate_series(0, {multimodal.VID_FRAMES - 1}))
+                     AS f(f),
+                 unnest(generate_series(0, {multimodal.VID_GRID ** 2 - 1}))
+                     AS k(k)
+        ), fsum AS (
+            SELECT doc_id, f, sum(tile) AS fs
+            FROM tiles GROUP BY doc_id, f
+        ), fh AS (
+            SELECT t.doc_id, t.f,
+                   sum(CASE WHEN t.tile * {multimodal.VID_GRID ** 2} > s.fs
+                            THEN (1::BIGINT
+                                  << ({multimodal.VID_GRID ** 2 - 1} - t.k))
+                            ELSE 0 END) AS h
+            FROM tiles t
+            JOIN fsum s ON s.doc_id = t.doc_id AND s.f = t.f
+            GROUP BY t.doc_id, t.f
+        )
+        SELECT cur.doc_id,
+               CAST(cur.f AS INT) AS frame_idx,
+               CAST(bit_count(xor(cur.h, prv.h)) AS INT) AS hamming_prev,
+               bit_count(xor(cur.h, prv.h)) > {multimodal.VID_CUT_T}
+                   AS is_cut
+        FROM fh cur
+        JOIN fh prv ON prv.doc_id = cur.doc_id AND prv.f = cur.f - 1
     """,
     # full independent replay of the video-signature near-dup: tiles
     # (md5 base + sum-preserving perturbation) -> per-frame 16-bit

@@ -337,3 +337,25 @@ def test_video_neardup_sum_preserving_recall(spark):
                 assert (d1, d2) in pairs, f"missed true pair {(d1, d2)}"
                 n_true += 1
     assert n_true > 0
+
+
+@pytestmark_data
+def test_shot_transitions_match_signature_replay(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["video_shot_transitions"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        fh = _vnp_sig(int(r["doc_id"]))
+        ham = bin(
+            fh[r["frame_idx"]] ^ fh[r["frame_idx"] - 1]
+        ).count("1")
+        assert r["hamming_prev"] == ham
+        assert r["is_cut"] == (ham > multimodal.VID_CUT_T)
+    # every doc contributes exactly VID_FRAMES - 1 transitions
+    per_doc: dict[str, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert set(per_doc.values()) == {multimodal.VID_FRAMES - 1}

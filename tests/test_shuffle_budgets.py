@@ -181,6 +181,14 @@ BUDGETS = {
     "audio_fingerprint_neardup": 1,
     # same shape: one doc-keyed cell aggregate -> pinned signature
     "video_ahash_neardup": 1,
+    # ONE doc-keyed exchange shared by all window functions AND the
+    # final (doc_id, seg_id) aggregate (doc_id partitioning satisfies
+    # the superset grouping key — pinned here so a refactor that
+    # breaks the sharing shows up as a second Exchange)
+    "audio_vad_segments": 1,
+    # signature aggregate only; the transition fold is a plan-literal
+    # array expression
+    "video_shot_transitions": 1,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -247,6 +255,8 @@ SCAN_BUDGETS = {
     "avi_frame_stats": 1,  # one documents scan feeds demux + decode
     "audio_fingerprint_neardup": 0,  # signature table pinned (3 consumers)
     "video_ahash_neardup": 0,  # signature table pinned (3 consumers)
+    "audio_vad_segments": 1,  # one documents scan feeds the chain
+    "video_shot_transitions": 1,  # single consumer, no pin needed
 }
 
 

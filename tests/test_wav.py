@@ -291,3 +291,54 @@ def test_audio_neardup_same_group_within_two_bits(spark):
                 assert (d1, d2) in pairs, f"missed true pair {(d1, d2)}"
                 n_true += 1
     assert n_true > 0
+
+
+# ---------------------------------------------------------------------------
+# VAD segmentation (gaps-and-islands over real decoded energies)
+# ---------------------------------------------------------------------------
+
+
+@pytestmark_data
+def test_vad_segments_match_python_replay(spark):
+    # independent replay: per-doc energies from the sample grammar,
+    # strict above-mean threshold, island grouping by itertools
+    import itertools
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["audio_vad_segments"](spark, SF_DIR).collect()
+    got = {
+        (r["doc_id"], r["seg_start"]): (
+            r["seg_end"], r["n_windows"], r["seg_energy"]
+        )
+        for r in rows
+    }
+    assert got
+    docs = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    expect = {}
+    W = multimodal.WAV_WIN_FRAMES
+    for d in docs:
+        nf = 256 + d % multimodal.WAV_N_MOD
+        ch = 2 if d % multimodal.WAV_STEREO_EVERY == 0 else 1
+        n_win = nf // W
+        i = np.arange(n_win * W * ch, dtype=np.int64)
+        v = (d * multimodal.WAV_SAMPLE_A + i * multimodal.WAV_SAMPLE_B) \
+            % 65536 - 32768
+        e = (v.reshape(n_win, W * ch) ** 2).sum(axis=1)
+        tot = int(e.sum())
+        active = [int(x) * n_win > tot for x in e]
+        w = 0
+        for flag, grp in itertools.groupby(active):
+            seg = list(grp)
+            if flag:
+                es = e[w : w + len(seg)]
+                expect[(str(d), w)] = (
+                    w + len(seg) - 1, len(seg), int(es.sum())
+                )
+            w += len(seg)
+    assert got == expect
