@@ -663,6 +663,9 @@ _TAIL = [
     "video_shot_transitions", # scene segmentation: consecutive-frame
                               # aHash Hamming with a cut flag (native
                               # HOF fold over the signature array)
+    "video_frame_motion",     # static-clip filter: per-pixel temporal
+                              # gradient from real decoded frame pairs
+                              # (single-pass diff) + native rollup
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

@@ -119,6 +119,12 @@ OPTIONAL = [
     "jpeg_decode_stats",
     "wav_decode_stats",
     "avi_frame_stats",
+    # round-5 continuation: the media near-dup triangle's audio/video
+    # vertices and the two segmentation operators over real codecs
+    "audio_fingerprint_neardup",
+    "video_ahash_neardup",
+    "audio_vad_segments",
+    "video_shot_transitions",
 ]
 
 
@@ -296,6 +302,9 @@ def main() -> None:
             "crawl540@cluster_1to4",
             "crawl540_2to8",
             "politeness_pinned_tput_ratio_8to32",
+            # round-5: the real media decode chain (AVI demux + JPEG
+            # frame decode) scales like the fetchparse Python boundary
+            "mediadecode_2to8",
         ):
             if k in effs:
                 headline_effs[k] = effs[k]

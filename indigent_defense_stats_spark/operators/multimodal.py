@@ -1224,3 +1224,54 @@ def video_ahash(cells: DataFrame) -> DataFrame:
             " CAST(0 AS BIGINT)))) AS fh",
         )
     )
+
+
+MOTION_SCHEMA = (
+    "doc_id string, frame_idx int, abs_diff_sum long,"
+    " changed_px long, n_px long"
+)
+
+
+def mjpeg_motion_stats(payloads: DataFrame) -> DataFrame:
+    """Pixel-level temporal gradient over REAL decoded frames: for
+    every consecutive frame pair of an MJPEG-AVI payload, the exact
+    integer sum of per-pixel absolute differences and the count of
+    changed pixels — the motion-score input a video corpus filter
+    uses to drop static clips (slides, test cards) before training.
+    The pairwise diff runs inside ONE mapInPandas pass (both frames
+    of a pair decode in the same task; no shuffle to align them);
+    the flat-tile grammar keeps every value (doc_id, frame)
+    arithmetic for the oracle."""
+
+    def mo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import avi as avimod
+        from ..functions import jpeg as jpegmod
+
+        cols = ["doc_id", "frame_idx", "abs_diff_sum", "changed_px", "n_px"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                _w, _h, _fps, frames = avimod.decode_avi_mjpeg(bytes(c))
+                prev = None
+                for f, fr in enumerate(frames):
+                    w, h, _nc, px = jpegmod.decode_jpeg(bytes(fr))
+                    a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        d = np.abs(a - prev)
+                        rows.append(
+                            (
+                                doc_id,
+                                f,
+                                int(d.sum()),
+                                int((d != 0).sum()),
+                                int(a.size),
+                            )
+                        )
+                    prev = a
+            yield pd.DataFrame(rows, columns=cols)
+
+    return payloads.mapInPandas(mo, schema=MOTION_SCHEMA)

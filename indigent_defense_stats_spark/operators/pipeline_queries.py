@@ -763,6 +763,30 @@ def video_shot_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frame_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion scoring over REAL decoded frames — the static-clip
+    filter a video corpus runs before training (drop slides / test
+    cards / frozen streams): per consecutive frame pair, the exact
+    integer sum of per-pixel absolute differences and changed-pixel
+    count (multimodal.mjpeg_motion_stats, one mapInPandas pass — both
+    frames of a pair decode in the same task, no shuffle to align
+    them), then a NATIVE per-clip rollup.  The flat-tile grammar
+    replays every pixel diff in SQL.
+
+    Scale shape: map-only decode + one doc-keyed aggregate; per-clip
+    state is O(1) (running sums)."""
+    from . import multimodal
+
+    payloads = multimodal.media_payloads_avi(_media_decoded(spark, sf_dir))
+    m = multimodal.mjpeg_motion_stats(payloads)
+    return m.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("abs_diff_sum").alias("motion_total"),
+        F.sum("changed_px").alias("changed_px_total"),
+        F.sum("n_px").alias("px_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -787,6 +811,7 @@ QUERIES = {
     "video_ahash_neardup": video_ahash_neardup,
     "audio_vad_segments": audio_vad_segments,
     "video_shot_transitions": video_shot_transitions,
+    "video_frame_motion": video_frame_motion,
 }
 
 ORACLE_SQL = {
@@ -1080,6 +1105,39 @@ ORACLE_SQL = {
         JOIN sig s1 ON s1.doc_id = c.d1
         JOIN sig s2 ON s2.doc_id = c.d2
         WHERE bit_count(xor(s1.sig, s2.sig)) <= {multimodal.AFP_HAM_MAX}
+    """,
+    # motion replay: consecutive-frame tile diffs of the per-doc AVI
+    # grammar; each flat tile covers 64 pixels, so pixel-level sums
+    # are 64x the tile-level sums
+    "video_frame_motion": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   1 + doc_id % {multimodal.JPEG_BW_MOD} AS bw,
+                   1 + (doc_id // {multimodal.JPEG_BW_MOD})
+                       % {multimodal.JPEG_BW_MOD} AS bh,
+                   2 + doc_id % {multimodal.AVI_NFRAMES_MOD} AS nfr
+            FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   (doc_id * {multimodal.JPEG_TILE_A}
+                    + f.f * {multimodal.AVI_FRAME_C}
+                    + k.k * {multimodal.JPEG_TILE_B}) % 256 AS a,
+                   (doc_id * {multimodal.JPEG_TILE_A}
+                    + (f.f - 1) * {multimodal.AVI_FRAME_C}
+                    + k.k * {multimodal.JPEG_TILE_B}) % 256 AS b
+            FROM m,
+                 unnest(generate_series(1, nfr - 1)) AS f(f),
+                 unnest(generate_series(0, bw * bh - 1)) AS k(k)
+        )
+        SELECT CAST(t.doc_id AS VARCHAR) AS doc_id,
+               CAST(max(m.nfr) - 1 AS BIGINT) AS n_transitions,
+               CAST(64 * sum(abs(t.a - t.b)) AS BIGINT) AS motion_total,
+               CAST(64 * sum(CASE WHEN t.a <> t.b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS changed_px_total,
+               CAST((max(m.nfr) - 1) * max(m.bw) * max(m.bh) * 64
+                    AS BIGINT) AS px_total
+        FROM t JOIN m ON m.doc_id = t.doc_id
+        GROUP BY t.doc_id
     """,
     # VAD replay: the wav_energy_windows grammar, then the identical
     # window-function cascade (per-clip mean threshold in strict

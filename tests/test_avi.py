@@ -359,3 +359,35 @@ def test_shot_transitions_match_signature_replay(spark):
     for r in rows:
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
     assert set(per_doc.values()) == {multimodal.VID_FRAMES - 1}
+
+
+@pytestmark_data
+def test_frame_motion_matches_tile_replay(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["video_frame_motion"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        d = int(r["doc_id"])
+        bw = 1 + d % multimodal.JPEG_BW_MOD
+        bh = 1 + (d // multimodal.JPEG_BW_MOD) % multimodal.JPEG_BW_MOD
+        nfr = 2 + d % multimodal.AVI_NFRAMES_MOD
+        motion = changed = 0
+        for f in range(1, nfr):
+            for k in range(bw * bh):
+                a = (
+                    d * multimodal.JPEG_TILE_A
+                    + f * multimodal.AVI_FRAME_C
+                    + k * multimodal.JPEG_TILE_B
+                ) % 256
+                b = (
+                    d * multimodal.JPEG_TILE_A
+                    + (f - 1) * multimodal.AVI_FRAME_C
+                    + k * multimodal.JPEG_TILE_B
+                ) % 256
+                motion += 64 * abs(a - b)
+                changed += 64 * (a != b)
+        assert r["n_transitions"] == nfr - 1
+        assert r["motion_total"] == motion
+        assert r["changed_px_total"] == changed
+        assert r["px_total"] == (nfr - 1) * bw * bh * 64

@@ -189,6 +189,8 @@ BUDGETS = {
     # signature aggregate only; the transition fold is a plan-literal
     # array expression
     "video_shot_transitions": 1,
+    # map-only pairwise decode-diff -> one doc-keyed rollup
+    "video_frame_motion": 1,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -257,6 +259,7 @@ SCAN_BUDGETS = {
     "video_ahash_neardup": 0,  # signature table pinned (3 consumers)
     "audio_vad_segments": 1,  # one documents scan feeds the chain
     "video_shot_transitions": 1,  # single consumer, no pin needed
+    "video_frame_motion": 1,  # single consumer, no pin needed
 }
 
 
