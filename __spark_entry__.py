@@ -666,6 +666,10 @@ _TAIL = [
     "video_frame_motion",     # static-clip filter: per-pixel temporal
                               # gradient from real decoded frame pairs
                               # (single-pass diff) + native rollup
+    "av_segment_alignment",   # cross-modal clip mining: VAD segments
+                              # interval-join shot intervals in the
+                              # exact cross-multiplied integer
+                              # timebase (a/Ra < b/fps <=> a*fps < b*Ra)
     # rows-only crawl queries (no SQL oracle; the r2 harness skipped
     # rows-only entries by design — sequential-oracle pytest is their
     # ground truth):

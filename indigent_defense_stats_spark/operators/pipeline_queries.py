@@ -787,6 +787,93 @@ def video_frame_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def av_segment_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal temporal alignment — the clip-mining join a
+    multimodal pipeline runs to pair speech with the footage on
+    screen: VAD active segments (audio_vad_segments) interval-join
+    the shot intervals rebuilt from video_shot_transitions' cut
+    flags, per doc, with the overlap computed EXACTLY in the
+    cross-multiplied integer timebase (audio bounds are window
+    frames over rate Ra, video bounds are frame indices over fps;
+    a/Ra < b/fps <=> a*fps < b*Ra, so no floats anywhere and the
+    DuckDB oracle replays every unit).  overlap_units is in
+    1/(Ra*fps)-second units.
+
+    Scale shape: both sides aggregate doc-keyed; the alignment join
+    is a doc_id equi-join with a residual range predicate (per-doc
+    interval counts are tiny), the same single-Exchange form as the
+    as-of/range joins.  Shot rebuild is gaps-free: shot id = running
+    count of cuts, native window over the transition rows."""
+    from . import multimodal
+
+    fps = multimodal.AVI_FPS
+    w_frames = multimodal.WAV_WIN_FRAMES
+    nf = multimodal.VID_FRAMES
+    vad = audio_vad_segments(spark, sf_dir)
+    trans = video_shot_transitions(spark, sf_dir)
+    cuts = (
+        trans.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("is_cut"), F.col("frame_idx"))
+                )
+            ).alias("cuts")
+        )
+        .selectExpr(
+            "CAST(doc_id AS STRING) AS doc_id",
+            "transform(sequence(0, size(cuts)), i -> struct("
+            " IF(i = 0, 0, cuts[i - 1]) AS shot_start,"
+            f" IF(i = size(cuts), {nf}, cuts[i]) AS shot_end)) AS shots",
+        )
+    )
+    shots = cuts.select("doc_id", F.explode("shots").alias("s")).select(
+        "doc_id",
+        F.col("s.shot_start").alias("shot_start"),
+        F.col("s.shot_end").alias("shot_end"),
+    )
+    a = (
+        vad.withColumn(
+            "ra",
+            (
+                8000
+                * (
+                    1
+                    + F.col("doc_id").cast("long")
+                    % multimodal.WAV_RATE_MOD
+                )
+            ).cast("long"),
+        )
+        .withColumn("a_lo", F.col("seg_start").cast("long") * w_frames)
+        .withColumn(
+            "a_hi", (F.col("seg_end").cast("long") + 1) * w_frames
+        )
+    )
+    return (
+        a.join(shots, "doc_id")
+        .filter(
+            (F.col("a_lo") * fps < F.col("shot_end") * F.col("ra"))
+            & (F.col("shot_start") * F.col("ra") < F.col("a_hi") * fps)
+        )
+        .select(
+            "doc_id",
+            "seg_start",
+            "seg_end",
+            "shot_start",
+            "shot_end",
+            (
+                F.least(
+                    F.col("a_hi") * fps, F.col("shot_end") * F.col("ra")
+                )
+                - F.greatest(
+                    F.col("a_lo") * fps,
+                    F.col("shot_start") * F.col("ra"),
+                )
+            ).alias("overlap_units"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -812,6 +899,7 @@ QUERIES = {
     "audio_vad_segments": audio_vad_segments,
     "video_shot_transitions": video_shot_transitions,
     "video_frame_motion": video_frame_motion,
+    "av_segment_alignment": av_segment_alignment,
 }
 
 ORACLE_SQL = {
@@ -1105,6 +1193,130 @@ ORACLE_SQL = {
         JOIN sig s1 ON s1.doc_id = c.d1
         JOIN sig s2 ON s2.doc_id = c.d2
         WHERE bit_count(xor(s1.sig, s2.sig)) <= {multimodal.AFP_HAM_MAX}
+    """,
+    # cross-modal alignment replay: the VAD cascade (audio side), the
+    # video-signature cuts -> running-count shot ids -> shot intervals
+    # (video side), then the cross-multiplied integer interval join
+    "av_segment_alignment": f"""
+        WITH wm AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {multimodal.WAV_STEREO_EVERY} = 0
+                        THEN 2 ELSE 1 END AS ch,
+                   256 + doc_id % {multimodal.WAV_N_MOD} AS nf
+            FROM documents
+        ), ww AS (
+            SELECT doc_id, ch, g.w AS window_idx
+            FROM wm,
+                 unnest(generate_series(
+                     0, nf // {multimodal.WAV_WIN_FRAMES} - 1)) AS g(w)
+        ), wsamp AS (
+            SELECT doc_id, window_idx,
+                   (doc_id * {multimodal.WAV_SAMPLE_A}
+                    + (window_idx * {multimodal.WAV_WIN_FRAMES} * ch + g.j)
+                      * {multimodal.WAV_SAMPLE_B}) % 65536 - 32768 AS v
+            FROM ww,
+                 unnest(generate_series(
+                     0, {multimodal.WAV_WIN_FRAMES} * ch - 1)) AS g(j)
+        ), we AS (
+            SELECT doc_id, window_idx, sum(v * v) AS energy
+            FROM wsamp GROUP BY doc_id, window_idx
+        ), wa AS (
+            SELECT doc_id, window_idx, energy,
+                   CASE WHEN energy * count(*) OVER (PARTITION BY doc_id)
+                        > sum(energy) OVER (PARTITION BY doc_id)
+                        THEN 1 ELSE 0 END AS active
+            FROM we
+        ), wf AS (
+            SELECT *, CASE WHEN lag(active) OVER (
+                               PARTITION BY doc_id ORDER BY window_idx)
+                           IS DISTINCT FROM active
+                           THEN 1 ELSE 0 END AS new_seg
+            FROM wa
+        ), wg AS (
+            SELECT *, sum(new_seg) OVER (
+                          PARTITION BY doc_id ORDER BY window_idx
+                      ) AS seg_id
+            FROM wf
+        ), vseg AS (
+            SELECT doc_id,
+                   min(window_idx) AS seg_start,
+                   max(window_idx) AS seg_end
+            FROM wg WHERE active = 1
+            GROUP BY doc_id, seg_id
+        ), ids AS (SELECT doc_id FROM documents),
+        tiles AS (
+            SELECT doc_id, f.f AS f, k.k AS k,
+                   8 + ('0x' || left(md5('m:'
+                       || (doc_id % {multimodal.VID_GROUPS})::VARCHAR
+                       || ':' || f.f::VARCHAR
+                       || ':' || k.k::VARCHAR), 15))::BIGINT % 240
+                   + CASE WHEN f.f = doc_id % {multimodal.VID_FRAMES}
+                          AND k.k = (doc_id // {multimodal.VID_FRAMES})
+                              % {multimodal.VID_GRID ** 2}
+                          THEN 1 + (doc_id // {multimodal.VID_GROUPS}) % 7
+                          ELSE 0 END
+                   - CASE WHEN f.f = doc_id % {multimodal.VID_FRAMES}
+                          AND k.k = ((doc_id // {multimodal.VID_FRAMES})
+                                     % {multimodal.VID_GRID ** 2}
+                                     + 1 + (doc_id // 64)
+                                     % {multimodal.VID_GRID ** 2 - 1})
+                              % {multimodal.VID_GRID ** 2}
+                          THEN 1 + (doc_id // {multimodal.VID_GROUPS}) % 7
+                          ELSE 0 END AS tile
+            FROM ids,
+                 unnest(generate_series(0, {multimodal.VID_FRAMES - 1}))
+                     AS f(f),
+                 unnest(generate_series(0, {multimodal.VID_GRID ** 2 - 1}))
+                     AS k(k)
+        ), fsum AS (
+            SELECT doc_id, f, sum(tile) AS fs
+            FROM tiles GROUP BY doc_id, f
+        ), fh AS (
+            SELECT t.doc_id, t.f,
+                   sum(CASE WHEN t.tile * {multimodal.VID_GRID ** 2} > s.fs
+                            THEN (1::BIGINT
+                                  << ({multimodal.VID_GRID ** 2 - 1} - t.k))
+                            ELSE 0 END) AS h
+            FROM tiles t
+            JOIN fsum s ON s.doc_id = t.doc_id AND s.f = t.f
+            GROUP BY t.doc_id, t.f
+        ), tr AS (
+            SELECT cur.doc_id, cur.f,
+                   CASE WHEN bit_count(xor(cur.h, prv.h))
+                        > {multimodal.VID_CUT_T} THEN 1 ELSE 0 END AS cut
+            FROM fh cur
+            JOIN fh prv ON prv.doc_id = cur.doc_id AND prv.f = cur.f - 1
+        ), allf AS (
+            SELECT doc_id, 0 AS f, 0 AS cut FROM ids
+            UNION ALL SELECT doc_id, f, cut FROM tr
+        ), sid AS (
+            SELECT doc_id, f,
+                   sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS sid
+            FROM allf
+        ), shots AS (
+            SELECT doc_id, min(f) AS shot_start, max(f) + 1 AS shot_end
+            FROM sid GROUP BY doc_id, sid
+        ), aud AS (
+            SELECT doc_id, seg_start, seg_end,
+                   8000 * (1 + doc_id % {multimodal.WAV_RATE_MOD}) AS ra,
+                   seg_start * {multimodal.WAV_WIN_FRAMES} AS a_lo,
+                   (seg_end + 1) * {multimodal.WAV_WIN_FRAMES} AS a_hi
+            FROM vseg
+        )
+        SELECT CAST(a.doc_id AS VARCHAR) AS doc_id,
+               CAST(a.seg_start AS INT) AS seg_start,
+               CAST(a.seg_end AS INT) AS seg_end,
+               CAST(s.shot_start AS INT) AS shot_start,
+               CAST(s.shot_end AS INT) AS shot_end,
+               CAST(least(a.a_hi * {multimodal.AVI_FPS},
+                          s.shot_end * a.ra)
+                    - greatest(a.a_lo * {multimodal.AVI_FPS},
+                               s.shot_start * a.ra)
+                    AS BIGINT) AS overlap_units
+        FROM aud a
+        JOIN shots s ON s.doc_id = a.doc_id
+        WHERE a.a_lo * {multimodal.AVI_FPS} < s.shot_end * a.ra
+          AND s.shot_start * a.ra < a.a_hi * {multimodal.AVI_FPS}
     """,
     # motion replay: consecutive-frame tile diffs of the per-doc AVI
     # grammar; each flat tile covers 64 pixels, so pixel-level sums

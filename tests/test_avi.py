@@ -391,3 +391,68 @@ def test_frame_motion_matches_tile_replay(spark):
         assert r["motion_total"] == motion
         assert r["changed_px_total"] == changed
         assert r["px_total"] == (nfr - 1) * bw * bh * 64
+
+
+@pytestmark_data
+def test_av_alignment_fraction_complete(spark):
+    # independent ground truth in exact rational seconds: enumerate
+    # EVERY (VAD segment, shot) pair from python replays of both
+    # chains and check true overlap with fractions.Fraction — pins
+    # both directions (no false pair, no missed pair), so a flipped
+    # inequality that the SQL oracle would mirror still fails here
+    import itertools
+    from fractions import Fraction
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["av_segment_alignment"](
+        spark, SF_DIR
+    ).collect()
+    got = {
+        (r["doc_id"], r["seg_start"], r["shot_start"]): r["overlap_units"]
+        for r in rows
+    }
+    assert got
+    docs = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    W = multimodal.WAV_WIN_FRAMES
+    fps = multimodal.AVI_FPS
+    expect = {}
+    for d in docs:
+        # audio side: VAD islands (as in tests/test_wav.py)
+        nf = 256 + d % multimodal.WAV_N_MOD
+        ch = 2 if d % multimodal.WAV_STEREO_EVERY == 0 else 1
+        ra = 8000 * (1 + d % multimodal.WAV_RATE_MOD)
+        n_win = nf // W
+        i = np.arange(n_win * W * ch, dtype=np.int64)
+        v = (d * multimodal.WAV_SAMPLE_A + i * multimodal.WAV_SAMPLE_B) \
+            % 65536 - 32768
+        e = (v.reshape(n_win, W * ch) ** 2).sum(axis=1)
+        tot = int(e.sum())
+        active = [int(x) * n_win > tot for x in e]
+        segs, w = [], 0
+        for flag, grp in itertools.groupby(active):
+            n = len(list(grp))
+            if flag:
+                segs.append((w, w + n - 1))
+            w += n
+        # video side: shots from cut flags
+        fh = _vnp_sig(d)
+        cuts = [
+            f
+            for f in range(1, multimodal.VID_FRAMES)
+            if bin(fh[f] ^ fh[f - 1]).count("1") > multimodal.VID_CUT_T
+        ]
+        bounds = [0] + cuts + [multimodal.VID_FRAMES]
+        shots = list(zip(bounds[:-1], bounds[1:]))
+        for (s0, s1), (v0, v1) in itertools.product(segs, shots):
+            a_lo, a_hi = Fraction(s0 * W, ra), Fraction((s1 + 1) * W, ra)
+            b_lo, b_hi = Fraction(v0, fps), Fraction(v1, fps)
+            if a_lo < b_hi and b_lo < a_hi:
+                ov = min(a_hi, b_hi) - max(a_lo, b_lo)
+                expect[(str(d), s0, v0)] = int(ov * ra * fps)
+    assert got == expect

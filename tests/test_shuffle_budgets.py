@@ -191,6 +191,10 @@ BUDGETS = {
     "video_shot_transitions": 1,
     # map-only pairwise decode-diff -> one doc-keyed rollup
     "video_frame_motion": 1,
+    # one doc-keyed exchange per modality chain (VAD cascade, shot
+    # rebuild reusing the signature aggregate's partitioning); the
+    # alignment join is broadcast-sized at test SF
+    "av_segment_alignment": 2,
     # per-round contributions live behind per-iteration checkpoints;
     # the returned plan is the final hubs x auths join
     "click_hits": 2,
@@ -260,6 +264,7 @@ SCAN_BUDGETS = {
     "audio_vad_segments": 1,  # one documents scan feeds the chain
     "video_shot_transitions": 1,  # single consumer, no pin needed
     "video_frame_motion": 1,  # single consumer, no pin needed
+    "av_segment_alignment": 2,  # one documents scan per modality side
 }
 
 
