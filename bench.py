@@ -125,6 +125,8 @@ OPTIONAL = [
     "video_ahash_neardup",
     "audio_vad_segments",
     "video_shot_transitions",
+    "video_frame_motion",
+    "av_segment_alignment",
 ]
 
 

@@ -171,6 +171,13 @@ JOBS = {
     # shuffle, so its N->4N ratio should track fetchparse's (the
     # Python-boundary ceiling), evidencing the decode layer scales
     "mediadecode": {"kind": "mediadecode", "n_docs": 100_000},
+    # round-5 dedup-join cell: the banded-LSH near-dup shape shared by
+    # the MinHash/SimHash/pHash/audio/video dedups — generated 64-bit
+    # signatures (native exprs, no decode), band explode, candidate
+    # self-join, distinct, Hamming verify.  Measures the family's
+    # linear-shuffle contract at volume, decoupled from the Python
+    # decode boundary (which mediadecode measures)
+    "lshband10m": {"kind": "lshband", "n_docs": 10_000_000},
     # heterogeneous robots Crawl-delay: half the hosts declare 500 ms,
     # half keep the 200 ms default -> mixed ceiling = 127x2 + 127x5
     # = 889 URLs/s; quotas are rate-proportional so all streams share
@@ -256,6 +263,65 @@ def job_mediadecode(spark, n_docs: int) -> dict:
         "frames": n,
         "wall": round(wall, 1),
         "tput": round(n / wall, 1),
+    }
+
+
+def job_lshband(spark, n_docs: int, group_size: int = 10) -> dict:
+    """Banded-LSH dedup join at volume: GENERATED 64-bit signatures
+    (spark.range -> xxhash64 of the group id, one low-half bit flipped
+    per doc so every same-group pair shares the untouched high band),
+    2x32-bit band explode, band-keyed candidate self-join, distinct,
+    Hamming<=2 verify.  Everything JVM-native — this measures the
+    shuffle shape every banded near-dup in the engine shares
+    (MinHash / SimHash / pHash / audio fingerprint / video signature),
+    at a volume where the banding join dominates.  tput is docs/s;
+    'pairs' sanity-pins the verified-pair count (45 per 10-doc group
+    + rare cross-group collisions)."""
+    import pyspark.sql.functions as F
+
+    n_groups = n_docs // group_size
+    sig = spark.range(n_docs).select(
+        F.col("id").alias("d"),
+        F.xxhash64((F.col("id") % n_groups).cast("long"))
+        # SQL shiftleft: the DataFrame API pins numBits to a literal
+        # int, the expression form takes a column
+        .bitwiseXOR(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 31 AS INT))")
+        )
+        .alias("sig"),
+    )
+    bands = sig.select(
+        "d",
+        F.posexplode(
+            F.array(
+                F.shiftrightunsigned(F.col("sig"), 32),
+                F.col("sig").bitwiseAND(F.lit(0xFFFFFFFF)),
+            )
+        ).alias("band_pos", "band_val"),
+    )
+    a = bands.select(F.col("d").alias("d1"), "band_pos", "band_val")
+    b = bands.select(F.col("d").alias("d2"), "band_pos", "band_val")
+    cand = (
+        a.join(b, ["band_pos", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("d").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("d").alias("d2"), F.col("sig").alias("sig2"))
+    verified = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(F.expr("bit_count(sig1 ^ sig2)") <= 2)
+    )
+    t0 = time.time()
+    n = verified.count()
+    wall = time.time() - t0
+    return {
+        "docs": n_docs,
+        "pairs": n,
+        "wall": round(wall, 1),
+        "tput": round(n_docs / wall, 1),
     }
 
 
@@ -493,6 +559,8 @@ def run_cell(job: str, cpus: int, args) -> dict:
         res = job_fetchparse(spark, args.n_urls, n_hosts=N_COUNTIES)
     elif cfg["kind"] == "mediadecode":
         res = job_mediadecode(spark, cfg["n_docs"])
+    elif cfg["kind"] == "lshband":
+        res = job_lshband(spark, cfg["n_docs"])
     elif cfg["kind"] == "pagerank":
         res = job_pagerank(
             spark, cfg["n_edges"],
