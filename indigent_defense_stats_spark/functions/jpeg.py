@@ -43,6 +43,7 @@ standard-table baseline files.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -157,8 +158,65 @@ class _BitReader:
                     f"unexpected marker 0xFF{m:02X} inside entropy data"
                     " (restart intervals unsupported)"
                 )
-        self.acc = (self.acc << 8) | b
         self.n += 8
+        self.acc = ((self.acc << 8) | b) & ((1 << self.n) - 1)
+
+    def _try_fill(self) -> bool:
+        """Non-raising fill for speculative peeks: append one unstuffed
+        byte and return True, or return False (consuming NOTHING) when
+        the next byte is end-of-data or a real marker — the raising
+        paths (`_fill`) keep ownership of those errors."""
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            return False
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False
+            self.pos = pos + 2
+        else:
+            self.pos = pos + 1
+        self.n += 8
+        self.acc = ((self.acc << 8) | b) & ((1 << self.n) - 1)
+        return True
+
+    def peek16(self) -> tuple[int, int]:
+        """(next-16-bits zero-padded-right, bits actually available).
+        Does not consume; never raises — callers fall back to the
+        bit-serial path when the peek can't cover a full code.  Fills
+        6 bytes per gulp when none needs unstuffing."""
+        n = self.n
+        if n < 16:
+            data = self.data
+            chunk = data[self.pos : self.pos + 6]
+            if len(chunk) == 6 and 0xFF not in chunk:
+                self.pos += 6
+                n += 48
+                self.acc = (
+                    (self.acc << 48) | int.from_bytes(chunk, "big")
+                ) & ((1 << n) - 1)
+                self.n = n
+            else:
+                while n < 16 and self._try_fill():
+                    n = self.n
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - n)) & 0xFFFF, n
+
+    def rewind_unread(self) -> None:
+        """Un-consume the whole bytes a speculative peek filled but no
+        read used, so `pos` lands exactly where the bit-serial reader
+        would have left it (the trailer check depends on this).  A
+        backward `FF 00` pair is always one stuffed fill — a literal
+        0xFF data byte is itself only representable stuffed — so the
+        walk inverts fills unambiguously."""
+        while self.n >= 8:
+            if self.pos >= 2 and self.data[self.pos - 2 : self.pos] == b"\xff\x00":
+                self.pos -= 2
+            else:
+                self.pos -= 1
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
 
     def bit(self) -> int:
         if self.n == 0:
@@ -167,10 +225,10 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
 
 # --------------------------------------------------------------------------
@@ -284,6 +342,25 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
     }
 
 
+@lru_cache(maxsize=64)
+def _decode_tables(bits_b: bytes, vals_b: bytes) -> tuple[dict, list[int]]:
+    """(bit-serial dict, 16-bit-peek LUT) for one DHT definition.
+
+    LUT entry for every 16-bit window whose prefix is a code:
+    ``(code_length << 8) | symbol``; 0 = no code of length <= 16
+    prefixes this window.  Cached on the raw DHT payload — MJPEG
+    streams repeat the identical tables in every frame, so across a
+    mapInPandas batch the O(64K) build amortizes to zero."""
+    bits, vals = list(bits_b), list(vals_b)
+    table = _build_decode_table(bits, vals)
+    lut = [0] * 65536
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        base = code << (16 - ln)
+        span = 1 << (16 - ln)
+        lut[base : base + span] = [(ln << 8) | sym] * span
+    return table, lut
+
+
 def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, ln = 0, 0
     while ln < 16:
@@ -293,6 +370,19 @@ def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in entropy data")
+
+
+def _read_huff_fast(r: _BitReader, tables: tuple[dict, list[int]]) -> int:
+    """LUT-accelerated symbol read; falls back to the bit-serial path
+    (identical error semantics) when the 16-bit peek can't cover the
+    code — truncated tails, markers mid-scan, invalid codes."""
+    window, avail = r.peek16()
+    e = tables[1][window]
+    ln = e >> 8
+    if ln and ln <= avail:
+        r.n -= ln
+        return e & 0xFF
+    return _read_huff(r, tables[0])
 
 
 def _extend(v: int, t: int) -> int:
@@ -353,8 +443,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 nv = sum(bits)
                 if b + 17 + nv > len(body):
                     raise ValueError("truncated DHT values")
-                vals = list(body[b + 17 : b + 17 + nv])
-                htables[(tc, th)] = _build_decode_table(bits, vals)
+                htables[(tc, th)] = _decode_tables(
+                    bytes(body[b + 1 : b + 17]),
+                    bytes(body[b + 17 : b + 17 + nv]),
+                )
                 b += 17 + nv
         elif marker == 0xFFC0:  # SOF0 baseline
             if body[0] != 8:
@@ -398,7 +490,6 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         # else: APPn/COM/etc — skipped via seglen
     nc = len(comps)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8, nc), dtype=np.uint8)
     r = _BitReader(data, pos)
     prev_dc = [0] * nc
     try:
@@ -409,12 +500,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         ]
     except KeyError as exc:
         raise ValueError(f"scan references missing table: {exc}") from exc
-    for by in range(bh):
-        for bx in range(bw):
+    # Entropy decode every block first (LUT-peek Huffman, plain-int
+    # coefficient rows), then dequantize + unzigzag + IDCT the whole
+    # frame in three vectorized numpy ops — identical arithmetic to the
+    # per-block form (matmul broadcasts the same 8x8 float64 products),
+    # ~10x less Python per block.
+    zz_rows: list[list[int]] = []
+    for _by in range(bh):
+        for _bx in range(bw):
             for ci in range(nc):
                 dctab, actab = htab[ci]
-                zz = np.zeros(64, dtype=np.int64)
-                t = _read_huff(r, dctab)
+                zz = [0] * 64
+                t = _read_huff_fast(r, dctab)
                 if t:
                     if t > 11:
                         raise ValueError("invalid DC category")
@@ -422,7 +519,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 zz[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
-                    sym = _read_huff(r, actab)
+                    sym = _read_huff_fast(r, actab)
                     if sym == 0x00:  # EOB
                         break
                     if sym == 0xF0:  # ZRL
@@ -434,14 +531,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("invalid AC run/size")
                     zz[k] = _extend(r.bits(s), s)
                     k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZZ_FLAT] = zz * dq[ci]
-                block = _C.T @ coef.reshape(8, 8) @ _C
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = np.clip(
-                    np.rint(block) + 128, 0, 255
-                ).astype(np.uint8)
+                zz_rows.append(zz)
+    r.rewind_unread()
     # trailer: padding bits then EOI
     tail = data[r.pos :]
     if not tail.startswith(b"\xff\xd9"):
         raise ValueError("truncated JPEG (missing EOI after scan)")
+    if not zz_rows:
+        return width, height, nc, b""
+    zzs = np.array(zz_rows, dtype=np.int64).reshape(bh, bw, nc, 64)
+    dqm = np.stack(dq, axis=0)  # (nc, 64), zigzag order like zzs
+    coef = np.zeros((bh, bw, nc, 64), dtype=np.float64)
+    coef[..., _ZZ_FLAT] = (zzs * dqm).astype(np.float64)
+    blocks = _C.T @ coef.reshape(bh, bw, nc, 8, 8) @ _C
+    out = (
+        np.clip(np.rint(blocks) + 128, 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(bh * 8, bw * 8, nc)
+    )
     return width, height, nc, out[:height, :width, :].tobytes()

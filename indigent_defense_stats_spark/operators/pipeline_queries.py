@@ -320,6 +320,17 @@ def _media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import multimodal  # noqa: F401  (registered for callers)
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Decouple codec parallelism from scan granularity: every consumer
+    # of this frame runs a CPU-heavy Arrow-batch codec stage (PNG/JPEG/
+    # WAV/AVI encode+decode), and a small-SF scan is 1-2 parquet splits
+    # — which would serialize the whole codec chain on 1-2 cores.  A
+    # round-robin exchange of the O(row-metadata) input (doc_id +
+    # media_ref strings, ~40 B/row — the payloads don't exist yet) is
+    # negligible movement before per-row millisecond work; it is NOT a
+    # hash shuffle and keeps the map-only scale contracts intact.  At
+    # 100 TB the scan has thousands of splits and this becomes a
+    # cheap rebalance.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("m://"), F.col("doc_id").cast("string")).alias("media_ref"),
