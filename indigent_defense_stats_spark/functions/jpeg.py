@@ -288,43 +288,52 @@ def encode_jpeg(width: int, height: int, pixels: bytes, n_components: int = 1) -
     sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += _seg(0xFFDA, sos)
 
+    # FDCT + quantize + zigzag every block in three vectorized ops
+    # (identical per-block arithmetic — matmul broadcasts the same 8x8
+    # float64 products), then entropy-code from plain-int rows.  Block
+    # scan order is (by, bx, component), which is exactly the row-major
+    # order of the (bh, bw, nc, 64) array.
+    blocks = padded.reshape(bh, 8, bw, 8, n_components).transpose(0, 2, 4, 1, 3)
+    coefs = _C @ blocks @ _C.T
+    q_rows = (
+        np.rint(coefs)
+        .astype(np.int64)
+        .reshape(bh * bw * n_components, 64)[:, _ZZ_FLAT]
+        .tolist()
+    )
     w = _BitWriter()
     prev_dc = [0] * n_components
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(n_components):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci]
-                coef = _C @ block @ _C.T
-                q = np.rint(coef).astype(np.int64).ravel()[_ZZ_FLAT]
-                diff = int(q[0]) - prev_dc[ci]
-                prev_dc[ci] = int(q[0])
-                t = _category(diff)
-                if t > 11:
-                    raise ValueError("DC difference out of baseline range")
-                code, ln = _ENC_DC[t]
-                w.put(code, ln)
-                if t:
-                    w.put(_value_bits(diff, t), t)
-                run = 0
-                for k in range(1, 64):
-                    v = int(q[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zc, zl = _ENC_AC[0xF0]
-                        w.put(zc, zl)
-                        run -= 16
-                    s = _category(v)
-                    if s > 10:
-                        raise ValueError("AC coefficient out of baseline range")
-                    ac, al = _ENC_AC[(run << 4) | s]
-                    w.put(ac, al)
-                    w.put(_value_bits(v, s), s)
-                    run = 0
-                if run:
-                    ec, el = _ENC_AC[0x00]
-                    w.put(ec, el)
+    eob = _ENC_AC[0x00]
+    zrl = _ENC_AC[0xF0]
+    for bi, q in enumerate(q_rows):
+        ci = bi % n_components
+        diff = q[0] - prev_dc[ci]
+        prev_dc[ci] = q[0]
+        t = _category(diff)
+        if t > 11:
+            raise ValueError("DC difference out of baseline range")
+        code, ln = _ENC_DC[t]
+        w.put(code, ln)
+        if t:
+            w.put(_value_bits(diff, t), t)
+        run = 0
+        for k in range(1, 64):
+            v = q[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.put(zrl[0], zrl[1])
+                run -= 16
+            s = _category(v)
+            if s > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            ac, al = _ENC_AC[(run << 4) | s]
+            w.put(ac, al)
+            w.put(_value_bits(v, s), s)
+            run = 0
+        if run:
+            w.put(eob[0], eob[1])
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
