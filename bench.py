@@ -305,8 +305,10 @@ def main() -> None:
             "crawl540_2to8",
             "politeness_pinned_tput_ratio_8to32",
             # round-5: the real media decode chain (AVI demux + JPEG
-            # frame decode) scales like the fetchparse Python boundary
-            "mediadecode_2to8",
+            # frame decode) scales like the fetchparse Python boundary;
+            # the 400k cell amortizes worker-spawn fixed costs after
+            # the codec vectorization made the 100k cell ~8 s at 32c
+            "mediadecode400k_2to8",
         ):
             if k in effs:
                 headline_effs[k] = effs[k]

@@ -171,6 +171,13 @@ JOBS = {
     # shuffle, so its N->4N ratio should track fetchparse's (the
     # Python-boundary ceiling), evidencing the decode layer scales
     "mediadecode": {"kind": "mediadecode", "n_docs": 100_000},
+    # decade-up variant: after the round-5 codec vectorization the
+    # 100k cell finishes in ~8 s at 32 cores and the fixed ~4-6 s of
+    # Python-worker spawn + stage setup dominates its ratios; 4x the
+    # docs amortizes the fixed cost so the cell measures the decode
+    # boundary again (same reasoning as the crawl4320 -> crawl8640
+    # doubling)
+    "mediadecode400k": {"kind": "mediadecode", "n_docs": 400_000},
     # round-5 dedup-join cell: the banded-LSH near-dup shape shared by
     # the MinHash/SimHash/pHash/audio/video dedups — generated 64-bit
     # signatures (native exprs, no decode), band explode, candidate
