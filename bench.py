@@ -309,6 +309,7 @@ def main() -> None:
             # the 400k cell amortizes worker-spawn fixed costs after
             # the codec vectorization made the 100k cell ~8 s at 32c
             "mediadecode400k_2to8",
+            "mediadecode400k@submit_2to8",
         ):
             if k in effs:
                 headline_effs[k] = effs[k]
