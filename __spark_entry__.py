@@ -676,6 +676,10 @@ _TAIL = [
     "crawl_fetch_log",
     "crawl_doc_spans",
     "crawl_wave_metrics",
+    "crawl_media_decode_stats",  # end-to-end: crawled interleaved
+                                 # spans -> media_ref attachments ->
+                                 # REAL JPEG/PNG decode -> exact
+                                 # pixel stats (numpy-replay pytest)
 ]
 
 

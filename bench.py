@@ -127,6 +127,9 @@ OPTIONAL = [
     "video_shot_transitions",
     "video_frame_motion",
     "av_segment_alignment",
+    # round-5 coda: the end-to-end composition — crawled interleaved
+    # spans -> media_ref attachments -> REAL JPEG/PNG decode
+    "crawl_media_decode_stats",
 ]
 
 

@@ -98,7 +98,12 @@ PREFIX_MANIFEST = [
 # Queries with no SQL oracle by design: the driver records a weaker
 # rows-only check; their ground truth is the sequential-oracle crawl
 # parity suite (tests/test_frontier.py).
-ROWS_ONLY = {"crawl_fetch_log", "crawl_doc_spans", "crawl_wave_metrics"}
+ROWS_ONLY = {
+    "crawl_fetch_log",
+    "crawl_doc_spans",
+    "crawl_wave_metrics",
+    "crawl_media_decode_stats",
+}
 
 
 def test_prefix_is_exactly_the_committed_manifest():
