@@ -412,17 +412,22 @@ def ann_topk_ivf_indexed(
 def ann_topk_ivf_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper over the partition-pruned index path — the
     actual 100 TB shape (VERDICT r2 item 7).  Builds the cluster_id-
-    partitioned layout into a deterministic temp dir (mode=overwrite,
-    so stale leftovers from a prior run are replaced, never trusted)
-    then probes it; the result is identical to :func:`ann_topk_ivf`
-    because the index materializes the same assignment, so it shares
-    that query's baked-centroid replay oracle.  Pruning itself (probed
-    directories only, via ``inputFiles()``) is asserted in pytest."""
+    partitioned layout into a per-process temp dir (stable within a
+    process so repeated calls overwrite — stale leftovers are replaced,
+    never trusted; pid-suffixed so two concurrent drivers on one box
+    never read each other's half-written index — a real observed race
+    between two parallel oracle sweeps) then probes it; the result is
+    identical to :func:`ann_topk_ivf` because the index materializes
+    the same assignment, so it shares that query's baked-centroid
+    replay oracle.  Pruning itself (probed directories only, via
+    ``inputFiles()``) is asserted in pytest."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"ids_ivf_index_{tag}")
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ids_ivf_index_{tag}_{os.getpid()}"
+    )
     cents = build_ivf_index(spark, sf_dir, index_dir)
     q = _query_vector(spark, sf_dir)
     return ann_topk_ivf_indexed(spark, index_dir, cents, q)

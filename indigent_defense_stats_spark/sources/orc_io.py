@@ -61,8 +61,12 @@ def read_orc_documents(spark: SparkSession, orc_dir: str) -> DataFrame:
 
 
 def _orc_dir_for(sf_dir: str) -> str:
+    # pid-suffixed: stable within a process (repeat calls overwrite)
+    # but never shared across concurrent drivers on one machine
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ids_orc_docs_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"ids_orc_docs_{tag}_{os.getpid()}"
+    )
 
 
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,8 +138,12 @@ def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
 
 
 def _warc_dir_for(sf_dir: str) -> str:
+    # pid-suffixed: stable within a process (repeat calls overwrite)
+    # but never shared across concurrent drivers on one machine
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ids_warc_docs_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"ids_warc_docs_{tag}_{os.getpid()}"
+    )
 
 
 def _doc_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,11 +160,21 @@ JOBS = {
     # more doubling past crawl4320 to locate the plateau of the
     # rising-throughput trend (5637 -> 7165 -> 8813 -> 14927 URLs/s)
     "crawl8640": {"kind": "crawl", "n_days": 8640},
+    # crawl17280 (~42M URLs): round-5 final-session extension — one
+    # more doubling past crawl8640 (21,513 URLs/s, still rising) to
+    # keep probing for the throughput plateau at the largest frontier
+    # this sandbox holds
+    "crawl17280": {"kind": "crawl", "n_days": 17280},
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
     "politeness127": {"kind": "politeness", "n_hosts": 127},
     "politeness508": {"kind": "politeness", "n_hosts": 508},
+    # 4x-the-registry host count (= 4x the 254-host analytic ceiling,
+    # 5,080 URLs/s): extends the host-scaling line one more doubling —
+    # in production the executor count scales with hosts, so linearity
+    # HERE is the N->4N mechanism measured directly
+    "politeness1016": {"kind": "politeness", "n_hosts": 1016},
     # round-5 media-modality cell: the full REAL video chain (encode
     # MJPEG-AVI -> idx1-verified demux -> native frame-sample filter ->
     # baseline-JPEG frame decode) over generated docs — map-only, zero
