@@ -676,6 +676,11 @@ _TAIL = [
     "crawl_fetch_log",
     "crawl_doc_spans",
     "crawl_wave_metrics",
+    "text_density_extract",   # jusText-style WITHIN-doc content
+                              # extraction (stopword-density classes +
+                              # lag/lead smoothing); complements the
+                              # cross-doc span_boilerplate_strip, which
+                              # keeps the family's pytest + sweep pins
     "crawl_media_decode_stats",  # end-to-end: crawled interleaved
                                  # spans -> media_ref attachments ->
                                  # REAL JPEG/PNG decode -> exact

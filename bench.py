@@ -130,6 +130,9 @@ OPTIONAL = [
     # round-5 coda: the end-to-end composition — crawled interleaved
     # spans -> media_ref attachments -> REAL JPEG/PNG decode
     "crawl_media_decode_stats",
+    # round-5 final: jusText-style within-doc content extraction
+    # (stopword-density classes + one-pass neighbor smoothing)
+    "text_density_extract",
 ]
 
 

@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from .corpusprep import N_SHARDS, SEQ_BUDGET, _shuffle_key
+from .textstats import EN_STOP
 
 CHUNK = 10  # tokens per text span
 MEDIA_EVERY = 3  # media span after every 3rd text span
@@ -426,6 +427,95 @@ def span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# jusText-style in-document classification constants (Pomikálek 2011,
+# adapted to the 10-token span grammar): a span shorter than
+# JT_MIN_TOKENS carries too little signal to classify directly (the
+# paper's length heuristic); >= JT_GOOD_STOPS stopword hits in a
+# <=CHUNK-token span is the >=20% stopword-density "good" rule; exactly
+# one hit is "near-good" and resolves by neighbor context.
+JT_MIN_TOKENS = 5
+JT_GOOD_STOPS = 2
+
+
+def text_density_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document content extraction (the jusText step of a
+    web-corpus pipeline), complementing :func:`span_boilerplate_strip`
+    whose signal is CROSS-document frequency: here each text span is
+    classified alone by stopword density + length, then one-pass
+    context smoothing promotes "near-good" spans adjacent to a good
+    one — the short headline between two paragraphs survives, the
+    isolated nav fragment does not.  (Real jusText iterates smoothing
+    to a fixpoint over paragraph blocks; the one-pass lag/lead variant
+    is documented here as the contract and replayed exactly by the
+    oracle.)
+
+    Per text span: ``cls`` = 0 (bad) when under ``JT_MIN_TOKENS``
+    tokens or zero stopword hits, 2 (good) at >= ``JT_GOOD_STOPS``
+    hits, else 1 (near-good).  Final keep = good, or near-good with a
+    good lag/lead neighbor in offset order.  Per doc: class counts,
+    promoted count, kept token sum, and the md5 of the kept text in
+    offset order so any rewrite defect value-hash-mismatches (the
+    span_boilerplate_strip discipline).
+
+    Scale shape: the span features are pure per-row folds over the
+    scan (no Python); ONE doc_id-keyed Exchange is shared by the
+    lag/lead window and the final per-doc aggregate (doc_id hash
+    partitioning satisfies the grouping key — the audio_vad_segments
+    pattern, budget-pinned).  No joins, no dimension tables; survives
+    100 TB unchanged."""
+    sp = interleaved_spans(spark, sf_dir).filter(F.col("kind") == "text")
+    toks = F.split(F.col("text"), " ")
+    stop_lits = F.array(*[F.lit(w) for w in EN_STOP])
+    base = sp.select(
+        "doc_id",
+        "offset",
+        "text",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_lits, t))
+        ).alias("n_stop"),
+    )
+    cls = (
+        F.when(F.col("n_tok") < JT_MIN_TOKENS, F.lit(0))
+        .when(F.col("n_stop") >= JT_GOOD_STOPS, F.lit(2))
+        .when(F.col("n_stop") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    g = base.withColumn("cls", cls).withColumn(
+        "keep",
+        (F.col("cls") == 2)
+        | (
+            (F.col("cls") == 1)
+            & (
+                (F.coalesce(F.lag("cls").over(w), F.lit(0)) == 2)
+                | (F.coalesce(F.lead("cls").over(w), F.lit(0)) == 2)
+            )
+        ),
+    )
+    kept_text = F.when(F.col("keep"), F.struct("offset", "text"))
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_text_spans"),
+        F.sum((F.col("cls") == 2).cast("int")).cast("int").alias("n_good"),
+        F.sum((F.col("cls") == 1).cast("int")).cast("int").alias("n_near"),
+        F.sum(((F.col("cls") == 1) & F.col("keep")).cast("int"))
+        .cast("int")
+        .alias("n_promoted"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("content_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_text)),
+                    lambda x: x["text"],
+                ),
+                " ",
+            )
+        ).alias("content_md5"),
+    )
+
+
 QUERIES = {
     "interleaved_spans": interleaved_spans,
     "span_reconstruct_check": span_reconstruct_check,
@@ -434,6 +524,7 @@ QUERIES = {
     "media_caption_dedup": media_caption_dedup,
     "interleaved_quality_filters": interleaved_quality_filters,
     "span_boilerplate_strip": span_boilerplate_strip,
+    "text_density_extract": text_density_extract,
 }
 
 _SQL_SPANS = f"""
@@ -586,10 +677,50 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (WHERE kind = 'media' AND NOT keep)
                     AS BIGINT) AS n_orphan_media,
                CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
-               md5(array_to_string(
-                   coalesce(list(text ORDER BY i)
-                            FILTER (WHERE keep AND kind = 'text'), []),
-                   ' ')) AS new_text_md5
+               md5(coalesce(array_to_string(
+                   list(text ORDER BY i)
+                       FILTER (WHERE keep AND kind = 'text'),
+                   ' '), '')) AS new_text_md5
+        FROM k GROUP BY doc_id
+    """,
+    "text_density_extract": f"""
+        WITH s AS ({_SQL_SPANS}),
+        t AS (
+            SELECT doc_id, i, sp[i].text AS text,
+                   len(string_split(sp[i].text, ' ')) AS n_tok,
+                   len(list_filter(string_split(sp[i].text, ' '),
+                       x -> list_contains(
+                           [{", ".join(repr(w) for w in EN_STOP)}],
+                           x))) AS n_stop
+            FROM s, unnest(generate_series(1, len(sp))) AS g(i)
+            WHERE sp[i].kind = 'text'
+        ),
+        c AS (
+            SELECT doc_id, i, text, n_tok,
+                   CASE WHEN n_tok < {JT_MIN_TOKENS} THEN 0
+                        WHEN n_stop >= {JT_GOOD_STOPS} THEN 2
+                        WHEN n_stop = 1 THEN 1
+                        ELSE 0 END AS cls
+            FROM t
+        ),
+        k AS (
+            SELECT doc_id, i, text, n_tok, cls,
+                   (cls = 2) OR (cls = 1 AND (
+                       coalesce(lag(cls) OVER w, 0) = 2
+                       OR coalesce(lead(cls) OVER w, 0) = 2)) AS keep
+            FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_text_spans,
+               CAST(count(*) FILTER (WHERE cls = 2) AS INT) AS n_good,
+               CAST(count(*) FILTER (WHERE cls = 1) AS INT) AS n_near,
+               CAST(count(*) FILTER (WHERE cls = 1 AND keep) AS INT)
+                   AS n_promoted,
+               CAST(coalesce(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT)
+                   AS content_tokens,
+               md5(coalesce(array_to_string(
+                   list(text ORDER BY i) FILTER (WHERE keep),
+                   ' '), '')) AS content_md5
         FROM k GROUP BY doc_id
     """,
     "interleaved_spans": f"""

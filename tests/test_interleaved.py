@@ -226,3 +226,118 @@ def test_boilerplate_strip_invariants_on_testdata(spark):
         if r["n_boiler_text"] == 0:
             assert r["n_orphan_media"] == 0
             assert r["new_text_md5"] == r["orig_md5"]
+
+
+def test_text_density_hand_corpus(spark, tmp_path):
+    """Class rules + smoothing pinned on a constructed corpus:
+    doc 0 = good, near(promoted via left neighbor), bad;
+    doc 1 = bad, near(no good neighbor -> dropped), bad;
+    doc 2 = good then a SHORT trailing span of pure stopwords — the
+    length rule must win over the stopword rule (cls 0, not 2)."""
+    import hashlib
+
+    def chunk(prefix, stops=0):
+        toks = [f"{prefix}{t}" for t in range(interleaved.CHUNK - stops)]
+        toks += interleaved.EN_STOP[:stops]
+        return " ".join(toks)
+
+    g0, n0, b0 = chunk("g", 2), chunk("n", 1), chunk("b")
+    texts = {
+        0: f"{g0} {n0} {b0}",
+        1: f"{chunk('x')} {chunk('y', 1)} {chunk('z')}",
+        2: f"{chunk('q', 2)} the a",
+    }
+    want = {
+        0: (3, 1, 1, 1, 20, hashlib.md5(f"{g0} {n0}".encode()).hexdigest()),
+        1: (3, 0, 1, 0, 0, hashlib.md5(b"").hexdigest()),
+        2: (2, 1, 0, 0, 10, hashlib.md5(chunk("q", 2).encode()).hexdigest()),
+    }
+    d = str(tmp_path / "jt")
+    rows = [(i, t, "en", "s0", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (
+            r["n_text_spans"],
+            r["n_good"],
+            r["n_near"],
+            r["n_promoted"],
+            r["content_tokens"],
+            r["content_md5"],
+        )
+        for r in interleaved.text_density_extract(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_text_density_python_replay_on_testdata(spark):
+    """Full replay: pure-Python jusText pass over the parquet must
+    reproduce every output row exactly (classes, smoothing, token sums,
+    content md5), and the corpus must exercise all three classes plus
+    both smoothing outcomes."""
+    import hashlib
+
+    out = {
+        r["doc_id"]: (
+            r["n_text_spans"],
+            r["n_good"],
+            r["n_near"],
+            r["n_promoted"],
+            r["content_tokens"],
+            r["content_md5"],
+        )
+        for r in interleaved.text_density_extract(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    stops = set(interleaved.EN_STOP)
+    want = {}
+    tot = [0, 0, 0]
+    any_promoted = any_dropped_near = False
+    for doc in docs:
+        toks = doc["text"].split(" ")
+        spans = [
+            toks[i : i + interleaved.CHUNK]
+            for i in range(0, len(toks), interleaved.CHUNK)
+        ]
+        cls = []
+        for sp in spans:
+            ns = sum(1 for t in sp if t in stops)
+            if len(sp) < interleaved.JT_MIN_TOKENS:
+                cls.append(0)
+            elif ns >= interleaved.JT_GOOD_STOPS:
+                cls.append(2)
+            elif ns == 1:
+                cls.append(1)
+            else:
+                cls.append(0)
+        keep = [
+            c == 2
+            or (
+                c == 1
+                and (
+                    (i > 0 and cls[i - 1] == 2)
+                    or (i + 1 < len(cls) and cls[i + 1] == 2)
+                )
+            )
+            for i, c in enumerate(cls)
+        ]
+        for c in cls:
+            tot[c] += 1
+        any_promoted |= any(c == 1 and k for c, k in zip(cls, keep))
+        any_dropped_near |= any(c == 1 and not k for c, k in zip(cls, keep))
+        content = " ".join(
+            " ".join(sp) for sp, k in zip(spans, keep) if k
+        )
+        want[doc["doc_id"]] = (
+            len(spans),
+            sum(1 for c in cls if c == 2),
+            sum(1 for c in cls if c == 1),
+            sum(1 for c, k in zip(cls, keep) if c == 1 and k),
+            sum(len(sp) for sp, k in zip(spans, keep) if k),
+            hashlib.md5(content.encode()).hexdigest(),
+        )
+    assert out == want
+    assert all(tot) and any_promoted and any_dropped_near, (
+        "degenerate corpus for the density classifier: " + repr(tot)
+    )

@@ -217,6 +217,9 @@ BUDGETS = {
     # construction; the returned plan is the root extraction (one
     # groupBy + the node left join) over the final star edge set
     "click_components": 4,
+    # ONE doc_id exchange shared by the lag/lead smoothing window and
+    # the final per-doc aggregate (the audio_vad_segments pattern)
+    "text_density_extract": 1,
 }
 
 
@@ -265,6 +268,7 @@ SCAN_BUDGETS = {
     "video_shot_transitions": 1,  # single consumer, no pin needed
     "video_frame_motion": 1,  # single consumer, no pin needed
     "av_segment_alignment": 2,  # one documents scan per modality side
+    "text_density_extract": 1,  # span features fold over one scan
 }
 
 
