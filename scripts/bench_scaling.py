@@ -195,6 +195,19 @@ JOBS = {
     # linear-shuffle contract at volume, decoupled from the Python
     # decode boundary (which mediadecode measures)
     "lshband10m": {"kind": "lshband", "n_docs": 10_000_000},
+    # decade-up variant (round-5 final): 4x the signatures so the
+    # banding exchange dwarfs fixed costs — the volume trend of the
+    # join shape all five near-dup families share.  Shuffle partitions
+    # are sized to the volume (80M band rows / 256 ≈ 300k rows per
+    # join partition): with the 32-partition small-SF default this
+    # cell SPILLS (measured 190k docs/s at 8 cores, flat to 32 — the
+    # sandbox memory wall, not the plan) — the spill-aware sizing rule
+    # applied, AQE coalesces the excess at low core counts
+    "lshband40m": {
+        "kind": "lshband",
+        "n_docs": 40_000_000,
+        "conf": {"spark.sql.shuffle.partitions": "256"},
+    },
     # heterogeneous robots Crawl-delay: half the hosts declare 500 ms,
     # half keep the 200 ms default -> mixed ceiling = 127x2 + 127x5
     # = 889 URLs/s; quotas are rate-proportional so all streams share
