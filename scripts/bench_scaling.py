@@ -165,6 +165,10 @@ JOBS = {
     # keep probing for the throughput plateau at the largest frontier
     # this sandbox holds
     "crawl17280": {"kind": "crawl", "n_days": 17280},
+    # crawl34560 (~84M URLs): the seventh doubling — run with
+    # SPARK_GRAFT_DRIVER_MEM=48g (single-JVM local mode holds the
+    # whole frontier state; on a cluster it is partitioned)
+    "crawl34560": {"kind": "crawl", "n_days": 34560},
     # host-count sweep at fixed cores: the politeness ceiling is
     # n_hosts x 5/s, so throughput must scale WITH HOSTS, not cores —
     # the mechanism behind N->4N executor scaling in production
